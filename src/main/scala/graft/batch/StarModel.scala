@@ -1,0 +1,94 @@
+package graft.batch
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TaxiFunctions._
+import graft.model.TaxiModel
+
+/** Star-schema build (`mdl.*`) — SURVEY.md §2.4 `upsert_dim_antijoin`,
+  * `join_fact_dims`, `join_star_view`; ref: sql/batchELT/mdl/.
+  *
+  * Dims here are *deterministic*: SK = row_number over NK ordering — the
+  * reproducible analog of the reference's IDENTITY columns (SURVEY §7.4
+  * decision 4; `monotonically_increasing_id` is banned from declared
+  * queries). At scale the dim domains are tiny (vendors, payment types,
+  * rates, flags, TLC zones ≤ a few hundred members), so the single-partition
+  * window over the *distinct NK set* is O(|dim|), not O(|fact|), and every
+  * fact-side resolve is a broadcast join — no fact shuffle.
+  */
+object StarModel {
+
+  /** Deterministic dim from the distinct non-null NKs of `src(col)`. */
+  def dim(src: DataFrame, nkCol: String, nkName: String, skName: String): DataFrame = {
+    val w = Window.orderBy(col(nkName))
+    src.select(col(nkCol).as(nkName)).filter(col(nkName).isNotNull).distinct()
+      .withColumn(skName, row_number().over(w).cast("int"))
+  }
+
+  /** Role-played location dim: distinct union of PU and DO ids
+    * (ref: 14_dim_location.upsert.sql:4-11, `setop_union_distinct`). */
+  def dimLocation(deduped: DataFrame): DataFrame = {
+    val nks = deduped.select(col("pu_location_id").as("loc_nk"))
+      .union(deduped.select(col("do_location_id")))
+      .filter(col("loc_nk").isNotNull).distinct()
+    nks.withColumn("loc_sk", row_number().over(Window.orderBy(col("loc_nk"))).cast("int"))
+  }
+
+  /** Anti-join dim upsert (ref: 10_dim_vendor.upsert.sql:3-14): append the
+    * NKs present in `src` but missing from `existing`, with SKs continuing
+    * after max(existing). This is the *library* operator; declared oracle
+    * queries use the deterministic [[dim]] form. */
+  def upsertDim(existing: DataFrame, src: DataFrame, nkCol: String,
+                nkName: String, skName: String): DataFrame = {
+    val newNks = src.select(col(nkCol).as(nkName)).filter(col(nkName).isNotNull)
+      .distinct()
+      .join(existing.select(nkName), Seq(nkName), "left_anti")
+    val base = existing.agg(coalesce(max(col(skName)), lit(0)).as("mx"))
+    val appended = newNks
+      .withColumn("rn", row_number().over(Window.orderBy(col(nkName))))
+      .crossJoin(broadcast(base))
+      .select(col(nkName), (col("mx") + col("rn")).cast("int").as(skName))
+    existing.unionByName(appended)
+  }
+
+  /** Fact load (ref: 40_fact_trip.load.sql:70-107): SHA-256 degenerate
+    * trip_id, smart date/time keys, 6 broadcast NK→SK resolves with
+    * COALESCE(-1) unknown fallback, `dim_location` role-played twice. */
+  def fact(deduped: DataFrame, dimVendor: DataFrame, dimPayment: DataFrame,
+           dimRate: DataFrame, dimFlag: DataFrame, dimLoc: DataFrame): DataFrame = {
+    val d = deduped
+    d.join(broadcast(dimVendor), d("vendor_code") === dimVendor("vendor_nk"), "left")
+      .join(broadcast(dimPayment), d("payment_type") === dimPayment("payment_nk"), "left")
+      .join(broadcast(dimRate), d("rate_code") === dimRate("rate_nk"), "left")
+      .join(broadcast(dimFlag), d("flag_raw") === dimFlag("flag_nk"), "left")
+      .join(broadcast(dimLoc.as("pu")), d("pu_location_id") === col("pu.loc_nk"), "left")
+      .join(broadcast(dimLoc.as("dol")), d("do_location_id") === col("dol.loc_nk"), "left")
+      .select(
+        TaxiModel.tripId.as("trip_id"),
+        dateKey(col("pickup_ts_utc")).as("pickup_date_key"),
+        timeKey(col("pickup_ts_utc")).as("pickup_time_key"),
+        coalesce(col("vendor_sk"), lit(-1)).as("vendor_sk"),
+        coalesce(col("payment_sk"), lit(-1)).as("payment_sk"),
+        coalesce(col("rate_sk"), lit(-1)).as("rate_sk"),
+        coalesce(col("flag_sk"), lit(-1)).as("flag_sk"),
+        coalesce(col("pu.loc_sk"), lit(-1)).as("pu_location_sk"),
+        coalesce(col("dol.loc_sk"), lit(-1)).as("do_location_sk"),
+        col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
+        col("tolls_amount"), col("total_amount"), col("is_night_ride"),
+        col("ingest_date"), col("source_file_name"), col("loaded_at"))
+  }
+
+  /** Full chain from the fixtures: trips→cleaned→deduped→dims→fact. */
+  def factFromFixtures(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = TaxiModel.deduped(TaxiModel.cleaned(
+      TaxiModel.tripsWithDups(spark, sfDir), TaxiModel.paymentTypeMap(spark)))
+    fact(deduped,
+      dim(deduped, "vendor_code", "vendor_nk", "vendor_sk"),
+      dim(deduped, "payment_type", "payment_nk", "payment_sk"),
+      dim(deduped, "rate_code", "rate_nk", "rate_sk"),
+      dim(deduped, "flag_raw", "flag_nk", "flag_sk"),
+      dimLocation(deduped))
+  }
+}

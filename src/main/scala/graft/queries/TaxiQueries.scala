@@ -1,0 +1,727 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QFn
+import graft.batch.StarModel
+import graft.functions.TaxiFunctions._
+import graft.model.TaxiModel
+import graft.oracle.OracleCte.{taxi, taxiWith}
+
+/** Batch-lane operator queries (SURVEY.md §2.2-§2.7) over the taxi-shaped
+  * view of the fixtures, each with a DuckDB oracle.
+  *
+  * Every query ends in a total ORDER BY on non-null keys so the driver's
+  * row-order hash compare is deterministic. Double-valued aggregates are
+  * summed as DECIMAL (exact, order-independent) and cast to DOUBLE at the
+  * end, so Spark's partition-order-dependent float summation can never
+  * diverge from DuckDB's sequential one.
+  */
+object TaxiQueries {
+
+  private def trips(s: SparkSession, d: String) = TaxiModel.trips(s, d)
+  private def cleanedDf(s: SparkSession, d: String) =
+    TaxiModel.cleaned(TaxiModel.tripsWithDups(s, d), TaxiModel.paymentTypeMap(s))
+  private def dedupedDf(s: SparkSession, d: String) = TaxiModel.deduped(cleanedDf(s, d))
+
+  /** Exact, order-independent sum of a double column: per-row round to
+    * DECIMAL(18,6) (deterministic on the exact binary value), exact decimal
+    * summation, final cast back to DOUBLE. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,6)")).cast("double")
+  private def dsumSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, QFn] = Map(
+    // ---- §2.2 projections / filters ----
+    "clean_typing" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"),
+        when(col("trip_src_id") % 17 === 0, lit("N/A"))
+          .otherwise(col("trip_src_id").cast("string")).as("id_str"),
+        when(col("trip_src_id") % 2 === 0, lit("1997-05-30"))
+          .otherwise(lit("not-a-date")).as("date_str"),
+        decimalRender(col("fare_amount"), 6).as("fare_str"))
+      .select(col("trip_src_id"),
+        expr("try_cast(id_str AS BIGINT)").as("id_typed"),
+        expr("try_cast(fare_str AS DOUBLE)").as("fare_typed"),
+        expr("try_cast(date_str AS DATE)").cast("string").as("date_typed"))
+      .orderBy("trip_src_id", "fare_typed")),
+
+    "clean_trim_null" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"), cleanTrimNull(col("vendor_raw")).as("vendor_code"))
+      .orderBy("trip_src_id", "vendor_code")),
+
+    "filter_domain" -> ((s, d) => trips(s, d)
+      .filter(TaxiModel.domainFilter)
+      .select("trip_src_id", "pickup_ts", "dropoff_ts", "fare_amount", "trip_distance_mi")
+      .orderBy("trip_src_id", "fare_amount", "trip_distance_mi")),
+
+    "route_rejects" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNull || col("dropoff_ts").isNull ||
+        col("pickup_ts") > col("dropoff_ts") ||
+        col("fare_amount") < 0 || col("trip_distance_mi") < 0)
+      .select(col("trip_src_id"), TaxiModel.rejectReason.as("reject_reason"))
+      .orderBy("trip_src_id", "reject_reason")),
+
+    "filter_slice" -> ((s, d) => trips(s, d)
+      .filter(col("ingest_date").between("1997-01-01", "1997-12-31"))
+      .select(col("trip_src_id"), col("ingest_date").cast("string").as("ingest_date"),
+        col("fare_amount"))
+      .orderBy("trip_src_id", "fare_amount")),
+
+    // ---- §2.3 scalar functions ----
+    "f_unit_convert" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"), milesToKm(col("trip_distance_mi")).as("trip_distance_km"))
+      .orderBy("trip_src_id", "trip_distance_km")),
+
+    "f_payment_canon" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"), paymentCanonCase(trim(col("payment_src"))).as("payment_std"))
+      .orderBy("trip_src_id", "payment_std")),
+
+    "f_night_flag" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull)
+      .select(col("trip_src_id"), hour(col("pickup_ts")).cast("int").as("pickup_hour"),
+        nightFlag(col("pickup_ts")).as("is_night_ride"))
+      .orderBy("trip_src_id")),
+
+    "f_date_key" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull)
+      .select(col("trip_src_id"), dateKey(col("pickup_ts")).as("pickup_date_key"))
+      .orderBy("trip_src_id")),
+
+    "f_time_key" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull)
+      .select(col("trip_src_id"), timeKey(col("pickup_ts")).as("pickup_time_key"))
+      .orderBy("trip_src_id")),
+
+    "f_duration_min" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull && col("dropoff_ts").isNotNull)
+      .select(col("trip_src_id"),
+        durationMin(col("pickup_ts"), col("dropoff_ts")).as("duration_min"))
+      .orderBy("trip_src_id")),
+
+    "f_sha256_hex" -> ((s, d) => cleanedDf(s, d)
+      .select(col("trip_src_id"), col("source_file_name"), TaxiModel.tripId.as("trip_id"))
+      .orderBy("trip_src_id", "source_file_name", "trip_id")),
+
+    "f_hash64_id" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull && col("dropoff_ts").isNotNull)
+      .select(col("trip_src_id"),
+        hash64Id(concat_ws("|", lit("e"), col("trip_src_id").cast("string"),
+          isoFormat(col("pickup_ts")), isoFormat(col("dropoff_ts")))).as("stream_trip_id"))
+      .orderBy("trip_src_id")),
+
+    "f_basename" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"),
+        basename(concat(lit("lake/date=2024/06/01/"), col("source_file_name")))
+          .as("file_name"))
+      .orderBy("trip_src_id")),
+
+    "f_truncate" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"), truncateTo(col("source_file_name"), 6).as("file_prefix"),
+        truncateTo(col("payment_src"), 2).as("payment16"))
+      .orderBy("trip_src_id")),
+
+    "f_iso_format" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNotNull)
+      .select(col("trip_src_id"), isoFormat(col("pickup_ts")).as("pickup_iso"))
+      .orderBy("trip_src_id")),
+
+    "f_concat_payload" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"),
+        concatPayload(
+          "vendor" -> col("vendor_raw"),
+          "fare" -> decimalRender(col("fare_amount"), 6),
+          "rate" -> col("rate_code"),
+          "pickup" -> isoFormat(col("pickup_ts"))).as("raw_payload"))
+      .orderBy("trip_src_id", "raw_payload")),
+
+    "f_json_build" -> ((s, d) => {
+      val rejects = trips(s, d).filter(col("pickup_ts").isNull ||
+        col("dropoff_ts").isNull || col("pickup_ts") > col("dropoff_ts") ||
+        col("fare_amount") < 0 || col("trip_distance_mi") < 0)
+      val counts = rejects.agg(
+        count(lit(1)).as("bad_rows"),
+        sum(when(col("fare_amount") < 0, 1).otherwise(0)).cast("long").as("negative_fare"))
+      counts.select(to_json(struct(col("bad_rows"), col("negative_fare"))).as("audit_json"))
+    }),
+
+    "f_to_date" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"),
+        to_date(coalesce(col("pickup_ts"), lit("2024-01-01 00:00:00").cast("timestamp_ntz")))
+          .cast("string").as("ingest_date_derived"))
+      .orderBy("trip_src_id")),
+
+    "f_safe_divide" -> ((s, d) => trips(s, d)
+      .select(col("trip_src_id"),
+        safeDivide(col("tip_amount"), col("fare_amount")).as("tip_pct"),
+        safeDivide(col("fare_amount"), col("trip_distance_mi")).as("fare_per_mile"))
+      .orderBy("trip_src_id", "tip_pct", "fare_per_mile")),
+
+    // ---- §2.4 joins ----
+    "join_ref_lookup" -> ((s, d) => {
+      val pm = TaxiModel.paymentTypeMap(s).filter(col("is_active"))
+        .select("payment_type_src", "payment_type_std")
+      trips(s, d)
+        .join(broadcast(pm), trim(col("payment_src")) === col("payment_type_src"), "left")
+        .select(col("trip_src_id"),
+          coalesce(col("payment_type_std"), lit("UNKNOWN")).as("payment_type"))
+        .orderBy("trip_src_id", "payment_type")
+    }),
+
+    "upsert_dim_antijoin" -> ((s, d) => {
+      val ded = dedupedDf(s, d)
+      val existing = StarModel.dimLocation(ded.filter(col("ingest_date") < "1996-01-01"))
+      val upserted = StarModel.upsertDim(
+        existing.select(col("loc_nk"), col("loc_sk")), ded, "pu_location_id", "loc_nk", "loc_sk")
+      upserted.orderBy("loc_sk")
+    }),
+
+    "join_fact_dims" -> ((s, d) => StarModel.factFromFixtures(s, d)
+      .select("trip_id", "pickup_date_key", "pickup_time_key", "vendor_sk",
+        "payment_sk", "rate_sk", "flag_sk", "pu_location_sk", "do_location_sk",
+        "fare_amount", "is_night_ride")
+      .orderBy("trip_id", "pickup_date_key")),
+
+    "join_core_stg_correlate" -> ((s, d) => {
+      val core = dedupedDf(s, d).select("trip_src_id", "pickup_ts_utc",
+        "dropoff_ts_utc", "ingest_date", "source_file_name")
+      val stg = TaxiModel.tripsWithDups(s, d).select(
+        col("ingest_date").as("s_ingest_date"),
+        col("source_file_name").as("s_source_file_name"),
+        col("pickup_ts").as("s_pickup_ts"), col("dropoff_ts").as("s_dropoff_ts"),
+        col("tolls_amount"), col("total_amount"), col("loaded_at"),
+        col("trip_src_id").as("s_trip_src_id"))
+      val joined = core.join(stg,
+        core("ingest_date") === stg("s_ingest_date") &&
+          core("source_file_name") === stg("s_source_file_name") &&
+          core("pickup_ts_utc") === stg("s_pickup_ts") &&
+          core("dropoff_ts_utc") === stg("s_dropoff_ts"), "left")
+      val w = Window.partitionBy(col("trip_src_id"))
+        .orderBy(col("loaded_at").desc, col("s_source_file_name").desc,
+          col("s_trip_src_id").desc, col("tolls_amount").desc,
+          col("total_amount").desc)
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("trip_src_id"), col("tolls_amount"), col("total_amount"))
+        .orderBy("trip_src_id", "tolls_amount", "total_amount")
+    }),
+
+    "merge_upsert_key" -> ((s, d) => {
+      // Synapse-safe upsert (update-then-insert as full-outer rebuild):
+      // target = pre-1997 slice, staged = 1996-06..1997-12 slice (overlap).
+      val f = StarModel.factFromFixtures(s, d)
+        .select("trip_id", "fare_amount", "total_amount", "ingest_date")
+      val target = f.filter(col("ingest_date") < "1997-01-01")
+      val staged = f.filter(col("ingest_date").between("1996-06-01", "1997-12-31"))
+        .withColumn("total_amount", col("total_amount") + 1.0)
+      val merged = staged.as("s").join(target.as("t"), Seq("trip_id"), "full_outer")
+        .select(col("trip_id"),
+          coalesce(col("s.fare_amount"), col("t.fare_amount")).as("fare_amount"),
+          coalesce(col("s.total_amount"), col("t.total_amount")).as("total_amount"),
+          when(col("s.fare_amount").isNotNull && col("t.fare_amount").isNotNull, "updated")
+            .when(col("s.fare_amount").isNotNull, "inserted")
+            .otherwise("unchanged").as("merge_action"))
+      merged.orderBy("trip_id")
+    }),
+
+    "join_star_view" -> ((s, d) => {
+      val ded = dedupedDf(s, d)
+      val f = StarModel.factFromFixtures(s, d)
+      val dv = StarModel.dim(ded, "vendor_code", "vendor_nk", "vendor_sk")
+      val dp = StarModel.dim(ded, "payment_type", "payment_nk", "payment_sk")
+      f.join(broadcast(dv), Seq("vendor_sk"), "left")
+        .join(broadcast(dp), Seq("payment_sk"), "left")
+        .select(col("trip_id"), col("vendor_nk"), col("payment_nk"),
+          col("fare_amount"), col("trip_distance_km"),
+          safeDivide(col("tip_amount"), col("fare_amount")).as("tip_pct"),
+          safeDivide(col("fare_amount"), col("trip_distance_km")).as("fare_per_km"))
+        .orderBy("trip_id")
+    }),
+
+    // ---- §2.5 aggregations ----
+    "agg_counts_by_slice" -> ((s, d) => dedupedDf(s, d)
+      .groupBy(col("ingest_date").cast("string").as("ingest_date"))
+      .agg(count(lit(1)).as("rows_out"))
+      .orderBy("ingest_date")),
+
+    "agg_sum_reconcile" -> ((s, d) => {
+      val core = dedupedDf(s, d).agg(dsum("fare_amount").as("core_fare"))
+      val fct = StarModel.factFromFixtures(s, d).agg(dsum("fare_amount").as("fact_fare"))
+      core.crossJoin(fct).select(col("core_fare"), col("fact_fare"),
+        (col("core_fare") === col("fact_fare")).as("fare_matches"))
+    }),
+
+    "agg_dupe_check" -> ((s, d) => {
+      val grouped = cleanedDf(s, d)
+        .groupBy(TaxiModel.naturalKey.map(col): _*)
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      grouped.agg(count(lit(1)).as("dup_groups"),
+        coalesce(sum(col("cnt")), lit(0L)).cast("long").as("dup_rows"))
+    }),
+
+    "agg_distinct_nk" -> ((s, d) => dedupedDf(s, d)
+      .filter(col("vendor_code").isNotNull)
+      .select("vendor_code").distinct().orderBy("vendor_code")),
+
+    "agg_reason_pivot" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNull || col("dropoff_ts").isNull ||
+        col("pickup_ts") > col("dropoff_ts") ||
+        col("fare_amount") < 0 || col("trip_distance_mi") < 0)
+      .select(TaxiModel.rejectReason.as("reject_reason"))
+      .agg(
+        sum(when(col("reject_reason") === "NULL_TIME", 1).otherwise(0))
+          .cast("long").as("null_time"),
+        sum(when(col("reject_reason") === "NEGATIVE_FARE", 1).otherwise(0))
+          .cast("long").as("negative_fare"),
+        sum(when(col("reject_reason") === "NEGATIVE_DISTANCE", 1).otherwise(0))
+          .cast("long").as("negative_distance"),
+        sum(when(col("reject_reason") === "PICKUP_AFTER_DROPOFF", 1).otherwise(0))
+          .cast("long").as("pickup_after_dropoff"))),
+
+    "agg_reject_breakdown" -> ((s, d) => trips(s, d)
+      .filter(col("pickup_ts").isNull || col("dropoff_ts").isNull ||
+        col("pickup_ts") > col("dropoff_ts") ||
+        col("fare_amount") < 0 || col("trip_distance_mi") < 0)
+      .groupBy(TaxiModel.rejectReason.as("reject_reason"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("reject_reason"))),
+
+    "agg_bi_measures" -> ((s, d) => StarModel.factFromFixtures(s, d)
+      .groupBy(col("vendor_sk"))
+      .agg(
+        count(lit(1)).as("trips"),
+        dsum("fare_amount").as("total_fare"),
+        (dsum("tip_amount") / nullif(dsum("fare_amount"), lit(0.0))).as("tip_pct"),
+        (dsum("fare_amount") / count(lit(1))).as("avg_fare_per_trip"),
+        (dsum("fare_amount") / nullif(dsum("trip_distance_km"), lit(0.0))).as("avg_fare_per_km"))
+      .orderBy("vendor_sk")),
+
+    "agg_freshness" -> ((s, d) => dedupedDf(s, d)
+      .agg(max(col("loaded_at")).as("last_loaded_at"))
+      .select(col("last_loaded_at"),
+        ((lit("2024-07-01 00:00:00").cast("timestamp").cast("long") -
+          col("last_loaded_at").cast("timestamp").cast("long")) / 60)
+          .cast("long").as("minutes_behind"))),
+
+    // ---- §2.6 windows ----
+    "win_dedupe_rank" -> ((s, d) => dedupedDf(s, d)
+      .select("trip_src_id", "vendor_code", "pickup_ts_utc", "dropoff_ts_utc",
+        "trip_distance_km", "fare_amount", "payment_type", "source_file_name")
+      .orderBy("trip_src_id", "source_file_name", "vendor_code", "payment_type",
+        "fare_amount", "trip_distance_km")),
+
+    "win_global_rownum" -> ((s, d) => {
+      // Global ordered ROW_NUMBER — single-partition by construction; kept
+      // at declared-oracle scale only (SURVEY §7.4 hard-part 2: at 100 TB
+      // the composite key itself replaces this correlation id).
+      val w = Window.orderBy(col("source_file_name"), col("loaded_at"), col("trip_src_id"))
+      trips(s, d).withColumn("rn", row_number().over(w))
+        .select("rn", "trip_src_id", "source_file_name")
+        .orderBy("rn")
+    }),
+
+    "win_join_pick" -> ((s, d) => {
+      val dup = TaxiModel.tripsWithDups(s, d)
+      val w = Window.partitionBy(col("trip_src_id"))
+        .orderBy(col("loaded_at").desc, col("source_file_name").desc)
+      dup.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("trip_src_id", "source_file_name")
+        .orderBy("trip_src_id")
+    }),
+
+    // ---- §2.7 sorts / limits / set ops ----
+    "sort_topn" -> ((s, d) => dedupedDf(s, d)
+      .orderBy(col("loaded_at").desc, col("trip_src_id").desc, col("fare_amount").desc)
+      .select("trip_src_id", "loaded_at", "fare_amount")
+      .limit(50)),
+
+    "setop_union_distinct" -> ((s, d) => {
+      val t = trips(s, d)
+      t.select(col("pu_location_id").as("location_id"))
+        .union(t.select(col("do_location_id")))
+        .filter(col("location_id").isNotNull).distinct()
+        .orderBy("location_id")
+    }),
+
+    "setop_union_all" -> ((s, d) => {
+      // DQ-gate result set built as a UNION ALL chain (CoreDQ_Gate shape).
+      val t = trips(s, d)
+      val agg = t.agg(
+        count(lit(1)).as("stg_rows"),
+        sum(when(TaxiModel.domainFilter, 1).otherwise(0)).cast("long").as("core_rows"),
+        sum(when(col("fare_amount") < 0, 1).otherwise(0)).cast("long").as("neg_fare"),
+        sum(when(col("pickup_ts").isNull, 1).otherwise(0)).cast("long").as("null_pickup"))
+      val checks = agg.select(
+        struct(lit("rowcount_core_gt_0").as("check_name"),
+          when(col("core_rows") > 0, "PASSED").otherwise("FAILED").as("status")).as("c1"),
+        struct(lit("no_negative_fare").as("check_name"),
+          when(col("neg_fare") === 0, "PASSED").otherwise("WARNING").as("status")).as("c2"),
+        struct(lit("no_null_pickup_ts").as("check_name"),
+          when(col("null_pickup") === 0, "PASSED").otherwise("FAILED").as("status")).as("c3"),
+        struct(lit("core_le_stg").as("check_name"),
+          when(col("core_rows") <= col("stg_rows"), "PASSED").otherwise("FAILED").as("status")).as("c4"))
+      checks.select(col("c1")).union(checks.select(col("c2")))
+        .union(checks.select(col("c3"))).union(checks.select(col("c4")))
+        .select(col("c1.check_name").as("check_name"), col("c1.status").as("status"))
+        .orderBy("check_name")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "clean_typing" -> taxi(
+      """SELECT trip_src_id,
+        |  TRY_CAST(id_str AS BIGINT) AS id_typed,
+        |  TRY_CAST(fare_str AS DOUBLE) AS fare_typed,
+        |  CAST(TRY_CAST(date_str AS DATE) AS VARCHAR) AS date_typed
+        |FROM (SELECT trip_src_id,
+        |        CASE WHEN trip_src_id % 17 = 0 THEN 'N/A'
+        |             ELSE CAST(trip_src_id AS VARCHAR) END AS id_str,
+        |        CASE WHEN trip_src_id % 2 = 0 THEN '1997-05-30'
+        |             ELSE 'not-a-date' END AS date_str,
+        |        printf('%.6f', fare_amount) AS fare_str
+        |      FROM trips) t
+        |ORDER BY trip_src_id, fare_typed""".stripMargin),
+
+    "clean_trim_null" -> taxi(
+      """SELECT trip_src_id, upper(nullif(trim(vendor_raw), '')) AS vendor_code
+        |FROM trips ORDER BY trip_src_id, vendor_code NULLS FIRST""".stripMargin),
+
+    "filter_domain" -> taxi(
+      """SELECT trip_src_id, pickup_ts, dropoff_ts, fare_amount, trip_distance_mi
+        |FROM trips
+        |WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+        |  AND pickup_ts <= dropoff_ts AND fare_amount >= 0 AND trip_distance_mi >= 0
+        |ORDER BY trip_src_id, fare_amount, trip_distance_mi""".stripMargin),
+
+    "route_rejects" -> taxi(
+      """SELECT trip_src_id,
+        |  CASE WHEN pickup_ts IS NULL OR dropoff_ts IS NULL THEN 'NULL_TIME'
+        |       WHEN fare_amount < 0 THEN 'NEGATIVE_FARE'
+        |       WHEN trip_distance_mi < 0 THEN 'NEGATIVE_DISTANCE'
+        |       WHEN pickup_ts > dropoff_ts THEN 'PICKUP_AFTER_DROPOFF'
+        |       ELSE 'OTHER_BAD_VALUES' END AS reject_reason
+        |FROM trips
+        |WHERE pickup_ts IS NULL OR dropoff_ts IS NULL OR pickup_ts > dropoff_ts
+        |   OR fare_amount < 0 OR trip_distance_mi < 0
+        |ORDER BY trip_src_id, reject_reason""".stripMargin),
+
+    "filter_slice" -> taxi(
+      """SELECT trip_src_id, CAST(ingest_date AS VARCHAR) AS ingest_date, fare_amount
+        |FROM trips
+        |WHERE ingest_date BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |ORDER BY trip_src_id, fare_amount""".stripMargin),
+
+    "f_unit_convert" -> taxi(
+      """SELECT trip_src_id, round(trip_distance_mi * 1.609344, 3) AS trip_distance_km
+        |FROM trips ORDER BY trip_src_id, trip_distance_km""".stripMargin),
+
+    "f_payment_canon" -> taxi(
+      """SELECT trip_src_id,
+        |  CASE trim(payment_src) WHEN '1' THEN 'CARD' WHEN '2' THEN 'CASH'
+        |    WHEN '3' THEN 'NO_CHARGE' WHEN '4' THEN 'DISPUTE' END AS payment_std
+        |FROM trips ORDER BY trip_src_id, payment_std NULLS FIRST""".stripMargin),
+
+    "f_night_flag" -> taxi(
+      """SELECT trip_src_id, CAST(hour(pickup_ts) AS INT) AS pickup_hour,
+        |  CASE WHEN hour(pickup_ts) >= 22 OR hour(pickup_ts) <= 5
+        |       THEN 1 ELSE 0 END AS is_night_ride
+        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+
+    "f_date_key" -> taxi(
+      """SELECT trip_src_id,
+        |  CAST(year(pickup_ts) * 10000 + month(pickup_ts) * 100
+        |       + day(pickup_ts) AS INT) AS pickup_date_key
+        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+
+    "f_time_key" -> taxi(
+      """SELECT trip_src_id,
+        |  CAST(hour(pickup_ts) * 3600 + minute(pickup_ts) * 60
+        |       + second(pickup_ts) AS INT) AS pickup_time_key
+        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+
+    "f_duration_min" -> taxi(
+      """SELECT trip_src_id,
+        |  date_diff('minute', pickup_ts, dropoff_ts) AS duration_min
+        |FROM trips WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+        |ORDER BY trip_src_id""".stripMargin),
+
+    "f_sha256_hex" -> taxi(
+      """SELECT trip_src_id, source_file_name,
+        |  sha256(concat_ws('|',
+        |    coalesce(vendor_code, ''),
+        |    coalesce(strftime(pickup_ts_utc, '%Y-%m-%dT%H:%M:%S.%g'), ''),
+        |    coalesce(strftime(dropoff_ts_utc, '%Y-%m-%dT%H:%M:%S.%g'), ''),
+        |    coalesce(printf('%.6f', fare_amount), ''),
+        |    coalesce(printf('%.6f', trip_distance_km), ''),
+        |    coalesce(payment_type, ''))) AS trip_id
+        |FROM cleaned ORDER BY trip_src_id, source_file_name, trip_id""".stripMargin),
+
+    "f_hash64_id" -> taxi(
+      """SELECT trip_src_id,
+        |  abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |           THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |           ELSE CAST(u AS BIGINT) END) AS stream_trip_id
+        |FROM (
+        |  SELECT trip_src_id,
+        |    ('0x' || substr(sha256(concat_ws('|', 'e', CAST(trip_src_id AS VARCHAR),
+        |      strftime(pickup_ts, '%Y-%m-%dT%H:%M:%S.%g'),
+        |      strftime(dropoff_ts, '%Y-%m-%dT%H:%M:%S.%g'))), 1, 16))::UBIGINT AS u
+        |  FROM trips WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL) t
+        |ORDER BY trip_src_id""".stripMargin),
+
+    "f_basename" -> taxi(
+      """SELECT trip_src_id,
+        |  regexp_extract('lake/date=2024/06/01/' || source_file_name, '[^/]*$')
+        |    AS file_name
+        |FROM trips ORDER BY trip_src_id""".stripMargin),
+
+    "f_truncate" -> taxi(
+      """SELECT trip_src_id, left(source_file_name, 6) AS file_prefix,
+        |  left(payment_src, 2) AS payment16
+        |FROM trips ORDER BY trip_src_id""".stripMargin),
+
+    "f_iso_format" -> taxi(
+      """SELECT trip_src_id,
+        |  strftime(pickup_ts, '%Y-%m-%dT%H:%M:%S.%g') AS pickup_iso
+        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+
+    "f_concat_payload" -> taxi(
+      """SELECT trip_src_id,
+        |  concat_ws('; ',
+        |    'vendor=' || coalesce(vendor_raw, 'NULL'),
+        |    'fare=' || coalesce(printf('%.6f', fare_amount), 'NULL'),
+        |    'rate=' || coalesce(CAST(rate_code AS VARCHAR), 'NULL'),
+        |    'pickup=' || coalesce(strftime(pickup_ts, '%Y-%m-%dT%H:%M:%S.%g'), 'NULL'))
+        |    AS raw_payload
+        |FROM trips ORDER BY trip_src_id, raw_payload""".stripMargin),
+
+    "f_json_build" -> taxi(
+      """SELECT to_json(struct_pack(bad_rows := bad_rows,
+        |                           negative_fare := negative_fare))::VARCHAR AS audit_json
+        |FROM (
+        |  SELECT count(*) AS bad_rows,
+        |    CAST(coalesce(sum(CASE WHEN fare_amount < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS negative_fare
+        |  FROM trips
+        |  WHERE pickup_ts IS NULL OR dropoff_ts IS NULL OR pickup_ts > dropoff_ts
+        |     OR fare_amount < 0 OR trip_distance_mi < 0) t""".stripMargin),
+
+    "f_to_date" -> taxi(
+      """SELECT trip_src_id,
+        |  CAST(CAST(coalesce(pickup_ts, TIMESTAMP '2024-01-01 00:00:00') AS DATE)
+        |    AS VARCHAR) AS ingest_date_derived
+        |FROM trips ORDER BY trip_src_id""".stripMargin),
+
+    "f_safe_divide" -> taxi(
+      """SELECT trip_src_id,
+        |  CASE WHEN fare_amount > 0 THEN tip_amount / fare_amount END AS tip_pct,
+        |  CASE WHEN trip_distance_mi > 0 THEN fare_amount / trip_distance_mi END
+        |    AS fare_per_mile
+        |FROM trips
+        |ORDER BY trip_src_id, tip_pct NULLS FIRST, fare_per_mile NULLS FIRST""".stripMargin),
+
+    "join_ref_lookup" -> taxi(
+      """SELECT t.trip_src_id,
+        |  coalesce(pm.payment_type_std, 'UNKNOWN') AS payment_type
+        |FROM trips t
+        |LEFT JOIN (SELECT payment_type_src, payment_type_std FROM payment_map
+        |           WHERE is_active) pm
+        |  ON trim(t.payment_src) = pm.payment_type_src
+        |ORDER BY t.trip_src_id, payment_type""".stripMargin),
+
+    "upsert_dim_antijoin" -> taxiWith(
+      """existing AS (
+        |  SELECT loc_nk, CAST(row_number() OVER (ORDER BY loc_nk) AS INT) AS loc_sk
+        |  FROM (SELECT DISTINCT loc_nk FROM (
+        |          SELECT pu_location_id AS loc_nk FROM deduped WHERE ingest_date < DATE '1996-01-01'
+        |          UNION
+        |          SELECT do_location_id FROM deduped WHERE ingest_date < DATE '1996-01-01') u
+        |        WHERE loc_nk IS NOT NULL) x
+        |), novel AS (
+        |  SELECT DISTINCT pu_location_id AS loc_nk FROM deduped
+        |  WHERE pu_location_id IS NOT NULL
+        |    AND pu_location_id NOT IN (SELECT loc_nk FROM existing)
+        |)""".stripMargin,
+      """SELECT loc_nk, loc_sk FROM existing
+        |UNION ALL
+        |SELECT loc_nk,
+        |  CAST((SELECT coalesce(max(loc_sk), 0) FROM existing)
+        |       + row_number() OVER (ORDER BY loc_nk) AS INT) AS loc_sk
+        |FROM novel
+        |ORDER BY loc_sk""".stripMargin),
+
+    "join_fact_dims" -> taxi(
+      """SELECT trip_id, pickup_date_key, pickup_time_key, vendor_sk, payment_sk,
+        |  rate_sk, flag_sk, pu_location_sk, do_location_sk, fare_amount, is_night_ride
+        |FROM fact ORDER BY trip_id, pickup_date_key""".stripMargin),
+
+    "join_core_stg_correlate" -> taxi(
+      """SELECT trip_src_id, tolls_amount, total_amount FROM (
+        |  SELECT c.trip_src_id, s.tolls_amount, s.total_amount,
+        |    row_number() OVER (PARTITION BY c.trip_src_id
+        |      ORDER BY s.loaded_at DESC, s.source_file_name DESC, s.trip_src_id DESC,
+        |               s.tolls_amount DESC, s.total_amount DESC) AS rn
+        |  FROM deduped c
+        |  LEFT JOIN trips_dup s
+        |    ON c.ingest_date = s.ingest_date
+        |   AND c.source_file_name = s.source_file_name
+        |   AND c.pickup_ts_utc = s.pickup_ts
+        |   AND c.dropoff_ts_utc = s.dropoff_ts) j
+        |WHERE rn = 1
+        |ORDER BY trip_src_id, tolls_amount, total_amount""".stripMargin),
+
+    "merge_upsert_key" -> taxiWith(
+      """target AS (
+        |  SELECT trip_id, fare_amount, total_amount FROM fact
+        |  WHERE ingest_date < DATE '1997-01-01'
+        |), staged AS (
+        |  SELECT trip_id, fare_amount, total_amount + 1.0 AS total_amount FROM fact
+        |  WHERE ingest_date BETWEEN DATE '1996-06-01' AND DATE '1997-12-31'
+        |)""".stripMargin,
+      """SELECT coalesce(s.trip_id, t.trip_id) AS trip_id,
+        |  coalesce(s.fare_amount, t.fare_amount) AS fare_amount,
+        |  coalesce(s.total_amount, t.total_amount) AS total_amount,
+        |  CASE WHEN s.fare_amount IS NOT NULL AND t.fare_amount IS NOT NULL THEN 'updated'
+        |       WHEN s.fare_amount IS NOT NULL THEN 'inserted'
+        |       ELSE 'unchanged' END AS merge_action
+        |FROM staged s FULL OUTER JOIN target t ON s.trip_id = t.trip_id
+        |ORDER BY trip_id""".stripMargin),
+
+    "join_star_view" -> taxi(
+      """SELECT f.trip_id, dv.vendor_nk, dp.payment_nk, f.fare_amount,
+        |  f.trip_distance_km,
+        |  CASE WHEN f.fare_amount > 0 THEN f.tip_amount / f.fare_amount END AS tip_pct,
+        |  CASE WHEN f.trip_distance_km > 0 THEN f.fare_amount / f.trip_distance_km END
+        |    AS fare_per_km
+        |FROM fact f
+        |LEFT JOIN dim_vendor dv ON f.vendor_sk = dv.vendor_sk
+        |LEFT JOIN dim_payment dp ON f.payment_sk = dp.payment_sk
+        |ORDER BY f.trip_id""".stripMargin),
+
+    "agg_counts_by_slice" -> taxi(
+      """SELECT CAST(ingest_date AS VARCHAR) AS ingest_date, count(*) AS rows_out
+        |FROM deduped GROUP BY 1 ORDER BY ingest_date""".stripMargin),
+
+    "agg_sum_reconcile" -> taxi(
+      s"""SELECT c.core_fare, f.fact_fare, c.core_fare = f.fact_fare AS fare_matches
+         |FROM (SELECT ${dsumSql("fare_amount")} AS core_fare FROM deduped) c
+         |CROSS JOIN (SELECT ${dsumSql("fare_amount")} AS fact_fare FROM fact) f""".stripMargin),
+
+    "agg_dupe_check" -> taxi(
+      """SELECT count(*) AS dup_groups,
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS dup_rows
+        |FROM (
+        |  SELECT count(*) AS cnt FROM cleaned
+        |  GROUP BY vendor_code, pickup_ts_utc, dropoff_ts_utc,
+        |           trip_distance_km, fare_amount, payment_type
+        |  HAVING count(*) > 1) g""".stripMargin),
+
+    "agg_distinct_nk" -> taxi(
+      """SELECT DISTINCT vendor_code FROM deduped WHERE vendor_code IS NOT NULL
+        |ORDER BY vendor_code""".stripMargin),
+
+    "agg_reason_pivot" -> taxi(
+      """SELECT
+        |  CAST(sum(CASE WHEN reject_reason = 'NULL_TIME' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_time,
+        |  CAST(sum(CASE WHEN reject_reason = 'NEGATIVE_FARE' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS negative_fare,
+        |  CAST(sum(CASE WHEN reject_reason = 'NEGATIVE_DISTANCE' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS negative_distance,
+        |  CAST(sum(CASE WHEN reject_reason = 'PICKUP_AFTER_DROPOFF' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pickup_after_dropoff
+        |FROM (
+        |  SELECT CASE WHEN pickup_ts IS NULL OR dropoff_ts IS NULL THEN 'NULL_TIME'
+        |              WHEN fare_amount < 0 THEN 'NEGATIVE_FARE'
+        |              WHEN trip_distance_mi < 0 THEN 'NEGATIVE_DISTANCE'
+        |              WHEN pickup_ts > dropoff_ts THEN 'PICKUP_AFTER_DROPOFF'
+        |              ELSE 'OTHER_BAD_VALUES' END AS reject_reason
+        |  FROM trips
+        |  WHERE pickup_ts IS NULL OR dropoff_ts IS NULL OR pickup_ts > dropoff_ts
+        |     OR fare_amount < 0 OR trip_distance_mi < 0) r""".stripMargin),
+
+    "agg_reject_breakdown" -> taxi(
+      """SELECT CASE WHEN pickup_ts IS NULL OR dropoff_ts IS NULL THEN 'NULL_TIME'
+        |            WHEN fare_amount < 0 THEN 'NEGATIVE_FARE'
+        |            WHEN trip_distance_mi < 0 THEN 'NEGATIVE_DISTANCE'
+        |            WHEN pickup_ts > dropoff_ts THEN 'PICKUP_AFTER_DROPOFF'
+        |            ELSE 'OTHER_BAD_VALUES' END AS reject_reason,
+        |  count(*) AS cnt
+        |FROM trips
+        |WHERE pickup_ts IS NULL OR dropoff_ts IS NULL OR pickup_ts > dropoff_ts
+        |   OR fare_amount < 0 OR trip_distance_mi < 0
+        |GROUP BY 1 ORDER BY cnt DESC, reject_reason""".stripMargin),
+
+    "agg_bi_measures" -> taxi(
+      s"""SELECT vendor_sk, count(*) AS trips,
+         |  ${dsumSql("fare_amount")} AS total_fare,
+         |  ${dsumSql("tip_amount")} / nullif(${dsumSql("fare_amount")}, 0.0) AS tip_pct,
+         |  ${dsumSql("fare_amount")} / count(*) AS avg_fare_per_trip,
+         |  ${dsumSql("fare_amount")} / nullif(${dsumSql("trip_distance_km")}, 0.0)
+         |    AS avg_fare_per_km
+         |FROM fact GROUP BY vendor_sk ORDER BY vendor_sk""".stripMargin),
+
+    "agg_freshness" -> taxi(
+      """SELECT last_loaded_at,
+        |  date_diff('second', last_loaded_at, TIMESTAMP '2024-07-01 00:00:00') // 60
+        |    AS minutes_behind
+        |FROM (SELECT max(loaded_at) AS last_loaded_at FROM deduped) t""".stripMargin),
+
+    "win_dedupe_rank" -> taxi(
+      """SELECT trip_src_id, vendor_code, pickup_ts_utc, dropoff_ts_utc,
+        |  trip_distance_km, fare_amount, payment_type, source_file_name
+        |FROM deduped
+        |ORDER BY trip_src_id, source_file_name, vendor_code NULLS FIRST,
+        |  payment_type NULLS FIRST, fare_amount, trip_distance_km""".stripMargin),
+
+    "win_global_rownum" -> taxi(
+      """SELECT CAST(row_number() OVER (ORDER BY source_file_name, loaded_at, trip_src_id)
+        |    AS INT) AS rn, trip_src_id, source_file_name
+        |FROM trips ORDER BY rn""".stripMargin),
+
+    "win_join_pick" -> taxi(
+      """SELECT trip_src_id, source_file_name FROM (
+        |  SELECT trip_src_id, source_file_name,
+        |    row_number() OVER (PARTITION BY trip_src_id
+        |      ORDER BY loaded_at DESC, source_file_name DESC) AS rn
+        |  FROM trips_dup) t
+        |WHERE rn = 1 ORDER BY trip_src_id""".stripMargin),
+
+    "sort_topn" -> taxi(
+      """SELECT trip_src_id, loaded_at, fare_amount FROM deduped
+        |ORDER BY loaded_at DESC, trip_src_id DESC, fare_amount DESC
+        |LIMIT 50""".stripMargin),
+
+    "setop_union_distinct" -> taxi(
+      """SELECT DISTINCT location_id FROM (
+        |  SELECT pu_location_id AS location_id FROM trips
+        |  UNION ALL
+        |  SELECT do_location_id FROM trips) u
+        |WHERE location_id IS NOT NULL ORDER BY location_id""".stripMargin),
+
+    "setop_union_all" -> taxiWith(
+      """agg AS (
+        |  SELECT count(*) AS stg_rows,
+        |    CAST(sum(CASE WHEN pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+        |                   AND pickup_ts <= dropoff_ts AND fare_amount >= 0
+        |                   AND trip_distance_mi >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS core_rows,
+        |    CAST(sum(CASE WHEN fare_amount < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_fare,
+        |    CAST(sum(CASE WHEN pickup_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_pickup
+        |  FROM trips)""".stripMargin,
+      """SELECT check_name, status FROM (
+        |  SELECT 'rowcount_core_gt_0' AS check_name,
+        |    CASE WHEN core_rows > 0 THEN 'PASSED' ELSE 'FAILED' END AS status FROM agg
+        |  UNION ALL
+        |  SELECT 'no_negative_fare',
+        |    CASE WHEN neg_fare = 0 THEN 'PASSED' ELSE 'WARNING' END FROM agg
+        |  UNION ALL
+        |  SELECT 'no_null_pickup_ts',
+        |    CASE WHEN null_pickup = 0 THEN 'PASSED' ELSE 'FAILED' END FROM agg
+        |  UNION ALL
+        |  SELECT 'core_le_stg',
+        |    CASE WHEN core_rows <= stg_rows THEN 'PASSED' ELSE 'FAILED' END FROM agg) c
+        |ORDER BY check_name""".stripMargin))
+}
