@@ -5,10 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only schema/read probe for the testdata tables. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.configure(SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QFn
+import graft.model.EventsModel
+import graft.oracle.StreamOracle.{stream, streamWith}
+import graft.stream.StreamTransforms
+
+/** Streaming-lane operator queries (SURVEY.md §2.8) declared over the
+  * `events` fixture as *batch* programs — the identical
+  * [[StreamTransforms]] column programs also run on real streaming frames
+  * in [[graft.stream.Ingest]]; the oracle here proves their semantics,
+  * ScalaTest proves the streaming plumbing.
+  *
+  * The Spark side goes events → JSON envelope → `from_json` → dual-key
+  * coalesce; the DuckDB oracle computes typed values directly, so a match
+  * also certifies the wire round trip.
+  */
+object StreamQueries {
+
+  private def routed(s: SparkSession, d: String) = EventsModel.routed(s, d)
+  private def slice(s: SparkSession, d: String) =
+    StreamTransforms.buildSlice(routed(s, d), lit("run-fixed")).drop("_runId")
+
+  val queries: Map[String, QFn] = Map(
+    "stream_parse_enrich" -> ((s, d) =>
+      StreamTransforms.enrich(EventsModel.parsed(s, d))
+        .select("event_id", "vendor_id", "pickup_ts", "dropoff_ts",
+          "passenger_count", "trip_distance", "fare_amount", "total_amount",
+          "payment_type", "duration_min")
+        .orderBy("event_id")),
+
+    "dual_key_coalesce" -> ((s, d) => EventsModel.parsed(s, d)
+      .select(col("event_id"),
+        (col("event_id") % 2 === 0).as("was_camel_case"),
+        col("vendor_id"), col("payment_type"), col("pickup_ts"), col("producer_ts"))
+      .orderBy("event_id")),
+
+    "stream_dq_flags" -> ((s, d) =>
+      StreamTransforms.enrich(EventsModel.parsed(s, d))
+        .select("event_id", "flag_missing_required", "flag_negative_values",
+          "flag_bad_duration")
+        .orderBy("event_id")),
+
+    "stream_route" -> ((s, d) => routed(s, d)
+      .select("event_id", "sink", "reason")
+      .orderBy("event_id")),
+
+    "sink_multiplex_3way" -> ((s, d) => routed(s, d)
+      .agg(count(lit(1)).as("raw_rows"),
+        sum(when(col("sink") === "curated", 1).otherwise(0)).cast("long").as("curated_rows"),
+        sum(when(col("sink") === "dlq", 1).otherwise(0)).cast("long").as("dlq_rows"))),
+
+    "stream_hourly_window" -> ((s, d) => routed(s, d)
+      .groupBy("hour_path").agg(count(lit(1)).as("events"))
+      .orderBy("hour_path")),
+
+    "microbatch_hour" -> ((s, d) => routed(s, d)
+      .filter(col("hour_path").startsWith("date=2024/01/01/"))
+      .select("event_id", "hour_path", "sink")
+      .orderBy("event_id")),
+
+    "win_dedupe_stream" -> ((s, d) => slice(s, d)
+      .select("trip_id", "event_id", "producer_ts")
+      .orderBy("trip_id")),
+
+    "slice_rebuild" -> ((s, d) => slice(s, d)
+      .select(col("trip_id"), col("event_id"), col("_blobPath"),
+        col("_ingestedAt"), col("fare_amount"), col("payment_type"))
+      .orderBy("trip_id")),
+
+    "stream_upsert" -> ((s, d) => {
+      val sl = slice(s, d)
+      val target = sl.filter(to_date(col("arrival_ts")) < "2024-01-15")
+      val staged = sl.filter(to_date(col("arrival_ts")).between("2024-01-10", "2024-01-20"))
+      StreamTransforms.mergeByTripId(target, staged, Seq("fare_amount", "total_amount"))
+        .groupBy("merge_action").agg(count(lit(1)).as("cnt"))
+        .orderBy("merge_action")
+    }),
+
+    "idempotent_reload_blob" -> ((s, d) => {
+      // DELETE-by-blob-then-recopy semantics: loading the same blobs twice
+      // then applying per-blob idempotency must equal a single load.
+      val once = slice(s, d)
+      val twice = once.unionByName(once)
+        .dropDuplicates("_blobPath", "trip_id") // delete WHERE _blobPath=@p + re-copy
+      twice.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
+        .orderBy("_blobPath")
+    }),
+
+    "run_purge" -> ((s, d) => {
+      // Slice keyed by run (= arrival hour); purge run-day 2024-01-01,
+      // report surviving rows per day (ref: usp_purge_trip_clean_slice*).
+      slice(s, d)
+        .filter(to_date(col("arrival_ts")) =!= "2024-01-01")
+        .groupBy(to_date(col("arrival_ts")).cast("string").as("run_day"))
+        .agg(count(lit(1)).as("rows"))
+        .orderBy("run_day")
+    }),
+
+    "dlq_audit" -> ((s, d) => routed(s, d)
+      .groupBy(to_date(col("arrival_ts")).cast("string").as("audit_day"))
+      .agg(
+        sum(when(col("sink") === "curated", 1).otherwise(0)).cast("long").as("good_rows"),
+        sum(when(col("sink") === "dlq", 1).otherwise(0)).cast("long").as("dlq_rows"),
+        sum(when(col("reason") === "missing_required", 1).otherwise(0)).cast("long")
+          .as("missing_required"),
+        sum(when(col("reason") === "negative_values", 1).otherwise(0)).cast("long")
+          .as("negative_values"),
+        sum(when(col("reason") === "bad_duration", 1).otherwise(0)).cast("long")
+          .as("bad_duration"))
+      .orderBy("audit_day")),
+
+    "late_data" -> ((s, d) => {
+      // Replays of hour-H events arriving at H+1 are absorbed by the
+      // deterministic-id dedupe: slice cardinality is unchanged.
+      val base = StreamTransforms.route(StreamTransforms.enrich(EventsModel.parsed(s, d)))
+      val replayed = StreamTransforms.route(StreamTransforms.enrich(
+        EventsModel.withReplays(EventsModel.parsed(s, d))))
+      val origCnt = StreamTransforms.buildSlice(base, lit("r")).drop("_runId")
+        .agg(count(lit(1)).as("orig_rows"))
+      val replayCnt = StreamTransforms.buildSlice(replayed, lit("r")).drop("_runId")
+        .agg(count(lit(1)).as("after_replay_rows"))
+      origCnt.crossJoin(replayCnt)
+        .select(col("orig_rows"), col("after_replay_rows"),
+          (col("orig_rows") === col("after_replay_rows")).as("absorbed"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "stream_parse_enrich" -> stream(
+      """SELECT event_id, vendor_id, pickup_ts, dropoff_ts, passenger_count,
+        |  trip_distance, fare_amount, total_amount, payment_type, duration_min
+        |FROM ev_enriched ORDER BY event_id""".stripMargin),
+
+    "dual_key_coalesce" -> stream(
+      """SELECT event_id, event_id % 2 = 0 AS was_camel_case, vendor_id,
+        |  payment_type, pickup_ts, producer_ts
+        |FROM ev_typed ORDER BY event_id""".stripMargin),
+
+    "stream_dq_flags" -> stream(
+      """SELECT event_id, flag_missing_required, flag_negative_values,
+        |  flag_bad_duration
+        |FROM ev_enriched ORDER BY event_id""".stripMargin),
+
+    "stream_route" -> stream(
+      """SELECT event_id, sink, reason FROM ev_routed ORDER BY event_id""".stripMargin),
+
+    "sink_multiplex_3way" -> stream(
+      """SELECT count(*) AS raw_rows,
+        |  CAST(sum(CASE WHEN sink = 'curated' THEN 1 ELSE 0 END) AS BIGINT) AS curated_rows,
+        |  CAST(sum(CASE WHEN sink = 'dlq' THEN 1 ELSE 0 END) AS BIGINT) AS dlq_rows
+        |FROM ev_routed""".stripMargin),
+
+    "stream_hourly_window" -> stream(
+      """SELECT hour_path, count(*) AS events FROM ev_routed
+        |GROUP BY 1 ORDER BY hour_path""".stripMargin),
+
+    "microbatch_hour" -> stream(
+      """SELECT event_id, hour_path, sink FROM ev_routed
+        |WHERE hour_path LIKE 'date=2024/01/01/%' ORDER BY event_id""".stripMargin),
+
+    "win_dedupe_stream" -> stream(
+      """SELECT trip_id, event_id, producer_ts FROM ev_slice ORDER BY trip_id""".stripMargin),
+
+    "slice_rebuild" -> stream(
+      """SELECT trip_id, event_id, _blobPath, _ingestedAt, fare_amount,
+        |  payment_type
+        |FROM ev_slice ORDER BY trip_id""".stripMargin),
+
+    "stream_upsert" -> streamWith(
+      """tgt AS (SELECT * FROM ev_slice WHERE CAST(arrival_ts AS DATE) < DATE '2024-01-15'),
+        |stg AS (SELECT * FROM ev_slice
+        |        WHERE CAST(arrival_ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20')""".stripMargin,
+      """SELECT merge_action, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN s.trip_id IS NOT NULL AND t.trip_id IS NOT NULL THEN 'updated'
+        |              WHEN s.trip_id IS NOT NULL THEN 'inserted'
+        |              ELSE 'unchanged' END AS merge_action
+        |  FROM stg s FULL OUTER JOIN tgt t ON s.trip_id = t.trip_id) m
+        |GROUP BY 1 ORDER BY merge_action""".stripMargin),
+
+    "idempotent_reload_blob" -> stream(
+      """SELECT _blobPath, count(*) AS rows FROM ev_slice
+        |GROUP BY 1 ORDER BY _blobPath""".stripMargin),
+
+    "run_purge" -> stream(
+      """SELECT CAST(CAST(arrival_ts AS DATE) AS VARCHAR) AS run_day, count(*) AS rows
+        |FROM ev_slice WHERE CAST(arrival_ts AS DATE) <> DATE '2024-01-01'
+        |GROUP BY 1 ORDER BY run_day""".stripMargin),
+
+    "dlq_audit" -> stream(
+      """SELECT CAST(CAST(arrival_ts AS DATE) AS VARCHAR) AS audit_day,
+        |  CAST(sum(CASE WHEN sink = 'curated' THEN 1 ELSE 0 END) AS BIGINT) AS good_rows,
+        |  CAST(sum(CASE WHEN sink = 'dlq' THEN 1 ELSE 0 END) AS BIGINT) AS dlq_rows,
+        |  CAST(sum(CASE WHEN reason = 'missing_required' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS missing_required,
+        |  CAST(sum(CASE WHEN reason = 'negative_values' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS negative_values,
+        |  CAST(sum(CASE WHEN reason = 'bad_duration' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bad_duration
+        |FROM ev_routed GROUP BY 1 ORDER BY audit_day""".stripMargin),
+
+    "late_data" -> stream(
+      """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed
+        |FROM (SELECT count(*) AS c FROM ev_slice) t""".stripMargin))
+}
