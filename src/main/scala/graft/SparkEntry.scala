@@ -48,11 +48,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =
     _root_.graft.queries.TaxiQueries.queries ++
-      _root_.graft.queries.StreamQueries.queries
+      _root_.graft.queries.StreamQueries.queries ++
+      _root_.graft.queries.DocQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.TaxiQueries.oracles ++
-      _root_.graft.queries.StreamQueries.oracles
+      _root_.graft.queries.StreamQueries.oracles ++
+      _root_.graft.queries.DocQueries.oracles
 }

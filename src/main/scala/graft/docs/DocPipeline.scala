@@ -1,0 +1,247 @@
+package graft.docs
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.TaxiFunctions.hash64Id
+
+/** Large-scale training-data text pipeline over the `documents` table:
+  * normalization, token/quality/language analysis, fingerprinting, and
+  * four deduplication families (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash).
+  *
+  * Scale notes (the 100 TB shapes, tested at sf fixtures):
+  *  - every per-doc op is a narrow projection (no shuffle);
+  *  - shingle/token explosion is map-side; signatures reduce via ONE
+  *    hash-partitioned `groupBy(doc_id)` with partial aggregation
+  *    (16 `min`s / 32 `sum`s — constant state per doc, no collect_list);
+  *  - candidate generation is an equi-join on band keys (shuffle on the
+  *    band bucket, never an all-pairs product); exact verification runs
+  *    only on candidates. This is the standard MinHash-LSH / banded-SimHash
+  *    layout used by web-scale dedup pipelines.
+  *
+  * Cross-engine determinism: the only hash primitive is the signed
+  * SHA-256 prefix ([[graft.functions.Sha256Prefix64]]) mod a 31-bit prime,
+  * reproducible exactly in DuckDB — see [[graft.oracle.DocsOracle]].
+  */
+object DocPipeline {
+
+  /** 31-bit prime modulus for all token-hash arithmetic: keeps every
+    * product under 2^63 (no overflow divergence between engines). */
+  val P: Long = 2147483647L
+  /** MinHash signature length and LSH banding (4 bands × 4 rows). */
+  val MinhashK = 16
+  val Bands = 4
+  /** SimHash width (bits) and banded candidate width. */
+  val SimhashBits = 32
+  val SimhashBandBits = 8
+  /** Polynomial fingerprint base (Rabin-Karp over token hashes). */
+  val FpBase: Long = 1000003L
+
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val stopEs = Seq("el", "la", "de", "y", "en", "es", "un", "una", "por", "con")
+  val stopDe = Seq("der", "die", "das", "und", "zu", "ein", "mit", "von", "auf", "ist")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Documents plus exact-duplicate replays (doc_id % 17 == 0 re-ingested
+    * under a shifted id) — the exact-dedup fixture. */
+  def documentsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    d.unionByName(d.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  /** Whitespace normalization: trim + collapse runs to single spaces. */
+  def normText: Column = regexp_replace(trim(col("text")), "\\s+", " ")
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** doc_id + token array. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
+
+  /** Distinct word-3-gram shingles, (doc_id, s) long form. Map-side
+    * explode; `distinct` shuffles on (doc_id, s) — at scale this is the
+    * dominant width, which is why everything downstream works on the
+    * 31-bit hash, not the string. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val n = size(col("t"))
+    tokenized(docs)
+      .select(col("doc_id"), explode(
+        when(n >= 3, transform(sequence(lit(1), n - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array(concat_ws(" ", col("t"))))).as("s"))
+      .distinct()
+  }
+
+  /** Shingles hashed to [0, P). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), (hash64Id(col("s")) % P).as("h"))
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup groups: SHA-256 of the normalized text; keeper = lowest
+    * doc_id (one shuffle on the 64-hex hash — scales to any corpus). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(sha2(normText, 256).as("text_sha"), col("doc_id"))
+      .groupBy("text_sha")
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("copies"))
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle
+    * (inverted-index join — candidates only, never the cross product). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** 16-component MinHash signature per doc: ONE groupBy with 16 partial
+    * `min`s over affine re-hashes of the shingle hash. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashK).map { i =>
+      min((col("h") * (2 * i + 1) + lit(7919L * i)) % P).as(s"m$i")
+    }
+    shingleHashes(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: 4 bands of 4 signature components, band index baked
+    * into the key so bands never collide across positions. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws("-", lit(s"b$b") +: (0 until MinhashK / Bands)
+        .map(r => col(s"m${b * (MinhashK / Bands) + r}")): _*)
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** Candidate pairs (any band equal) with the estimated Jaccard =
+    * matching-components / K; keeps est ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val bands = minhashBands(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val eq = (0 until MinhashK)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (eq / lit(16.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 32-bit SimHash per doc over whitespace-token hashes (multiset): one
+    * groupBy(doc_id) with 32 partial ±1 sums, bit j set iff sum > 0. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tokenHashes = tokenized(docs)
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"), hash64Id(col("w")).as("h"))
+    val sums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val grouped = tokenHashes.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs: banded candidates (any 8-bit chunk equal) filtered to
+    * Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sim = simhashes(docs).cache()
+    val bandCols = (0 until SimhashBits / SimhashBandBits).map { b =>
+      concat_ws(":", lit(s"b$b"),
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(255))
+    }
+    val bands = sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- per-doc text analysis --------------------------------------------
+
+  private def stopHits(langList: Seq[String]): Column =
+    size(array_intersect(col("t"), array(langList.map(lit): _*)))
+
+  /** Stopword-overlap language id (distinct-hit argmax, tie order
+    * en > es > de). */
+  def langId(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .withColumn("score_en", stopHits(stopEn))
+      .withColumn("score_es", stopHits(stopEs))
+      .withColumn("score_de", stopHits(stopDe))
+      .withColumn("lang_pred",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+          .when(col("score_es") >= col("score_de"), "es")
+          .otherwise("de"))
+
+  /** Quality signals: token count, mean token length, distinct-stopword
+    * ratio, digit ratio, composite score. */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens.as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_chars_nospace", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("avg_token_len",
+        col("n_chars_nospace").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        stopHits(stopEn).cast("double") / col("n_tokens"))
+      .withColumn("digit_ratio",
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double") /
+          length(col("text")))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / lit(100.0)) * 0.5 +
+          col("stopword_ratio") * 0.5)
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "digit_ratio", "quality_score")
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces
+    * (letter runs | single digits | single punctuation). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /** Rolling polynomial fingerprint (Rabin-Karp) over token hashes:
+    * h := (h * FpBase + tokenHash) mod P, left-to-right. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    tokenized(docs).select(col("doc_id"),
+      aggregate(
+        transform(col("t"), w => hash64Id(w) % P),
+        lit(0L),
+        (acc, x) => (acc * FpBase + x) % P).as("fingerprint"))
+}

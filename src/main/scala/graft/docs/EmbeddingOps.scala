@@ -1,0 +1,96 @@
+package graft.docs
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors).
+  *
+  * Two paths, per the standard large-scale layout:
+  *  - brute-force exact top-k: broadcast the (small) query set against the
+  *    full corpus — one narrow scan, no shuffle of the corpus side;
+  *  - sign-LSH bucketed: random-hyperplane LSH degenerate to coordinate
+  *    hyperplanes (bucket = sign bits of the leading dims). Candidates are
+  *    an equi-join on the bucket id — the 100 TB path where the corpus is
+  *    hash-partitioned by bucket and only same-bucket pairs are scored.
+  *
+  * All arithmetic is float→double widening (exact) with left-to-right
+  * double summation, bit-reproducible in DuckDB ([[graft.oracle.DocsOracle]]).
+  */
+object EmbeddingOps {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+
+  /** Embeddings plus exact-copy replays (vec_id % 29 == 0 re-ingested at a
+    * shifted id) — the near-dup fixture (cosine 1.0 by construction). */
+  def embeddingsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    e.unionByName(e.filter(col("vec_id") % 29 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+  }
+
+  /** Left-to-right double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm (double). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Sign-LSH bucket id from the leading `bits` dimensions:
+    * bit j set iff v[j] > 0. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits)
+      .map(j => when(element_at(v, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Exact top-k cosine neighbors for `queries` (broadcast) over `corpus`.
+    * Output: (query_id, rank, neighbor_id, cosine). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Bucketed ANN: same scoring but only within the query's sign bucket.
+    * Recall < 1 by design; the scale path (bucket equi-join, no cross
+    * product). */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   bucketBits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"), signBucket(col("embedding"), bucketBits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"), signBucket(col("embedding"), bucketBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold, candidates from the
+    * sign bucket (sign-preserving dups always collide). */
+  def cosineDupPairs(vecs: DataFrame, threshold: Double, bucketBits: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("n"), signBucket(col("embedding"), bucketBits).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.n") * col("b.n")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+}

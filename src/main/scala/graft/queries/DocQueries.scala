@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QFn
+import graft.docs.{DocPipeline, EmbeddingOps}
+import graft.oracle.DocsOracle
+import graft.oracle.DocsOracle.{docs, docsWith, emb}
+
+/** Training-data pipeline queries: text analysis, four dedup families,
+  * and similarity search — each oracle-checked against DuckDB. */
+object DocQueries {
+
+  import DocPipeline.{FpBase, P, stopDe, stopEn, stopEs}
+
+  private def d(s: SparkSession, dir: String) = DocPipeline.documents(s, dir)
+  private def e(s: SparkSession, dir: String) = EmbeddingOps.embeddings(s, dir)
+
+  val queries: Map[String, QFn] = Map(
+    // ---- text analysis ----
+    "text_normalize" -> ((s, dir) => d(s, dir)
+      .select(col("doc_id"), DocPipeline.normText.as("norm_text"))
+      .orderBy("doc_id")),
+
+    "text_token_count" -> ((s, dir) => DocPipeline.tokenCounts(d(s, dir))
+      .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) => DocPipeline.langId(d(s, dir))
+      .join(d(s, dir).select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+      .select(col("doc_id"), col("score_en"), col("score_es"), col("score_de"),
+        col("lang_pred"), col("lang_actual"),
+        (col("lang_pred") === col("lang_actual")).as("correct"))
+      .orderBy("doc_id")),
+
+    "text_quality_score" -> ((s, dir) => DocPipeline.qualityScores(d(s, dir))
+      .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) => DocPipeline.fingerprints(d(s, dir))
+      .orderBy("doc_id")),
+
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      DocPipeline.exactDupGroups(DocPipeline.documentsWithDups(s, dir))
+        .orderBy("text_sha")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => DocPipeline.jaccardPairs(d(s, dir), 0.5)
+      .orderBy("doc_a", "doc_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) => DocPipeline.minhashLshPairs(d(s, dir), 0.5)
+      .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) => DocPipeline.simhashPairs(d(s, dir), 6)
+      .orderBy("doc_a", "doc_b")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      EmbeddingOps.cosineDupPairs(EmbeddingOps.embeddingsWithDups(s, dir), 0.999, 16)
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- similarity search ----
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val all = e(s, dir)
+      EmbeddingOps.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val all = e(s, dir)
+      EmbeddingOps.bucketedTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 4)
+        .orderBy("query_id", "rank")
+    }))
+
+  private val h64w =
+    """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+      |     THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+      |     ELSE CAST(u AS BIGINT) END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_normalize" -> docs(
+      """SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "text_token_count" -> docs(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT)
+        |    AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "text_lang_id" -> docsWith(
+      s"""scored AS (
+         |  SELECT t.doc_id,
+         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS score_en,
+         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEs)})) AS score_es,
+         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopDe)})) AS score_de
+         |  FROM toks t)""".stripMargin,
+      """SELECT s.doc_id, s.score_en, s.score_es, s.score_de,
+        |  CASE WHEN s.score_en >= s.score_es AND s.score_en >= s.score_de THEN 'en'
+        |       WHEN s.score_es >= s.score_de THEN 'es' ELSE 'de' END AS lang_pred,
+        |  d.lang AS lang_actual,
+        |  (CASE WHEN s.score_en >= s.score_es AND s.score_en >= s.score_de THEN 'en'
+        |        WHEN s.score_es >= s.score_de THEN 'es' ELSE 'de' END) = d.lang
+        |    AS correct
+        |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+
+    "text_quality_score" -> docsWith(
+      s"""q AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_chars_nospace,
+         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS stop_hits,
+         |    CAST(len(regexp_extract_all(d.text, '[0-9]')) AS BIGINT) AS digits,
+         |    CAST(len(d.text) AS BIGINT) AS n_chars
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id)""".stripMargin,
+      """SELECT doc_id, n_tokens,
+        |  n_chars_nospace::DOUBLE / n_tokens AS avg_token_len,
+        |  stop_hits::DOUBLE / n_tokens AS stopword_ratio,
+        |  digits::DOUBLE / n_chars AS digit_ratio,
+        |  least(1.0, n_tokens / 100.0) * 0.5
+        |    + (stop_hits::DOUBLE / n_tokens) * 0.5 AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin),
+
+    "text_fingerprint" -> docsWith(
+      s"""fph AS (
+         |  SELECT doc_id, list_transform(t,
+         |    w -> list_transform([('0x' || substr(sha256(w),1,16))::UBIGINT],
+         |           u -> $h64w % $P)[1]) AS hs
+         |  FROM toks)""".stripMargin,
+      s"""SELECT doc_id,
+         |  list_reduce(hs, (acc, x) -> (acc * $FpBase + x) % $P) AS fingerprint
+         |FROM fph ORDER BY doc_id""".stripMargin),
+
+    "dedup_exact" -> docs(
+      """SELECT sha256(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_sha,
+        |  min(doc_id) AS keeper_doc_id, count(*) AS copies
+        |FROM docs_dup GROUP BY 1 ORDER BY text_sha""".stripMargin),
+
+    "dedup_ngram_jaccard" -> docsWith(
+      """sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      """SELECT doc_a, doc_b, shared,
+        |  shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
+        |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_minhash_lsh" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      docs(
+        s"""SELECT c.doc_a, c.doc_b, ($eq) / 16.0 AS est_jaccard
+           |FROM mcand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+           |WHERE ($eq) / 16.0 >= 0.5
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin)
+    },
+
+    "dedup_simhash" -> docs(
+      """SELECT c.doc_a, c.doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM scand c JOIN sim a ON c.doc_a = a.doc_id JOIN sim b ON c.doc_b = b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+
+    "dedup_embedding_cosine" -> emb(
+      s"""${DocsOracle.embDup},
+         |${DocsOracle.embNorm("emb_dup", 16)}""".stripMargin,
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${DocsOracle.dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cosine
+         |FROM embn a JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${DocsOracle.dotSql("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "ann_bruteforce_topk" -> emb(
+      s"""${DocsOracle.embNorm("embeddings", 4)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn
+         |      FROM embn WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) AS cosine
+         |  FROM embn e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
+      """SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_lsh_bucketed" -> emb(
+      s"""${DocsOracle.embNorm("embeddings", 4)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn, bucket
+         |      FROM embn WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+         |    ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) AS cosine
+         |  FROM embn e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
+      """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+}
