@@ -49,12 +49,16 @@ object SparkEntry {
   def queries: Map[String, QFn] =
     _root_.graft.queries.TaxiQueries.queries ++
       _root_.graft.queries.StreamQueries.queries ++
-      _root_.graft.queries.DocQueries.queries
+      _root_.graft.queries.DocQueries.queries ++
+      _root_.graft.queries.ScanQueries.queries ++
+      _root_.graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.TaxiQueries.oracles ++
       _root_.graft.queries.StreamQueries.oracles ++
-      _root_.graft.queries.DocQueries.oracles
+      _root_.graft.queries.DocQueries.oracles ++
+      _root_.graft.queries.ScanQueries.oracles ++
+      _root_.graft.queries.MediaQueries.oracles
 }

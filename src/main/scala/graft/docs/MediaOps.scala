@@ -1,0 +1,89 @@
+package graft.docs
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed in batched per-partition passes.
+  *
+  * The fixtures carry no real image/audio bytes, so the *decode* step is a
+  * clearly-marked deterministic stub ([[FakeDecode]]); everything Spark-side
+  * is real and tested: binary columns, schema, partition-parallel batch
+  * processing (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas`: one iterator per partition, vectorizable batch shape),
+  * frame sampling by offset arithmetic, and content hashing.
+  *
+  * At 100 TB: payloads stay opaque binary in Parquet (no row-group bloat
+  * from decoding), metadata travels in narrow typed columns, decode runs
+  * embarrassingly parallel per partition with zero shuffle.
+  */
+object MediaOps {
+
+  /** A media row: payload is the raw bytes, kind ∈ image|audio|video. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Stubbed decode result (real pipelines: pixel dims / sample rate). */
+  case class DecodedMeta(media_id: Long, kind: String, byte_len: Long,
+                         width: Int, height: Int, channels: Int)
+
+  /** Deterministic fake decoder — stands in for an image/audio library
+    * that is not present in this environment. Real deployments swap this
+    * for e.g. javax.imageio / ffmpeg bindings; the Spark plumbing around
+    * it (typed Dataset, mapPartitions batching) is unchanged. */
+  object FakeDecode {
+    def apply(r: MediaRow): DecodedMeta = {
+      val n = r.payload.length.toLong
+      DecodedMeta(r.media_id, r.kind, n,
+        width = (64 + n % 512).toInt,
+        height = (48 + (n * 7) % 512).toInt,
+        channels = if (r.kind == "audio") 2 else 3)
+    }
+  }
+
+  /** Deterministic media table derived from `documents`: UTF-8 payload
+    * bytes + kind cycling by id. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** Metadata extraction on the opaque payload: length, content hash,
+    * leading header byte (all computed on the binary column). */
+  def metaExtract(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("byte_len"),
+      sha2(col("payload"), 256).as("payload_sha"),
+      // first payload byte, read via the binary substring
+      ascii(substring(col("payload"), 1, 1).cast("string")).as("header_byte0"))
+
+  /** Frame sampling: every `stride` bytes take a `frameLen`-byte frame,
+    * up to `maxFrames`; emit (media_id, frame_idx, frame_sha). Offset
+    * arithmetic on the binary column — no decode, no shuffle. */
+  def frameSample(media: DataFrame, stride: Int, frameLen: Int,
+                  maxFrames: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), lit(maxFrames - 1))).as("frame_idx"))
+      .withColumn("off", col("frame_idx") * stride + 1)
+      .filter(col("off") + frameLen - 1 <= length(col("payload")))
+      .select(col("media_id"), col("frame_idx"),
+        sha2(substring_binary(col("payload"), col("off"), lit(frameLen)), 256)
+          .as("frame_sha"))
+
+  private def substring_binary(c: org.apache.spark.sql.Column,
+                               pos: org.apache.spark.sql.Column,
+                               len: org.apache.spark.sql.Column) =
+    substr(c, pos, len)
+
+  /** Batched per-partition decode — the `mapInPandas` analog: a typed
+    * Dataset processed one partition-iterator at a time. */
+  def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions(rows => rows.map(FakeDecode(_)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QFn
+import graft.docs.{DocPipeline, MediaOps}
+import graft.oracle.DocsOracle.docs
+
+/** Multimodal-column queries: the binary payload plumbing of
+  * [[graft.docs.MediaOps]], oracle-checked via the text-level equivalents
+  * (payloads are UTF-8 bytes of ASCII fixtures, so byte and char
+  * arithmetic coincide — the oracle computes on the string, Spark on the
+  * real binary column). */
+object MediaQueries {
+
+  private def media(s: org.apache.spark.sql.SparkSession, d: String) =
+    MediaOps.mediaFromDocuments(DocPipeline.documents(s, d))
+
+  val queries: Map[String, QFn] = Map(
+    "media_meta_extract" -> ((s, d) => MediaOps.metaExtract(media(s, d))
+      .orderBy("media_id")),
+
+    "media_frame_sample" -> ((s, d) =>
+      MediaOps.frameSample(media(s, d), stride = 64, frameLen = 32, maxFrames = 4)
+        .orderBy("media_id", "frame_idx")),
+
+    "media_decode_stub" -> ((s, d) => MediaOps.decodeStub(media(s, d)).toDF()
+      .orderBy("media_id")))
+
+  val oracles: Map[String, String] = Map(
+    "media_meta_extract" -> docs(
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  sha256(text) AS payload_sha,
+        |  ascii(substr(text, 1, 1)) AS header_byte0
+        |FROM documents ORDER BY media_id""".stripMargin),
+
+    "media_frame_sample" -> docs(
+      """SELECT doc_id AS media_id, k AS frame_idx,
+        |  sha256(substr(text, k * 64 + 1, 32)) AS frame_sha
+        |FROM documents, unnest(generate_series(0, 3)) AS g(k)
+        |WHERE k * 64 + 32 <= length(text)
+        |ORDER BY media_id, frame_idx""".stripMargin),
+
+    "media_decode_stub" -> docs(
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(64 + length(text) % 512 AS INT) AS width,
+        |  CAST(48 + (length(text) * 7) % 512 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS INT) AS channels
+        |FROM documents ORDER BY media_id""".stripMargin))
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.QFn
+import graft.model.EventsModel
+import graft.oracle.StreamOracle.stream
+import graft.oracle.OracleCte.taxi
+
+/** Scan / source / sink operators (SURVEY.md §2.1) as *round-trip* queries:
+  * each writes real files (CSV/JSONL/partitioned parquet) to a scratch dir,
+  * reads them back through the production read path, and returns values the
+  * DuckDB oracle computes straight from the fixtures — so a match proves
+  * the sink+scan pair is value-preserving, not just that the scan ran. */
+object ScanQueries {
+
+  private def scratch(name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_scan", name).toString
+
+  val queries: Map[String, QFn] = Map(
+    // Explicit-schema projected read with the reference's copy-time type
+    // map (pl_raw_to_stg_nyctaxi.json translator): Int32→Int16,
+    // Double→Decimal, ts→Date.
+    "scan_parquet" -> ((s, d) => graft.Tables(s, d, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("smallint").as("line_no"),
+        // decimals rendered to string: the driver's pandas compare can't
+        // equate python Decimal with DuckDB's float64 rendering
+        col("l_quantity").cast("decimal(9,3)").cast("string").as("qty_dec"),
+        col("l_extendedprice").cast("decimal(10,2)").cast("string").as("price_dec"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date"),
+        col("l_returnflag").as("flag1"))
+      .orderBy("l_orderkey", "line_no")),
+
+    // Headerless positional CSV round trip (curated-CSV shape,
+    // ds_curated_csv.json): write 4 rendered cols, read by position with a
+    // typed schema, return the re-typed values.
+    "scan_csv_positional" -> ((s, d) => {
+      val out = scratch("csv_positional")
+      EventsModel.rawEvents(s, d).select(
+        col("event_id"),
+        col("vendor_id"),
+        format_string("%.6f", col("fare_amount")).as("fare_str"),
+        date_format(col("pickup_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("pickup_iso"))
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).option("header", "false")
+        .option("quote", "\"").option("escape", "\\").csv(out)
+      s.read.option("header", "false")
+        .schema(StructType.fromDDL(
+          "c0 BIGINT, c1 STRING, c2 STRING, c3 STRING"))
+        .csv(out)
+        .select(col("c0").as("event_id"), col("c1").as("vendor_id"),
+          col("c2").cast("double").as("fare_amount"),
+          col("c3").cast("timestamp_ntz").as("pickup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Line-separated JSON round trip (asa-wire.sh:92-95 LineSeparated):
+    // write the envelopes as raw JSONL text, read them back through the
+    // JSON scan + dual-key parse, count per sink.
+    "scan_jsonl" -> ((s, d) => {
+      val out = scratch("jsonl")
+      EventsModel.envelopes(s, d).select("json")
+        .coalesce(4).write.mode(SaveMode.Overwrite).text(out)
+      val back = s.read.text(out)
+        .withColumnRenamed("value", "json")
+        // arrival is lineage the wire doesn't carry; re-derive from payload
+        .withColumn("arrival_ts", lit(null).cast("timestamp_ntz"))
+      val parsed = graft.stream.StreamTransforms.parse(back)
+        .withColumn("arrival_ts", col("producer_ts"))
+      graft.stream.StreamTransforms.route(
+        graft.stream.StreamTransforms.enrich(parsed))
+        .groupBy("sink").agg(count(lit(1)).as("events"))
+        .orderBy("sink")
+    }),
+
+    // Copy-time lineage injection (ADF additionalColumns):
+    // input_file_name() + literal run id + per-file counts.
+    "lineage_inject" -> ((s, d) => graft.Tables(s, d, "lineitem")
+      .select(element_at(split(input_file_name(), "/"), -1).as("source_file_name"))
+      .withColumn("run_id", lit("run-2024-06-01"))
+      .groupBy("source_file_name", "run_id").agg(count(lit(1)).as("rows"))
+      .orderBy("source_file_name")),
+
+    // Hourly-partitioned sink (asa-wire.sh:86-88 pathPattern): write
+    // parquet partitioned by derived (date, hour), read back, count per
+    // partition — proves partition columns survive the round trip.
+    "sink_partitioned_hourly" -> ((s, d) => {
+      val out = scratch("hourly_sink")
+      EventsModel.routed(s, d)
+        .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
+        .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
+        .write.mode(SaveMode.Overwrite).partitionBy("p_date", "p_hour").parquet(out)
+      // partition-column type inference reads p_hour "07" back as int 7 —
+      // re-pad so the key matches the written '%H' form
+      s.read.parquet(out)
+        .groupBy(col("p_date").cast("string").as("p_date"),
+          lpad(col("p_hour").cast("string"), 2, "0").as("p_hour"))
+        .agg(count(lit(1)).as("events"))
+        .orderBy("p_date", "p_hour")
+    }),
+
+    // Folder enumeration + name filter (GetFileList + FilterParquet /
+    // CheckHourFolder): Hadoop FS listing of the hourly sink's partition
+    // dirs, keeping morning hours only.
+    "list_files" -> ((s, d) => {
+      import s.implicits._
+      val out = scratch("hourly_sink_ls")
+      EventsModel.routed(s, d)
+        .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
+        .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
+        .write.mode(SaveMode.Overwrite).partitionBy("p_date", "p_hour").parquet(out)
+      val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new Path(out)).filter(_.isDirectory).flatMap { day =>
+        fs.listStatus(day.getPath).filter(_.isDirectory)
+          .map(h => day.getPath.getName + "/" + h.getPath.getName)
+      }.toSeq.sorted
+      dirs.toDF("partition_dir")
+        .filter(substring(element_at(split(col("partition_dir"), "="), -1), 1, 2) < "12")
+        .orderBy("partition_dir")
+    }),
+
+    // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
+    // appended batches into one parquet table, per-batch counts on re-read.
+    "sink_table_append" -> ((s, d) => {
+      val out = scratch("append_table")
+      val routed = EventsModel.routed(s, d)
+        .withColumn("batch_id",
+          when(dayofmonth(col("arrival_ts")) <= 15, "b1").otherwise("b2"))
+      routed.filter(col("batch_id") === "b1")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      routed.filter(col("batch_id") === "b2")
+        .write.mode(SaveMode.Append).parquet(out)
+      s.read.parquet(out)
+        .groupBy("batch_id").agg(count(lit(1)).as("events"))
+        .orderBy("batch_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> taxi(
+      """SELECT l_orderkey,
+        |  CAST(l_linenumber AS SMALLINT) AS line_no,
+        |  CAST(CAST(l_quantity AS DECIMAL(9,3)) AS VARCHAR) AS qty_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS VARCHAR) AS price_dec,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+        |  l_returnflag AS flag1
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
+
+    "scan_csv_positional" -> stream(
+      """SELECT event_id, vendor_id,
+        |  printf('%.6f', fare_amount)::DOUBLE AS fare_amount, pickup_ts
+        |FROM ev_typed ORDER BY event_id""".stripMargin),
+
+    "scan_jsonl" -> stream(
+      """SELECT sink, count(*) AS events FROM ev_routed
+        |GROUP BY 1 ORDER BY sink""".stripMargin),
+
+    "lineage_inject" -> taxi(
+      """SELECT 'lineitem.parquet' AS source_file_name,
+        |  'run-2024-06-01' AS run_id, count(*) AS rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY source_file_name""".stripMargin),
+
+    "sink_partitioned_hourly" -> stream(
+      """SELECT strftime(arrival_ts, '%Y-%m-%d') AS p_date,
+        |  strftime(arrival_ts, '%H') AS p_hour, count(*) AS events
+        |FROM ev_routed GROUP BY 1, 2 ORDER BY p_date, p_hour""".stripMargin),
+
+    "list_files" -> stream(
+      """SELECT DISTINCT 'p_date=' || strftime(arrival_ts, '%Y-%m-%d')
+        |  || '/p_hour=' || strftime(arrival_ts, '%H') AS partition_dir
+        |FROM ev_routed WHERE strftime(arrival_ts, '%H') < '12'
+        |ORDER BY partition_dir""".stripMargin),
+
+    "sink_table_append" -> stream(
+      """SELECT CASE WHEN day(arrival_ts) <= 15 THEN 'b1' ELSE 'b2' END AS batch_id,
+        |  count(*) AS events
+        |FROM ev_routed GROUP BY 1 ORDER BY batch_id""".stripMargin))
+}
