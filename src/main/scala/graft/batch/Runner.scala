@@ -1,0 +1,96 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.TaxiModel
+import graft.ops.{ParquetTable, RunLog}
+import graft.quality.Checks
+import graft.quality.Checks._
+
+/** The batch daily DAG (SURVEY.md §3.1, pl_daily_nyctaxi): raw→stg →
+  * stg→core (clean, quarantine, dedupe, CoreDQ gate 53000) → core→mdl
+  * (dim upserts, fact load, ModelDQ gate 54000), one run id end-to-end,
+  * every stage logged and DQ-gated into persisted ops tables.
+  *
+  * Stage boundaries are write actions on dir-backed parquet tables; the
+  * per-file ForEach of the reference collapses into one partitioned read
+  * (parallelism is native), per-file audit comes from `input_file_name`.
+  */
+final case class Runner(spark: SparkSession, warehouseDir: String) {
+
+  val log = RunLog(spark, warehouseDir)
+
+  private def table(name: String, df: DataFrame): ParquetTable =
+    ParquetTable(spark, s"$warehouseDir/$name", df.schema)
+
+  /** Full daily run over the fixture lake. Returns (core, fact) counts. */
+  def runDaily(sfDir: String, runId: String): (Long, Long) = {
+    // ---- raw → stg (pl_raw_to_stg_nyctaxi) ----
+    log.logRun(runId, "raw_to_stg", "STARTED")
+    val stgDf = TaxiModel.tripsWithDups(spark, sfDir)
+    val stg = table("stg_trip", stgDf)
+    stg.overwrite(stgDf) // idempotent slice replace (DeleteStagingPartition)
+    val stgRows = stg.read.count()
+    Checks.gate(log, runId, "raw_to_stg", code = 51000, Seq(
+      failIfEmpty("rowcount_stg_gt_0", stgRows),
+      warnIfAny("negative_fare_stg",
+        stg.read.filter(col("fare_amount") < 0).count())))
+    log.logRun(runId, "raw_to_stg", "SUCCEEDED", rowsOut = stgRows)
+
+    // ---- stg → core (pl_stg_to_core_nyctaxi) ----
+    log.logRun(runId, "stg_to_core", "STARTED")
+    val cleaned = TaxiModel.cleaned(stg.read, TaxiModel.paymentTypeMap(spark))
+    val rejects = stg.read.filter(!TaxiModel.domainFilter)
+      .withColumn("reject_reason", TaxiModel.rejectReason)
+    val err = table("err_trip", rejects)
+    err.overwrite(rejects) // idempotent delete-first quarantine
+    val deduped = TaxiModel.deduped(cleaned)
+    val core = table("core_trip_clean", deduped)
+    core.overwrite(deduped)
+    val (coreRows, errRows) = (core.read.count(), err.read.count())
+    log.logMetrics(runId, "full", stgRows, coreRows, errRows)
+    val c = core.read
+    Checks.gate(log, runId, "stg_to_core", code = 53000, Seq(
+      failIfEmpty("rowcount_core_gt_0", coreRows),
+      failIfAny("no_bad_time_order",
+        c.filter(col("pickup_ts_utc") > col("dropoff_ts_utc")).count()),
+      failIfAny("no_negative_fare", c.filter(col("fare_amount") < 0).count()),
+      failIfAny("no_negative_distance",
+        c.filter(col("trip_distance_km") < 0).count()),
+      failIfAny("no_null_pickup_ts", c.filter(col("pickup_ts_utc").isNull).count()),
+      failIfAny("no_null_dropoff_ts", c.filter(col("dropoff_ts_utc").isNull).count()),
+      failIfAny("no_duplicate_core_rows",
+        c.groupBy(TaxiModel.naturalKey.map(col): _*).count()
+          .filter(col("count") > 1).count()),
+      failUnless("core_plus_err_le_stg", coreRows + errRows, _ <= stgRows)))
+    log.logRun(runId, "stg_to_core", "SUCCEEDED", rowsIn = stgRows,
+      rowsOut = coreRows, rowsErr = errRows)
+
+    // ---- core → mdl (pl_core_to_mdl_nyctaxi) ----
+    log.logRun(runId, "core_to_mdl", "STARTED")
+    val factDf = StarModel.fact(core.read,
+      StarModel.dim(core.read, "vendor_code", "vendor_nk", "vendor_sk"),
+      StarModel.dim(core.read, "payment_type", "payment_nk", "payment_sk"),
+      StarModel.dim(core.read, "rate_code", "rate_nk", "rate_sk"),
+      StarModel.dim(core.read, "flag_raw", "flag_nk", "flag_sk"),
+      StarModel.dimLocation(core.read))
+    val fact = table("fact_trip", factDf)
+    fact.overwrite(factDf)
+    val factRows = fact.read.count()
+    val coreFare = core.read.agg(sum(col("fare_amount").cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0)
+    val factFare = fact.read.agg(sum(col("fare_amount").cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0)
+    Checks.gate(log, runId, "core_to_mdl", code = 54000, Seq(
+      failUnless("rowcount_fact_eq_core", factRows, _ == coreRows),
+      failUnless("sum_fare_matches_core",
+        if (coreFare.compareTo(factFare) == 0) 0L else 1L, _ == 0L),
+      warnIfAny("unknown_vendor_sk",
+        fact.read.filter(col("vendor_sk") === -1).count()),
+      warnIfAny("unknown_payment_sk",
+        fact.read.filter(col("payment_sk") === -1).count())))
+    log.logRun(runId, "core_to_mdl", "SUCCEEDED", rowsOut = factRows)
+    (coreRows, factRows)
+  }
+}

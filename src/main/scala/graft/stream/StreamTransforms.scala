@@ -45,7 +45,8 @@ object StreamTransforms {
       col("_p.total_amount").as("total_amount"),
       coalesce(col("_p.paymentType"), col("_p.payment_type")).as("payment_type"),
       col("_p.producer_ts").cast("timestamp_ntz").as("producer_ts"),
-      col("arrival_ts"))
+      col("arrival_ts"),
+      col("json")) // raw wire line carried for the passthrough/DLQ sinks
   }
 
   /** `stream_dq_flags` + `f_duration_min` (ref: asa-wire.sh:199-211):

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TaxiFunctions._
+import graft.functions.Sha256Prefix64Util
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit tests for the scalar library (SURVEY §2.3) on literal frames,
+  * including the reference's boundary semantics. */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("nightFlag boundaries: 21:59 day, 22:00 night, 05:59 night, 06:00 day") {
+    val df = Seq("2024-01-01 21:59:59", "2024-01-01 22:00:00",
+      "2024-01-01 05:59:59", "2024-01-01 06:00:00")
+      .toDF("s").select(nightFlag(col("s").cast("timestamp")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 1, 0))
+  }
+
+  test("durationMin counts minute-boundary crossings (T-SQL semantics)") {
+    val df = Seq(
+      ("2024-01-01 10:00:59", "2024-01-01 10:01:00"), // 1s elapsed, 1 crossing
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:59"), // 59s elapsed, 0 crossings
+      ("2024-01-01 10:30:00", "2024-01-01 10:00:00")) // negative
+      .toDF("p", "d")
+      .select(durationMin(col("p").cast("timestamp"), col("d").cast("timestamp")))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 0L, -30L))
+  }
+
+  test("milesToKm rounds to 3 decimals") {
+    val r = Seq(1.0, 2.5).toDF("mi").select(milesToKm(col("mi"))).collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(1.609, 4.023))
+  }
+
+  test("cleanTrimNull: blank to NULL, trims, uppercases") {
+    val r = Seq("  ", " ab ", "x").toDF("v")
+      .select(cleanTrimNull(col("v"))).collect().map(r => Option(r.get(0)))
+    assert(r.toSeq == Seq(None, Some("AB"), Some("X")))
+  }
+
+  test("basename takes the final path segment") {
+    val r = Seq("a/b/c.csv", "plain.csv").toDF("p")
+      .select(basename(col("p"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("c.csv", "plain.csv"))
+  }
+
+  test("sha256TripId: NULL components render as empty, stable hex") {
+    val df = Seq(("v1", "2024-01-01 10:00:00")).toDF("v", "p")
+      .select(sha256TripId(col("v"), col("p").cast("timestamp"),
+        lit(null).cast("timestamp"), lit(10.5), lit(2.0), lit("CARD")).as("id"))
+    val id = df.collect()(0).getString(0)
+    assert(id.length == 64 && id.matches("[0-9a-f]{64}"))
+    // NULL dropoff == empty string slot: same as explicit empty render
+    val manual = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("v1|2024-01-01T10:00:00.000||10.500000|2.000000|CARD".getBytes)
+      .map("%02x".format(_)).mkString
+    assert(id == manual)
+  }
+
+  test("hash64 matches a pure-JVM reimplementation and is non-negative") {
+    def ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes)
+      math.abs(d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)))
+    }
+    val inputs = Seq("a", "xyz", "e|2024-01-01T00:00:00.000|2024-01-01T00:10:00.000")
+    val got = inputs.toDF("s").select(hash64Id(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(ref))
+    assert(got.forall(_ >= 0))
+    inputs.foreach(s =>
+      assert(Sha256Prefix64Util.hash64(UTF8String.fromString(s)) == ref(s)))
+  }
+
+  test("safeDivide guards zero/negative denominators") {
+    val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
+      .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))
+    assert(r.toSeq == Seq(None, Some(0.5), None))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.Runner
+import graft.model.TaxiModel
+import graft.ops.RunLog
+import graft.quality.Checks
+import graft.quality.Checks.DqGateException
+
+/** Batch-lane e2e: the daily DAG over the sf0.001 lake, conservation
+  * invariants (SURVEY §5), persisted ops tables, and gate fail-stop. */
+class RunnerSpec extends SparkSpec {
+
+  test("runDaily: stg→core→mdl with all gates green and invariants held") {
+    val wh = tmpDir("graft_batch_wh")
+    val runner = Runner(spark, wh)
+    val (coreRows, factRows) = runner.runDaily(sf(), "run-e2e-1")
+
+    val stg = spark.read.parquet(s"$wh/stg_trip")
+    val core = spark.read.parquet(s"$wh/core_trip_clean")
+    val err = spark.read.parquet(s"$wh/err_trip")
+    val fact = spark.read.parquet(s"$wh/fact_trip")
+
+    assert(coreRows > 0 && factRows == coreRows)
+    // conservation: core + err ≤ stg (dupes removed by dedupe)
+    assert(core.count() + err.count() <= stg.count())
+    // clean-domain invariants inside core
+    assert(core.filter(col("fare_amount") < 0).count() == 0)
+    assert(core.filter(col("pickup_ts_utc").isNull).count() == 0)
+    // fact fare reconciles with core exactly
+    val cf = core.agg(sum(col("fare_amount").cast("decimal(18,6)"))).collect()(0).getDecimal(0)
+    val ff = fact.agg(sum(col("fare_amount").cast("decimal(18,6)"))).collect()(0).getDecimal(0)
+    assert(cf.compareTo(ff) == 0)
+    // every fact FK resolved or the -1 unknown member
+    assert(fact.filter(col("vendor_sk") < -1).count() == 0)
+
+    // ops surface persisted
+    val runLog = runner.log.runLog.read
+    assert(runLog.filter(col("status") === "SUCCEEDED").count() == 3)
+    val dq = runner.log.dqResult.read
+    assert(dq.filter(col("status") === "FAILED").count() == 0)
+    assert(dq.count() >= 12)
+    assert(runner.log.runMetrics.read.count() == 1)
+
+    // rerun is idempotent (CTAS-style slice rebuild)
+    val (coreRows2, factRows2) = runner.runDaily(sf(), "run-e2e-2")
+    assert(coreRows2 == coreRows && factRows2 == factRows)
+  }
+
+  test("DQ gate persists FAILED rows then throws with the stage code") {
+    val wh = tmpDir("graft_gate_wh")
+    val log = RunLog(spark, wh)
+    val ex = intercept[DqGateException] {
+      Checks.gate(log, "run-x", "stg_to_core", 53000, Seq(
+        Checks.failIfAny("no_negative_fare", 7),
+        Checks.warnIfAny("negative_fare_warnonly", 3),
+        Checks.failIfEmpty("rowcount_gt_0", 100)))
+    }
+    assert(ex.code == 53000 && ex.failed == Seq("no_negative_fare"))
+    val rows = log.dqResult.read.collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(byName("no_negative_fare") == "FAILED")
+    assert(byName("negative_fare_warnonly") == "WARNING")
+    assert(byName("rowcount_gt_0") == "PASSED")
+    assert(log.runLog.read.filter(col("status") === "FAILED").count() == 1)
+  }
+
+  test("dim upsert appends only novel NKs and never reuses an SK") {
+    val deduped = TaxiModel.deduped(TaxiModel.cleaned(
+      TaxiModel.tripsWithDups(spark, sf()), TaxiModel.paymentTypeMap(spark)))
+    val existing = graft.batch.StarModel
+      .dim(deduped.filter(col("ingest_date") < "1996-01-01"),
+        "vendor_code", "vendor_nk", "vendor_sk")
+    val upserted = graft.batch.StarModel.upsertDim(
+      existing, deduped, "vendor_code", "vendor_nk", "vendor_sk")
+    val before = existing.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val after = upserted.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // existing keep their SKs; novel get fresh ones above max
+    before.foreach { case (nk, sk) => assert(after(nk) == sk) }
+    assert(after.values.toSeq.distinct.size == after.size)
+    val mx = if (before.isEmpty) 0 else before.values.max
+    (after.keySet -- before.keySet).foreach(nk => assert(after(nk) > mx))
+    // idempotence: upserting again changes nothing
+    val again = graft.batch.StarModel.upsertDim(
+      upserted.toDF("vendor_nk", "vendor_sk"), deduped,
+      "vendor_code", "vendor_nk", "vendor_sk")
+    assert(again.count() == upserted.count())
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.EventsModel
+import graft.stream.{HourLoad, Ingest}
+
+/** End-to-end streaming-lane tests: real `readStream` over landed JSONL,
+  * 3-way routed hourly sinks, then the warehouse hour micro-batch with
+  * idempotent re-runs (SURVEY §3.2/§3.3). */
+class StreamingSpec extends SparkSpec {
+
+  private def lake(): (String, Ingest.LakeDirs) = {
+    val base = tmpDir("graft_lake")
+    (base, Ingest.LakeDirs(
+      raw = s"$base/raw", curated = s"$base/curated", dlq = s"$base/dlq",
+      checkpoint = s"$base/chk"))
+  }
+
+  /** Land the sf0.001 envelopes as JSONL files in `dir`. */
+  private def landEnvelopes(dir: String): Long = {
+    val env = EventsModel.envelopes(spark, sf()).select("json")
+    env.coalesce(2).write.mode("overwrite").text(dir)
+    env.count()
+  }
+
+  test("ingest stream: 3-way fan-out with hourly partitions, counts conserve") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    val total = landEnvelopes(input)
+
+    val q = Ingest.start(spark, input, dirs)
+    q.awaitTermination(120000)
+
+    val raw = spark.read.text(dirs.raw).count()
+    val curated = spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count()
+    val dlq = spark.read.text(dirs.dlq).count()
+    assert(raw == total, "raw sink is a full passthrough")
+    assert(curated + dlq == total, "curated + dlq partition the stream")
+    assert(curated > 0 && dlq > 0)
+
+    // expected routing from the batch-declared semantics (oracle-checked)
+    val expected = EventsModel.routed(spark, sf())
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(curated == expected("curated") && dlq == expected("dlq"))
+
+    // hourly partition layout exists (date=…/hour=… analog)
+    val someHour = spark.read.text(dirs.raw).inputFiles.head
+    assert(someHour.contains("p_date=") && someHour.contains("p_hour="))
+  }
+
+  test("hour micro-batch: merge counts, replay idempotence, purge, audit") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    Ingest.start(spark, input, dirs).awaitTermination(120000)
+
+    val wh = HourLoad.Warehouse(spark, s"$base/wh")
+    // pick the first two populated hours of the curated lake
+    val hours = spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
+        regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
+      .distinct().orderBy("d", "h").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(hours.length >= 2)
+    val (d1, h1) = hours(0)
+    val (d2, h2) = hours(1)
+
+    val r1 = HourLoad.runHour(wh, dirs.curated, d1, h1, s"run-$d1-$h1")
+    assert(r1.inserted > 0 && r1.updated == 0 && r1.total == r1.inserted)
+    val coreAfter1 = wh.core.read.count()
+    assert(coreAfter1 == r1.inserted)
+
+    val r2 = HourLoad.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
+    assert(r2.inserted > 0)
+    val coreAfter2 = wh.core.read.count()
+    assert(coreAfter2 == coreAfter1 + r2.inserted)
+
+    // replay hour 1: idempotent — every row updates, nothing inserts
+    val r1b = HourLoad.runHour(wh, dirs.curated, d1, h1, s"rerun-$d1-$h1")
+    assert(r1b.inserted == 0 && r1b.updated == r1.inserted)
+    assert(wh.core.read.count() == coreAfter2, "replay adds no rows")
+    assert(wh.core.read.select("trip_id").distinct().count() == coreAfter2,
+      "trip_id stays unique")
+
+    // slice purged after each successful run
+    assert(wh.slice.read.count() == 0)
+    // audit carries the counts contract
+    val audits = wh.audit.read.orderBy("run_id").collect()
+    assert(audits.length == 3)
+    assert(wh.audit.read.filter(col("run_id") === s"rerun-$d1-$h1")
+      .select("updated").collect()(0).getLong(0) == r1.inserted)
+
+    // absent hour → zero result, no writes
+    val skip = HourLoad.runHour(wh, dirs.curated, "1970-01-01", "00", "run-skip")
+    assert(skip == HourLoad.HourResult(0, 0, 0, 0, 0))
+  }
+
+  test("backfill range re-runs are no-ops on core") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    Ingest.start(spark, input, dirs).awaitTermination(120000)
+
+    val wh = HourLoad.Warehouse(spark, s"$base/wh")
+    val firstDate = spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"))
+      .distinct().orderBy("d").collect()(0).getString(0)
+
+    HourLoad.runRange(wh, dirs.curated, firstDate, 0, 5)
+    val after = wh.core.read.count()
+    HourLoad.runRange(wh, dirs.curated, firstDate, 0, 5) // backfill replay
+    assert(wh.core.read.count() == after)
+  }
+}
