@@ -29,6 +29,13 @@ object SparkEntry {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.adaptive.enabled", "true")
+    // A 15-field from_json referenced per-field gets rewritten into 15
+    // schema-pruned parses (OptimizeJsonExprs), defeating codegen CSE —
+    // one shared parse per row is 20-40x faster on the stream-wire path.
+    .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    // task-side commit renames: hourly sinks write hundreds of partition
+    // dirs, v1's sequential driver-side rename dominates the write
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline KPI (README_modeling.md §7): trips / total

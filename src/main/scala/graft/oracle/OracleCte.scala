@@ -95,10 +95,7 @@ object OracleCte {
       |    SELECT c.*, row_number() OVER (
       |      PARTITION BY vendor_code, pickup_ts_utc, dropoff_ts_utc,
       |                   trip_distance_km, fare_amount, payment_type
-      |      ORDER BY loaded_at DESC, source_file_name DESC, trip_src_id DESC,
-      |               tip_amount DESC, tolls_amount DESC, total_amount DESC,
-      |               rate_code DESC, flag_raw DESC, pu_location_id DESC,
-      |               do_location_id DESC, ingest_date DESC) AS rn
+      |      ORDER BY loaded_at DESC, source_file_name DESC, trip_src_id DESC) AS rn
       |    FROM cleaned c) sub WHERE rn = 1
       |)""".stripMargin
 

@@ -1,0 +1,21 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped materialization of shared intermediates.
+  *
+  * The reference materializes `core.trip_clean` / `mdl.fact_trip` once per
+  * run and every downstream statement reads the table; the declared
+  * queries are independent programs over the same fixtures, so without
+  * this each would rebuild the whole chain. `cache()` is the in-session
+  * analog of those materialized tables (at 100 TB: a persisted Parquet/
+  * Delta table written once per slice, exactly as [[graft.batch.Runner]]
+  * does). */
+object Memo {
+  private val frames = TrieMap.empty[String, DataFrame]
+
+  def apply(key: String)(build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate(key, build.cache())
+}

@@ -94,8 +94,12 @@ object ScanQueries {
     "sink_partitioned_hourly" -> ((s, d) => {
       val out = scratch("hourly_sink")
       EventsModel.routed(s, d)
+        .filter(to_date(col("arrival_ts")) < "2024-01-04") // 3-day fixture slice
         .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
         .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
+        .select("event_id", "sink", "p_date", "p_hour") // prune: the sink
+        // carries only what downstream reads — never the raw wire string
+        .repartition(col("p_date"), col("p_hour")) // 1 file per hour dir
         .write.mode(SaveMode.Overwrite).partitionBy("p_date", "p_hour").parquet(out)
       // partition-column type inference reads p_hour "07" back as int 7 —
       // re-pad so the key matches the written '%H' form
@@ -113,8 +117,11 @@ object ScanQueries {
       import s.implicits._
       val out = scratch("hourly_sink_ls")
       EventsModel.routed(s, d)
+        .filter(to_date(col("arrival_ts")) < "2024-01-04") // 3-day fixture slice
         .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
         .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
+        .select("event_id", "p_date", "p_hour")
+        .repartition(col("p_date"), col("p_hour")) // 1 file per hour dir
         .write.mode(SaveMode.Overwrite).partitionBy("p_date", "p_hour").parquet(out)
       val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
       val dirs = fs.listStatus(new Path(out)).filter(_.isDirectory).flatMap { day =>
@@ -133,9 +140,10 @@ object ScanQueries {
       val routed = EventsModel.routed(s, d)
         .withColumn("batch_id",
           when(dayofmonth(col("arrival_ts")) <= 15, "b1").otherwise("b2"))
-      routed.filter(col("batch_id") === "b1")
+      val narrow = routed.select("event_id", "batch_id")
+      narrow.filter(col("batch_id") === "b1")
         .write.mode(SaveMode.Overwrite).parquet(out)
-      routed.filter(col("batch_id") === "b2")
+      narrow.filter(col("batch_id") === "b2")
         .write.mode(SaveMode.Append).parquet(out)
       s.read.parquet(out)
         .groupBy("batch_id").agg(count(lit(1)).as("events"))
@@ -169,12 +177,14 @@ object ScanQueries {
     "sink_partitioned_hourly" -> stream(
       """SELECT strftime(arrival_ts, '%Y-%m-%d') AS p_date,
         |  strftime(arrival_ts, '%H') AS p_hour, count(*) AS events
-        |FROM ev_routed GROUP BY 1, 2 ORDER BY p_date, p_hour""".stripMargin),
+        |FROM ev_routed WHERE CAST(arrival_ts AS DATE) < DATE '2024-01-04'
+        |GROUP BY 1, 2 ORDER BY p_date, p_hour""".stripMargin),
 
     "list_files" -> stream(
       """SELECT DISTINCT 'p_date=' || strftime(arrival_ts, '%Y-%m-%d')
         |  || '/p_hour=' || strftime(arrival_ts, '%H') AS partition_dir
         |FROM ev_routed WHERE strftime(arrival_ts, '%H') < '12'
+        |  AND CAST(arrival_ts AS DATE) < DATE '2024-01-04'
         |ORDER BY partition_dir""".stripMargin),
 
     "sink_table_append" -> stream(

@@ -20,26 +20,29 @@ import graft.stream.StreamTransforms
   */
 object StreamQueries {
 
-  private def routed(s: SparkSession, d: String) = EventsModel.routed(s, d)
-  private def slice(s: SparkSession, d: String) =
+  private def routed(s: SparkSession, d: String) = Memo(s"$d/ev_routed") {
+    EventsModel.routed(s, d)
+  }
+  private def slice(s: SparkSession, d: String) = Memo(s"$d/ev_slice") {
     StreamTransforms.buildSlice(routed(s, d), lit("run-fixed")).drop("_runId")
+  }
 
   val queries: Map[String, QFn] = Map(
     "stream_parse_enrich" -> ((s, d) =>
-      StreamTransforms.enrich(EventsModel.parsed(s, d))
+      StreamTransforms.enrich(Memo(s"$d/ev_parsed")(EventsModel.parsed(s, d)))
         .select("event_id", "vendor_id", "pickup_ts", "dropoff_ts",
           "passenger_count", "trip_distance", "fare_amount", "total_amount",
           "payment_type", "duration_min")
         .orderBy("event_id")),
 
-    "dual_key_coalesce" -> ((s, d) => EventsModel.parsed(s, d)
+    "dual_key_coalesce" -> ((s, d) => Memo(s"$d/ev_parsed")(EventsModel.parsed(s, d))
       .select(col("event_id"),
         (col("event_id") % 2 === 0).as("was_camel_case"),
         col("vendor_id"), col("payment_type"), col("pickup_ts"), col("producer_ts"))
       .orderBy("event_id")),
 
     "stream_dq_flags" -> ((s, d) =>
-      StreamTransforms.enrich(EventsModel.parsed(s, d))
+      StreamTransforms.enrich(Memo(s"$d/ev_parsed")(EventsModel.parsed(s, d)))
         .select("event_id", "flag_missing_required", "flag_negative_values",
           "flag_bad_duration")
         .orderBy("event_id")),
@@ -116,9 +119,10 @@ object StreamQueries {
     "late_data" -> ((s, d) => {
       // Replays of hour-H events arriving at H+1 are absorbed by the
       // deterministic-id dedupe: slice cardinality is unchanged.
-      val base = StreamTransforms.route(StreamTransforms.enrich(EventsModel.parsed(s, d)))
+      val parsedBase = Memo(s"$d/ev_parsed")(EventsModel.parsed(s, d))
+      val base = StreamTransforms.route(StreamTransforms.enrich(parsedBase))
       val replayed = StreamTransforms.route(StreamTransforms.enrich(
-        EventsModel.withReplays(EventsModel.parsed(s, d))))
+        EventsModel.withReplays(parsedBase)))
       val origCnt = StreamTransforms.buildSlice(base, lit("r")).drop("_runId")
         .agg(count(lit(1)).as("orig_rows"))
       val replayCnt = StreamTransforms.buildSlice(replayed, lit("r")).drop("_runId")

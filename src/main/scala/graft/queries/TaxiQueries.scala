@@ -22,9 +22,15 @@ import graft.oracle.OracleCte.{taxi, taxiWith}
 object TaxiQueries {
 
   private def trips(s: SparkSession, d: String) = TaxiModel.trips(s, d)
-  private def cleanedDf(s: SparkSession, d: String) =
+  private def cleanedDf(s: SparkSession, d: String) = Memo(s"$d/cleaned") {
     TaxiModel.cleaned(TaxiModel.tripsWithDups(s, d), TaxiModel.paymentTypeMap(s))
-  private def dedupedDf(s: SparkSession, d: String) = TaxiModel.deduped(cleanedDf(s, d))
+  }
+  private def dedupedDf(s: SparkSession, d: String) = Memo(s"$d/deduped") {
+    TaxiModel.deduped(cleanedDf(s, d))
+  }
+
+  private def factDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Memo(s"$d/fact") { StarModel.factFromDeduped(dedupedDf(s, d)) }
 
   /** Exact, order-independent sum of a double column: per-row round to
     * DECIMAL(18,6) (deterministic on the exact binary value), exact decimal
@@ -179,7 +185,7 @@ object TaxiQueries {
       upserted.orderBy("loc_sk")
     }),
 
-    "join_fact_dims" -> ((s, d) => StarModel.factFromFixtures(s, d)
+    "join_fact_dims" -> ((s, d) => factDf(s, d)
       .select("trip_id", "pickup_date_key", "pickup_time_key", "vendor_sk",
         "payment_sk", "rate_sk", "flag_sk", "pu_location_sk", "do_location_sk",
         "fare_amount", "is_night_ride")
@@ -211,7 +217,7 @@ object TaxiQueries {
     "merge_upsert_key" -> ((s, d) => {
       // Synapse-safe upsert (update-then-insert as full-outer rebuild):
       // target = pre-1997 slice, staged = 1996-06..1997-12 slice (overlap).
-      val f = StarModel.factFromFixtures(s, d)
+      val f = factDf(s, d)
         .select("trip_id", "fare_amount", "total_amount", "ingest_date")
       val target = f.filter(col("ingest_date") < "1997-01-01")
       val staged = f.filter(col("ingest_date").between("1996-06-01", "1997-12-31"))
@@ -228,7 +234,7 @@ object TaxiQueries {
 
     "join_star_view" -> ((s, d) => {
       val ded = dedupedDf(s, d)
-      val f = StarModel.factFromFixtures(s, d)
+      val f = factDf(s, d)
       val dv = StarModel.dim(ded, "vendor_code", "vendor_nk", "vendor_sk")
       val dp = StarModel.dim(ded, "payment_type", "payment_nk", "payment_sk")
       f.join(broadcast(dv), Seq("vendor_sk"), "left")
@@ -248,7 +254,7 @@ object TaxiQueries {
 
     "agg_sum_reconcile" -> ((s, d) => {
       val core = dedupedDf(s, d).agg(dsum("fare_amount").as("core_fare"))
-      val fct = StarModel.factFromFixtures(s, d).agg(dsum("fare_amount").as("fact_fare"))
+      val fct = factDf(s, d).agg(dsum("fare_amount").as("fact_fare"))
       core.crossJoin(fct).select(col("core_fare"), col("fact_fare"),
         (col("core_fare") === col("fact_fare")).as("fare_matches"))
     }),
@@ -288,7 +294,7 @@ object TaxiQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("reject_reason"))),
 
-    "agg_bi_measures" -> ((s, d) => StarModel.factFromFixtures(s, d)
+    "agg_bi_measures" -> ((s, d) => factDf(s, d)
       .groupBy(col("vendor_sk"))
       .agg(
         count(lit(1)).as("trips"),

@@ -32,6 +32,7 @@ object Ingest {
       StreamTransforms.parse(batch)))
       .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
       .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
+      .repartition(col("p_date"), col("p_hour")) // 1 file per sink per hour dir
       .cache()
     try {
       // raw passthrough (JSONL, hourly dirs)

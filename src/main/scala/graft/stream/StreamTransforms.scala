@@ -98,10 +98,16 @@ object StreamTransforms {
         concat(col("hour_path"), lit("/part-"), (col("event_id") % 3).cast("string"),
           lit(".csv")))
       .withColumn("_ingestedAt", col("arrival_ts"))
-    val w = Window.partitionBy(col("trip_id"))
-      .orderBy(col("producer_ts").desc, col("arrival_ts").desc, col("event_id").desc)
-    curated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // Same hash-aggregate winner-pick as TaxiModel.deduped: one shuffle on
+    // trip_id with partial aggregation, no per-group sort.
+    val cols = curated.columns
+    val orderCols = Seq("producer_ts", "arrival_ts", "event_id")
+    val payload = cols.filterNot(_ == "trip_id")
+    val winner = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
+    curated.groupBy(col("trip_id"))
+      .agg(max(winner).as("_w"))
+      .select(col("trip_id") +: payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(cols.map(col).toSeq: _*)
   }
 
   /** `merge_upsert_key` for the stream (Synapse-safe update-then-insert,
