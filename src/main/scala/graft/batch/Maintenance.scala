@@ -1,0 +1,62 @@
+package graft.batch
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Harness-level maintenance ops (SURVEY.md §2.1 `convert_recompress`,
+  * `seed_reference_data`; §2.9 stats refresh note).
+  *
+  * The reference's notebook rewrites ZSTD parquet to Snappy for a reader
+  * that can't do ZSTD (nb_convert_parquet_to_snappy cells 0-5). Spark
+  * reads ZSTD natively, so the surviving utility is the single-file
+  * publish: `coalesce(1)` + snappy + TIMESTAMP_MILLIS + an md5 manifest,
+  * with the write going to a tmp dir and renamed into place (atomic-ish
+  * publish for non-transactional consumers). */
+object Maintenance {
+
+  /** Single-file snappy publish + manifest. Returns (file name, md5). */
+  def publishSingleFile(spark: SparkSession, df: DataFrame, outDir: String): (String, String) = {
+    val tmp = outDir + "._tmp"
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmp))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    // md5 manifest of the single data file
+    val md = MessageDigest.getInstance("MD5")
+    val in = fs.open(part)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+        .foreach(n => md.update(buf, 0, n))
+    } finally in.close()
+    val md5 = md.digest().map("%02x".format(_)).mkString
+    val target = new Path(outDir)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target)
+    val finalName = "data.snappy.parquet"
+    fs.rename(part, new Path(target, finalName))
+    fs.delete(new Path(tmp), true)
+    val out = fs.create(new Path(target, "manifest.md5"))
+    try out.write(s"$md5  $finalName\n".getBytes("UTF-8")) finally out.close()
+    (finalName, md5)
+  }
+
+  /** Insert-if-absent unknown member (`err/seed_unknowns.sql:5-47`): every
+    * dim carries SK -1 / NK 'UNKNOWN' so fact FK resolution can COALESCE
+    * to it without null keys. */
+  def withUnknownMember(dim: DataFrame, nkName: String, skName: String): DataFrame = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val unknown = Seq(("UNKNOWN", -1)).toDF(nkName, skName)
+      .select(col(nkName).cast(dim.schema(nkName).dataType),
+        col(skName).cast(dim.schema(skName).dataType))
+    // anti-join guards re-seeding (insert-if-absent)
+    unknown.join(dim, Seq(skName), "left_anti").unionByName(
+      dim.select(col(skName), col(nkName))).select(col(nkName), col(skName))
+  }
+}

@@ -133,6 +133,20 @@ object ScanQueries {
         .orderBy("partition_dir")
     }),
 
+    // Seeded reference data (ref/01_payment_type_map.sql:17-32 +
+    // err/seed_unknowns.sql): active payment map + the UNKNOWN(-1) member
+    // every dim carries for COALESCE FK fallback.
+    "seed_reference_data" -> ((s, d) => {
+      val dim = graft.model.TaxiModel.paymentTypeMap(s)
+        .filter(col("is_active"))
+        .select(col("payment_type_src").as("payment_nk"))
+        .withColumn("payment_sk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("payment_nk"))).cast("int"))
+      graft.batch.Maintenance.withUnknownMember(dim, "payment_nk", "payment_sk")
+        .orderBy("payment_sk")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -186,6 +200,16 @@ object ScanQueries {
         |FROM ev_routed WHERE strftime(arrival_ts, '%H') < '12'
         |  AND CAST(arrival_ts AS DATE) < DATE '2024-01-04'
         |ORDER BY partition_dir""".stripMargin),
+
+    "seed_reference_data" -> (
+      """SELECT payment_nk, payment_sk FROM (
+        |  SELECT 'UNKNOWN' AS payment_nk, -1 AS payment_sk
+        |  UNION ALL
+        |  SELECT payment_type_src,
+        |    CAST(row_number() OVER (ORDER BY payment_type_src) AS INT)
+        |  FROM (VALUES ('1'),('2'),('3'),('4'),('CRD'),('CSH'))
+        |    AS pm(payment_type_src)) u
+        |ORDER BY payment_sk""".stripMargin),
 
     "sink_table_append" -> stream(
       """SELECT CASE WHEN day(arrival_ts) <= 15 THEN 'b1' ELSE 'b2' END AS batch_id,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.Maintenance
+
+/** Harness utilities: single-file snappy publish with md5 manifest, and
+  * unknown-member seeding. */
+class MaintenanceSpec extends SparkSpec {
+
+  test("publishSingleFile: one snappy part + matching md5 manifest") {
+    import spark.implicits._
+    val out = tmpDir("graft_publish") + "/pub"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    val (name, md5) = Maintenance.publishSingleFile(spark, df, out)
+    assert(name == "data.snappy.parquet" && md5.matches("[0-9a-f]{32}"))
+    // re-readable, complete, and exactly one data file
+    val back = spark.read.parquet(s"$out/$name")
+    assert(back.count() == 1000)
+    val manifest = scala.io.Source.fromFile(s"$out/manifest.md5").mkString
+    assert(manifest.startsWith(md5) && manifest.contains(name))
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".parquet")) == 1)
+    // manifest md5 matches the bytes on disk
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/$name"))
+    val actual = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(actual == md5)
+  }
+
+  test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
+    import spark.implicits._
+    val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")
+    val seeded = Maintenance.withUnknownMember(dim, "vendor_nk", "vendor_sk")
+    assert(seeded.count() == 3)
+    assert(seeded.filter(col("vendor_sk") === -1)
+      .select("vendor_nk").collect()(0).getString(0) == "UNKNOWN")
+    // idempotent: seeding again adds nothing
+    val again = Maintenance.withUnknownMember(seeded, "vendor_nk", "vendor_sk")
+    assert(again.count() == 3)
+  }
+}
