@@ -116,6 +116,10 @@ object StreamQueries {
           .as("bad_duration"))
       .orderBy("audit_day")),
 
+    "stream_windowed_agg" -> ((s, d) =>
+      graft.stream.WindowedStats.hourlyQualityCounts(routed(s, d))
+        .orderBy("hour_start", "sink")),
+
     "late_data" -> ((s, d) => {
       // Replays of hour-H events arriving at H+1 are absorbed by the
       // deterministic-id dedupe: slice cardinality is unchanged.
@@ -204,6 +208,11 @@ object StreamQueries {
         |  CAST(sum(CASE WHEN reason = 'bad_duration' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS bad_duration
         |FROM ev_routed GROUP BY 1 ORDER BY audit_day""".stripMargin),
+
+    "stream_windowed_agg" -> stream(
+      """SELECT date_trunc('hour', arrival_ts) AS hour_start, sink,
+        |  count(*) AS events
+        |FROM ev_routed GROUP BY 1, 2 ORDER BY hour_start, sink""".stripMargin),
 
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed

@@ -1,0 +1,58 @@
+package graft.stream
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Stateful Structured Streaming operators beyond the reference's hot path
+  * (which is stateless by design — SURVEY §2.8): event-time windowed
+  * aggregation with a watermark, and keyed streaming dedupe with
+  * `flatMapGroupsWithState`.
+  *
+  * The reference absorbs late/replayed data with idempotent keyed merges
+  * at the warehouse ([[HourLoad]]); these operators are the *in-stream*
+  * alternatives when consumers need exactly-once effects or windowed
+  * stats before the warehouse hop. State is per-key-bounded (one boolean
+  * per trip id with a processing-time TTL; one row per open window), so
+  * executors hold O(active keys), not O(stream).
+  */
+object WindowedStats {
+
+  /** Tumbling 1-hour event-time quality stats with a 2-hour watermark:
+    * per (window, sink) event counts — the windowed-agg form of the DLQ
+    * audit. Works identically on static frames (tests/oracle) and
+    * streaming frames (late rows beyond the watermark are dropped). */
+  def hourlyQualityCounts(routed: DataFrame): DataFrame =
+    routed
+      // watermarks require a tz-aware event-time column; session is UTC so
+      // the cast is value-preserving
+      .withColumn("_evt", col("arrival_ts").cast("timestamp"))
+      .withWatermark("_evt", "2 hours")
+      .groupBy(window(col("_evt"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("sink"), col("events"))
+
+  final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double)
+
+  /** Streaming first-wins dedupe by deterministic key: state = "seen"
+    * flag per trip_id with a processing-time TTL (the streaming analog of
+    * `win_dedupe_stream`; replays in later micro-batches emit nothing).
+    * TTL bounds state growth — pick it ≥ the replay horizon. */
+  def dedupeByTripId(events: Dataset[KeyedEvent],
+                     ttl: String = "2 hours"): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.trip_id)
+      .flatMapGroupsWithState[Boolean, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: Long, rows: Iterator[KeyedEvent], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replay of a seen key
+          else {
+            state.update(true)
+            state.setTimeoutDuration(ttl)
+            rows.take(1) // first occurrence wins
+          }
+      }
+  }
+}
