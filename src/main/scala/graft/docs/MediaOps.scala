@@ -78,6 +78,34 @@ object MediaOps {
                                len: org.apache.spark.sql.Column) =
     substr(c, pos, len)
 
+  /** "Resize" stub: stride-sample every `stride`-th byte of the payload —
+    * the shape of a downsampling resize without a codec. Pure byte
+    * arithmetic on the binary column, runs per-partition with no shuffle. */
+  def resizeStride(media: DataFrame, stride: Int): DataFrame =
+    media.withColumn("resized",
+      array_join(
+        transform(
+          sequence(lit(1), (length(col("payload")) / stride).cast("int")),
+          i => substr(col("payload"), ((i - 1) * stride + 1).cast("int"), lit(1))
+            .cast("string")),
+        ""))
+      .select(col("media_id"),
+        length(col("payload")).cast("long").as("orig_len"),
+        length(col("resized")).cast("long").as("resized_len"),
+        sha2(col("resized"), 256).as("resized_sha"))
+
+  /** Feature extraction stub: mean/max of the leading `n` byte values —
+    * the shape of a per-item feature vector (luma mean, peak amplitude)
+    * without a decoder. */
+  def extractFeatures(media: DataFrame, n: Int): DataFrame = {
+    val bytes = transform(sequence(lit(1), least(lit(n), length(col("payload")))),
+      i => ascii(substr(col("payload"), i, lit(1)).cast("string")))
+    media.select(col("media_id"), col("kind"),
+      (aggregate(bytes, lit(0L), (acc, x) => acc + x).cast("double") /
+        least(lit(n), length(col("payload")))).as("mean_byte"),
+      array_max(bytes).as("max_byte"))
+  }
+
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
     * Dataset processed one partition-iterator at a time. */
   def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {

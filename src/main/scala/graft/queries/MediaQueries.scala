@@ -25,6 +25,12 @@ object MediaQueries {
         .orderBy("media_id", "frame_idx")),
 
     "media_decode_stub" -> ((s, d) => MediaOps.decodeStub(media(s, d)).toDF()
+      .orderBy("media_id")),
+
+    "media_resize_stub" -> ((s, d) => MediaOps.resizeStride(media(s, d), 4)
+      .orderBy("media_id")),
+
+    "media_feature_extract" -> ((s, d) => MediaOps.extractFeatures(media(s, d), 64)
       .orderBy("media_id")))
 
   val oracles: Map[String, String] = Map(
@@ -43,6 +49,27 @@ object MediaQueries {
         |FROM documents, unnest(generate_series(0, 3)) AS g(k)
         |WHERE k * 64 + 32 <= length(text)
         |ORDER BY media_id, frame_idx""".stripMargin),
+
+    "media_resize_stub" -> docs(
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) AS BIGINT) AS orig_len,
+        |  CAST(length(text) // 4 AS BIGINT) AS resized_len,
+        |  sha256(array_to_string(
+        |    list_transform(generate_series(1, length(text) // 4),
+        |      i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_sha
+        |FROM documents ORDER BY media_id""".stripMargin),
+
+    "media_feature_extract" -> docs(
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(list_reduce(list_transform(
+        |         generate_series(1, least(64, length(text))),
+        |         i -> ascii(substr(text, i, 1))), (a, b) -> a + b) AS DOUBLE)
+        |    / least(64, length(text)) AS mean_byte,
+        |  list_max(list_transform(generate_series(1, least(64, length(text))),
+        |    i -> ascii(substr(text, i, 1)))) AS max_byte
+        |FROM documents ORDER BY media_id""".stripMargin),
 
     "media_decode_stub" -> docs(
       """SELECT doc_id AS media_id,
