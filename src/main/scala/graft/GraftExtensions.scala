@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Sha256Prefix64
+
+/** Session-extension hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them without
+  * the Scala API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * `sha256_prefix64(s)` — signed-positive first 8 bytes of SHA-256
+  * (the streaming surrogate trip id, ref:
+  * usp_upsert_trips_from_streaming.sql:14-16). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("sha256_prefix64"),
+      new ExpressionInfo(classOf[Sha256Prefix64].getName, "sha256_prefix64"),
+      (args: Seq[Expression]) => Sha256Prefix64(args.head)))
+  }
+}

@@ -21,6 +21,7 @@ object SparkEntry {
     * semantics (UTC, non-ANSI T-SQL-ish permissive casts, nanos-tolerant
     * parquet reads) are pinned in exactly one place. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     // Reference engine semantics are permissive (TRY_CAST/NULL-on-failure),
     // not ANSI fail-fast; Spark 4 defaults to ANSI on.

@@ -25,4 +25,11 @@ class CatalogSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
+
+  test("GraftExtensions registers sha256_prefix64 as a SQL function") {
+    val got = spark.sql("SELECT sha256_prefix64('abc') AS h").collect()(0).getLong(0)
+    val expected = graft.functions.Sha256Prefix64Util.hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    assert(got == expected && got >= 0)
+  }
 }
