@@ -304,6 +304,13 @@ object TaxiQueries {
         (dsum("fare_amount") / nullif(dsum("trip_distance_km"), lit(0.0))).as("avg_fare_per_km"))
       .orderBy("vendor_sk")),
 
+    // Exact distinct-count KPI (README_modeling.md §7 "Trips =
+    // COUNT(DISTINCT trip_id)"); approx_count_distinct is the documented
+    // scale opt-in but is engine-specific, so the declared query is exact.
+    "agg_count_distinct" -> ((s, d) => factDf(s, d)
+      .agg(countDistinct(col("trip_id")).as("distinct_trips"),
+        count(lit(1)).as("rows"))),
+
     "agg_freshness" -> ((s, d) => dedupedDf(s, d)
       .agg(max(col("loaded_at")).as("last_loaded_at"))
       .select(col("last_loaded_at"),
@@ -667,6 +674,10 @@ object TaxiQueries {
          |  ${dsumSql("fare_amount")} / nullif(${dsumSql("trip_distance_km")}, 0.0)
          |    AS avg_fare_per_km
          |FROM fact GROUP BY vendor_sk ORDER BY vendor_sk""".stripMargin),
+
+    "agg_count_distinct" -> taxi(
+      """SELECT count(DISTINCT trip_id) AS distinct_trips, count(*) AS rows
+        |FROM fact""".stripMargin),
 
     "agg_freshness" -> taxi(
       """SELECT last_loaded_at,
