@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.docs.{DocPipeline, EmbeddingOps, MediaOps}
+
+/** Unit-level evidence for the training-data ops on tiny literal corpora
+  * with known answers (the oracle gate covers the fixture corpus; these
+  * pin the semantics on hand-checkable inputs). */
+class DocOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups exact copies, keeper is lowest id") {
+    val groups = DocPipeline.exactDupGroups(corpus).collect()
+    assert(groups.length == 3)
+    val dup = groups.filter(_.getLong(2) == 2L)
+    assert(dup.length == 1 && dup(0).getLong(1) == 1L, "1 and 4 grouped, keeper=1")
+  }
+
+  test("n-gram Jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = DocPipeline.jaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 4L)) && keys.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0, "exact dup => jaccard 1")
+  }
+
+  test("MinHash-LSH surfaces the same near-dup candidates") {
+    val pairs = DocPipeline.minhashLshPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("SimHash: exact dups at hamming 0, near-dups close, unrelated far") {
+    val sims = DocPipeline.simhashes(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(4L), "identical text, identical simhash")
+    val hamNear = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    val hamFar = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(hamNear < hamFar, s"near ($hamNear) < far ($hamFar)")
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val docs = Seq(
+      (1L, "the cat is on the mat with a hat"),
+      (2L, "el gato es un animal y la casa es grande"),
+      (3L, "der hund und die katze mit der maus")).toDF("doc_id", "text")
+    val got = DocPipeline.langId(docs).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("brute-force ANN ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val top = EmbeddingOps.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("binary frame sampling hashes the expected byte ranges") {
+    val media = Seq((1L, "image", ("abcd" * 40).getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val frames = MediaOps.frameSample(media, stride = 64, frameLen = 32, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3, "160 bytes: offsets 0,64,128 fit a 32-byte frame")
+    val expected0 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("abcd" * 8).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames(0).getString(2) == expected0)
+  }
+}
