@@ -12,10 +12,17 @@ import org.apache.spark.sql.DataFrame
   * this each would rebuild the whole chain. `cache()` is the in-session
   * analog of those materialized tables (at 100 TB: a persisted Parquet/
   * Delta table written once per slice, exactly as [[graft.batch.Runner]]
-  * does). */
+  * does).
+  *
+  * Entries are keyed by the owning SparkSession's identity as well, so a
+  * harness that rebuilds its session never sees a frame bound to a
+  * stopped one. */
 object Memo {
-  private val frames = TrieMap.empty[String, DataFrame]
+  private val frames = TrieMap.empty[(Int, String), DataFrame]
 
-  def apply(key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate(key, build.cache())
+  def apply(key: String)(build: => DataFrame): DataFrame = {
+    val df = build
+    val sessionId = System.identityHashCode(df.sparkSession)
+    frames.getOrElseUpdate((sessionId, key), df.cache())
+  }
 }
