@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.perf.Skew
+
+/** Scale techniques: bucketed co-located joins (no shuffle on the join
+  * key) and salted skew joins (equal results, spread hot keys). */
+class PerfTechniquesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle on the join key") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    val fact = (1L to 10000L).map(i => (i % 500, i, i * 1.5)).toDF("k", "id", "v")
+    val dim = (0L until 500L).map(i => (i, s"name$i")).toDF("k", "name")
+    fact.write.mode("overwrite").bucketBy(8, "k").saveAsTable("fact_b")
+    dim.write.mode("overwrite").bucketBy(8, "k").saveAsTable("dim_b")
+
+    val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+    // bucketed co-location: with auto-broadcast off, the join must run
+    // with NO shuffle exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 10000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    // hot key 0 holds 90% of rows
+    val left = ((1 to 9000).map(_ => 0L) ++ (1 to 1000).map(_.toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val right = (0L to 1000L).map(i => (i, s"v$i")).toDF("k", "payload")
+
+    val plain = left.join(right, Seq("k")).select("k", "row_id", "payload")
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "row_id", "payload")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val saltedDet = Skew.saltedJoinDeterministic(left, right, "k", "row_id", 8)
+      .select("k", "row_id", "payload")
+    assert(saltedDet.exceptAll(plain).isEmpty && plain.exceptAll(saltedDet).isEmpty)
+  }
+}
