@@ -81,6 +81,63 @@ object EmbeddingOps {
       .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
   }
 
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Coarse-quantizer centroids, one per `label` cell: per-dimension mean
+    * computed with exact DECIMAL sums (order-independent, so the centroid
+    * is bit-identical across engines and partitionings). In production the
+    * cells come from k-means; the fixture's label column stands in as the
+    * trained quantizer. */
+  def ivfCentroids(vecs: DataFrame): DataFrame = {
+    val pos = vecs.select(col("label").as("cell"),
+      posexplode(col("embedding")).as(Seq("p", "x")))
+    val cent = pos.groupBy(col("cell"), col("p"))
+      .agg((sum(col("x").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("c"))
+    cent.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        s => s.getField("c")).as("ce"))
+  }
+
+  /** Squared L2 distance between a float vector and a double centroid. */
+  def dist2(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Nearest-`take` cells per vector (ties broken by cell id). */
+  private def nearestCells(vecs: DataFrame, centroids: DataFrame,
+                           take: Int): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dist2(col("embedding"), col("ce")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= take)
+  }
+
+  /** IVF search: assign the corpus to its nearest cell, probe each
+    * query's `nprobe` nearest cells, score cosine only inside probed
+    * cells. The 100 TB layout: corpus hash-partitioned by cell (the
+    * inverted file), each query touches nprobe partitions instead of the
+    * whole corpus. Recall < 1 by design. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nprobe: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus).cache()
+    val assigned = nearestCells(
+      corpus.select(col("vec_id"), col("embedding")), centroids, 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce_v"),
+        norm(col("embedding")).as("cn"), col("cell"))
+    val probes = nearestCells(
+      queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce_v")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "cell")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates from the
     * sign bucket (sign-preserving dups always collide). */
   def cosineDupPairs(vecs: DataFrame, threshold: Double, bucketBits: Int): DataFrame = {

@@ -64,6 +64,12 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val all = e(s, dir)
+      EmbeddingOps.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       val all = e(s, dir)
       EmbeddingOps.bucketedTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 4)
@@ -189,6 +195,48 @@ object DocQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_ivf" -> emb(
+      s"""pos AS (
+         |  SELECT label, vec_id, j, embedding[j] AS x FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS g(j)
+         |), cent AS (
+         |  SELECT label AS cell, j,
+         |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM pos GROUP BY label, j
+         |), centarr AS (
+         |  SELECT cell, list(c ORDER BY j) AS ce FROM cent GROUP BY cell
+         |), en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${DocsOracle.dotSql("embedding", "embedding")}) AS n
+         |  FROM embeddings
+         |), celldist AS (
+         |  SELECT en.vec_id, en.embedding, en.n, centarr.cell,
+         |    list_reduce(list_transform(generate_series(1, len(en.embedding)),
+         |      i -> (en.embedding[i]::DOUBLE - centarr.ce[i])
+         |           * (en.embedding[i]::DOUBLE - centarr.ce[i])),
+         |      (x, y) -> x + y) AS cdist
+         |  FROM en CROSS JOIN centarr
+         |), ranked_cells AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdist, cell) AS crank
+         |  FROM celldist
+         |), assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ce_v, n AS cn, cell
+         |  FROM ranked_cells WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, n AS qn, cell
+         |  FROM ranked_cells WHERE crank <= 2 AND vec_id % 50 = 0
+         |), scored AS (
+         |  SELECT p.query_id, a.neighbor_id, a.cell,
+         |    ${DocsOracle.dotSql("p.qe", "a.ce_v")} / (p.qn * a.cn) AS cosine
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.neighbor_id <> p.query_id
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
+      """SELECT query_id, rank, neighbor_id, cosine, cell FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "ann_lsh_bucketed" -> emb(
       s"""${DocsOracle.embNorm("embeddings", 4)},

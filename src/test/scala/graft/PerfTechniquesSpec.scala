@@ -11,9 +11,20 @@ class PerfTechniquesSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join without a shuffle on the join key") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS fact_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")
+    // DROP on a fresh metastore doesn't clear a dir left by a previous
+    // JVM — remove the physical locations too
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("fact_b", "dim_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(d)
+      }
+    }
     val fact = (1L to 10000L).map(i => (i % 500, i, i * 1.5)).toDF("k", "id", "v")
     val dim = (0L until 500L).map(i => (i, s"name$i")).toDF("k", "name")
     fact.write.mode("overwrite").bucketBy(8, "k").saveAsTable("fact_b")
