@@ -61,6 +61,13 @@ object HourLoad {
       "total_amount DOUBLE, payment_type STRING, producer_ts TIMESTAMP_NTZ, " +
       "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ")
 
+  val dimVendorSchema: StructType = StructType.fromDDL(
+    "vendor_nk STRING, vendor_sk INT")
+
+  val factSchema: StructType = StructType.fromDDL(
+    "trip_id BIGINT, vendor_sk INT, pickup_date_key INT, fare_amount DOUBLE, " +
+      "tip_amount DOUBLE, total_amount DOUBLE, _runId STRING")
+
   val auditSchema: StructType = StructType.fromDDL(
     "run_id STRING, p_date STRING, p_hour STRING, files BIGINT, " +
       "rows_copied BIGINT, inserted BIGINT, updated BIGINT, total BIGINT")
@@ -69,6 +76,8 @@ object HourLoad {
     val stg: ParquetTable = ParquetTable(spark, s"$dir/stg_trips_streaming", stgSchema)
     val slice: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean_slice", coreSchema)
     val core: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean", coreSchema)
+    val dimVendor: ParquetTable = ParquetTable(spark, s"$dir/dim_vendor", dimVendorSchema)
+    val fact: ParquetTable = ParquetTable(spark, s"$dir/fact_trip", factSchema)
     val audit: ParquetTable = ParquetTable(spark, s"$dir/ingest_audit", auditSchema)
   }
 
@@ -134,6 +143,33 @@ object HourLoad {
     wh.core.overwrite(merged)
     val inserted = actions.getOrElse("inserted", 0L)
     val updated = actions.getOrElse("updated", 0L)
+
+    // usp_upsert_dims_from_slice_streaming: anti-join append of novel NKs
+    // (SKs continue after max; existing SKs never move)
+    // read from the slice table (not the merged-core plan — its source dir
+    // was just replaced by the overwrite above)
+    val sliceForMdl = wh.slice.read.filter(col("_runId") === runId)
+    val upsertedDim = graft.batch.StarModel.upsertDim(
+      wh.dimVendor.read, sliceForMdl, "vendor_id", "vendor_nk", "vendor_sk")
+    wh.dimVendor.overwrite(upsertedDim)
+
+    // usp_upsert_fact_trip_streaming: resolve SKs (broadcast dim,
+    // COALESCE -1 unknown) + update-then-insert merge on trip_id
+    val factStaged = sliceForMdl
+      .join(broadcast(wh.dimVendor.read),
+        sliceForMdl("vendor_id") === col("vendor_nk"), "left")
+      .select(col("trip_id"),
+        coalesce(col("vendor_sk"), lit(-1)).as("vendor_sk"),
+        (year(col("pickup_ts")) * 10000 + month(col("pickup_ts")) * 100 +
+          dayofmonth(col("pickup_ts"))).cast("int").as("pickup_date_key"),
+        col("fare_amount"), col("tip_amount"), col("total_amount"),
+        col("_runId"))
+    val factJoined = factStaged.as("s")
+      .join(wh.fact.read.as("t"), Seq("trip_id"), "full_outer")
+    val factMerged = factJoined.select(col("trip_id") +:
+      factSchema.fieldNames.filterNot(_ == "trip_id").map(c =>
+        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toSeq: _*)
+    wh.fact.overwrite(factMerged)
 
     // usp_purge_trip_clean_slice_streaming: post-success purge
     wh.slice.deleteWhere(col("_runId") === runId)

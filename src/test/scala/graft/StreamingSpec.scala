@@ -98,6 +98,19 @@ class StreamingSpec extends SparkSpec {
     // absent hour → zero result, no writes
     val skip = HourLoad.runHour(wh, dirs.curated, "1970-01-01", "00", "run-skip")
     assert(skip == HourLoad.HourResult(0, 0, 0, 0, 0))
+
+    // streaming star lane: fact tracks core exactly; dims carry unique,
+    // stable SKs; every fact FK resolved or -1
+    assert(wh.fact.read.count() == wh.core.read.count())
+    assert(wh.fact.read.select("trip_id").distinct().count() == wh.core.read.count())
+    val dims = wh.dimVendor.read.collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(dims.map(_._2).distinct.length == dims.length, "unique SKs")
+    assert(wh.fact.read.filter(col("vendor_sk") < -1).count() == 0)
+    val factFare = wh.fact.read.agg(sum(col("fare_amount").cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0)
+    val coreFare = wh.core.read.agg(sum(col("fare_amount").cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0)
+    assert(factFare.compareTo(coreFare) == 0, "fare reconciles core vs fact")
   }
 
   test("backfill range re-runs are no-ops on core") {
