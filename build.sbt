@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession; concurrent suites let a streaming query
+// die inside another suite's teardown window without failing anything
+// (round-1 false-green). Serial execution keeps stream lifecycles owned
+// by exactly one running suite.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

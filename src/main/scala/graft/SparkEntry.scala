@@ -37,6 +37,11 @@ object SparkEntry {
     // task-side commit renames: hourly sinks write hundreds of partition
     // dirs, v1's sequential driver-side rename dominates the write
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // Checkpoint-file checksumming adds an async write+validate round trip
+    // per state-store delta/metadata file; on a posix-rename lake the
+    // rename-based commit is already atomic, so skip the extra IO (it
+    // dominates micro-batch latency for small stateful batches).
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline KPI (README_modeling.md §7): trips / total

@@ -1,43 +1,101 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
 /** A minimal dir-backed managed table (no Delta in this environment —
   * SURVEY §7.4 hard-part 3): plain Parquet with append / overwrite /
-  * delete-where / merge primitives.
+  * delete-where / partition-scoped merge primitives.
   *
-  * Mutations (`deleteWhere`, overwrite-rebuild merges) rewrite via a temp
-  * dir + atomic-ish rename, mirroring the reference notebook's tmp-dir +
-  * rename commit (nb_convert_parquet_to_snappy cells 3-5). At 100 TB the
-  * same call sites swap to Delta/Iceberg `MERGE`/`DELETE`; the engine's
-  * semantics (idempotent keys, run-scoped slices) don't change.
+  * `partitionCols` (optional, single level is all the engine needs) makes
+  * the table hive-partitioned: appends and overwrites lay out
+  * `col=value/` dirs, [[overwritePartitions]] is a *dynamic* partition
+  * overwrite (only the partitions present in the incoming frame are
+  * replaced — the O(slice) merge commit the hourly lane needs at 100 TB),
+  * and [[dropPartitions]] deletes whole partition dirs without a rewrite
+  * (retention purge). At 100 TB the same call sites swap to Delta/Iceberg
+  * `MERGE`/`DELETE`; the engine's semantics (idempotent keys, run-scoped
+  * slices) don't change.
+  *
+  * Full-table [[overwrite]] is crash-safe: the staged dir is written
+  * first, the live dir is renamed aside to `dir._bak`, the staged dir is
+  * renamed in, and the backup is deleted last. A crash between the two
+  * renames leaves `._bak` in place and [[read]] restores it — the table
+  * never silently reads as empty after it has been written once.
   */
-final case class ParquetTable(spark: SparkSession, dir: String, schema: StructType) {
+final case class ParquetTable(spark: SparkSession, dir: String, schema: StructType,
+                              partitionCols: Seq[String] = Nil) {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val bakPath = new Path(dir + "._bak")
+
   def exists: Boolean = fs.exists(new Path(dir))
 
-  def read: DataFrame =
+  def read: DataFrame = {
+    if (!exists && fs.exists(bakPath)) fs.rename(bakPath, new Path(dir)) // crash recovery
     if (exists) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
-  def append(df: DataFrame): Unit =
-    df.select(schema.fieldNames.map(col): _*).write.mode(SaveMode.Append).parquet(dir)
-
-  def overwrite(df: DataFrame): Unit = {
-    // write to a sibling tmp dir first, then swap — never read+overwrite
-    // the same files in one job
-    val tmp = dir + "._staged"
-    df.select(schema.fieldNames.map(col): _*).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new Path(dir)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new Path(tmp), target)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** DELETE WHERE cond (rewrite). */
-  def deleteWhere(cond: Column): Unit = if (exists) overwrite(read.filter(!cond))
+  private def writer(df: DataFrame, mode: SaveMode) = {
+    val w = df.select(schema.fieldNames.map(col).toSeq: _*).write.mode(mode)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
+  def append(df: DataFrame): Unit = writer(df, SaveMode.Append).parquet(dir)
+
+  /** Full-table rebuild via staged dir + backup-aside rename (see class
+    * doc). Only correct use at scale: tiny tables (dims) and test rigs. */
+  def overwrite(df: DataFrame): Unit = {
+    val tmp = new Path(dir + "._staged")
+    writer(df, SaveMode.Overwrite).parquet(tmp.toString)
+    val target = new Path(dir)
+    if (fs.exists(bakPath)) fs.delete(bakPath, true) // stale backup from a crash-after-swap
+    if (fs.exists(target)) fs.rename(target, bakPath)
+    fs.rename(tmp, target)
+    fs.delete(bakPath, true)
+  }
+
+  /** Dynamic partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaves every other partition's files untouched on disk. This is
+    * the O(touched-slice) commit for the hourly merge — the whole-table
+    * rename dance above is never paid. */
+  def overwritePartitions(df: DataFrame): Unit = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    writer(df, SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+  }
+
+  /** Hive-style partition directories currently on disk, as
+    * (rawDirValue, path) — `__HIVE_DEFAULT_PARTITION__` is the null slot. */
+  def partitions: Seq[(String, Path)] = {
+    require(partitionCols.size == 1, s"$dir: single-level partitioning only")
+    if (!exists) Seq.empty
+    else fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCols.head + "="))
+      .map(s => (s.getPath.getName.stripPrefix(partitionCols.head + "="), s.getPath))
+  }
+
+  /** Drop whole partitions (metadata-only delete, no rewrite): removes
+    * every partition dir whose *decoded string value* satisfies `keep ==
+    * false`. Null partitions (`__HIVE_DEFAULT_PARTITION__`) are passed to
+    * the predicate as None. Returns the dropped partition values. */
+  def dropPartitions(drop: Option[String] => Boolean): Seq[String] = {
+    val dropped = partitions.filter { case (v, _) =>
+      val decoded = java.net.URLDecoder.decode(v, "UTF-8")
+      drop(if (decoded == "__HIVE_DEFAULT_PARTITION__") None else Some(decoded))
+    }
+    dropped.foreach { case (_, p) => fs.delete(p, true) }
+    dropped.map(_._1)
+  }
+
+  /** DELETE WHERE cond (rewrite; null-valued conditions keep the row,
+    * matching SQL DELETE semantics). */
+  def deleteWhere(cond: Column): Unit =
+    if (exists) overwrite(read.filter(not(coalesce(cond, lit(false)))))
 }

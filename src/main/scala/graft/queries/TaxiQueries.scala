@@ -222,12 +222,18 @@ object TaxiQueries {
       val target = f.filter(col("ingest_date") < "1997-01-01")
       val staged = f.filter(col("ingest_date").between("1996-06-01", "1997-12-31"))
         .withColumn("total_amount", col("total_amount") + 1.0)
-      val merged = staged.as("s").join(target.as("t"), Seq("trip_id"), "full_outer")
+      // Existence from explicit per-side markers, matched rows take ALL
+      // source columns (reference UPDATE-all-columns semantics, ref
+      // usp_upsert_trip_clean_from_slice_streaming.sql:37-44).
+      val sEx = col("_s_exists").isNotNull
+      val tEx = col("_t_exists").isNotNull
+      val merged = staged.withColumn("_s_exists", lit(true)).as("s")
+        .join(target.withColumn("_t_exists", lit(true)).as("t"),
+          Seq("trip_id"), "full_outer")
         .select(col("trip_id"),
-          coalesce(col("s.fare_amount"), col("t.fare_amount")).as("fare_amount"),
-          coalesce(col("s.total_amount"), col("t.total_amount")).as("total_amount"),
-          when(col("s.fare_amount").isNotNull && col("t.fare_amount").isNotNull, "updated")
-            .when(col("s.fare_amount").isNotNull, "inserted")
+          when(sEx, col("s.fare_amount")).otherwise(col("t.fare_amount")).as("fare_amount"),
+          when(sEx, col("s.total_amount")).otherwise(col("t.total_amount")).as("total_amount"),
+          when(sEx && tEx, "updated").when(sEx, "inserted")
             .otherwise("unchanged").as("merge_action"))
       merged.orderBy("trip_id")
     }),
@@ -593,10 +599,12 @@ object TaxiQueries {
         |  WHERE ingest_date BETWEEN DATE '1996-06-01' AND DATE '1997-12-31'
         |)""".stripMargin,
       """SELECT coalesce(s.trip_id, t.trip_id) AS trip_id,
-        |  coalesce(s.fare_amount, t.fare_amount) AS fare_amount,
-        |  coalesce(s.total_amount, t.total_amount) AS total_amount,
-        |  CASE WHEN s.fare_amount IS NOT NULL AND t.fare_amount IS NOT NULL THEN 'updated'
-        |       WHEN s.fare_amount IS NOT NULL THEN 'inserted'
+        |  CASE WHEN s.trip_id IS NOT NULL THEN s.fare_amount ELSE t.fare_amount END
+        |    AS fare_amount,
+        |  CASE WHEN s.trip_id IS NOT NULL THEN s.total_amount ELSE t.total_amount END
+        |    AS total_amount,
+        |  CASE WHEN s.trip_id IS NOT NULL AND t.trip_id IS NOT NULL THEN 'updated'
+        |       WHEN s.trip_id IS NOT NULL THEN 'inserted'
         |       ELSE 'unchanged' END AS merge_action
         |FROM staged s FULL OUTER JOIN target t ON s.trip_id = t.trip_id
         |ORDER BY trip_id""".stripMargin),

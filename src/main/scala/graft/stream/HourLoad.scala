@@ -13,11 +13,34 @@ import graft.ops.ParquetTable
   *
   * Per completed hour: check the folder exists (skip if absent) → per-file
   * idempotent staging load (DELETE by `_blobPath` then append, ref
-  * 0005_delete.sql) → run-scoped slice rebuild with the deterministic
-  * hash64 trip id + winner-pick dedupe → update-then-insert merge into
-  * `core_trip_clean` keyed on trip_id, returning (inserted, updated,
-  * total) (the documented contract of usp_upsert_fact_trip_streaming) →
-  * slice purge → audit row.
+  * 0005_delete.sql) with one audit row per copied blob (ref
+  * 0006_LogSuccess.sql:3-17) → run-scoped slice rebuild with the
+  * deterministic hash64 trip id + winner-pick dedupe → update-then-insert
+  * merge into `core_trip_clean` keyed on trip_id, returning (inserted,
+  * updated, total) (the documented contract of
+  * usp_upsert_fact_trip_streaming) → slice purge → audit rows.
+  *
+  * Scale design — the merge is PARTITION-SCOPED, O(hour) not O(table):
+  * `core_trip_clean` is hive-partitioned by `pickup_date` and `fact_trip`
+  * by `pickup_date_key`, and each hourly merge (a) reads only the target
+  * partitions whose dates appear in the slice (partition-pruned scan),
+  * (b) full-outer-joins the slice against just that subset, and (c)
+  * commits via *dynamic partition overwrite* — untouched date partitions
+  * are never read or rewritten. The partition key is `pickup_date` rather
+  * than the reference's `ingest_date` column because the merge key
+  * `trip_id` hashes `event_id|pickupISO|dropoffISO`
+  * (usp_upsert_trips_from_streaming.sql:14-16): pickup_date is
+  * functionally determined by the key, so a replayed or late-duplicated
+  * trip always lands in the SAME partition and the scoped merge is exactly
+  * as correct as a whole-table merge. `ingest_date` (wall-clock, ref
+  * usp_upsert_trips_from_streaming.sql:35) is carried as a plain column
+  * for lineage and retention.
+  *
+  * Merge semantics follow the reference UPDATE-all-columns contract
+  * (usp_upsert_trip_clean_from_slice_streaming.sql:37-44): row existence
+  * comes from explicit join-side markers, and a matched row takes EVERY
+  * column from the source — a NULL in a re-delivered source row DOES
+  * overwrite the target value, never mixes the two rows.
   *
   * Replays/backfills are absorbed by the deterministic key: re-running any
   * hour is a no-op on `core` (tests assert this). `runRange` is the
@@ -54,35 +77,87 @@ object HourLoad {
       "payment_type STRING, producer_ts TIMESTAMP_NTZ, " +
       "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ")
 
+  /** Core columns: staging + trip_id + ingest_date (lineage/retention, ref
+    * usp_upsert_trips_from_streaming.sql:35) + pickup_date (the partition
+    * key — see class doc). */
   val coreSchema: StructType = StructType.fromDDL(
     "trip_id BIGINT, event_id BIGINT, vendor_id STRING, " +
       "pickup_ts TIMESTAMP_NTZ, dropoff_ts TIMESTAMP_NTZ, passenger_count BIGINT, " +
       "trip_distance DOUBLE, fare_amount DOUBLE, tip_amount DOUBLE, " +
       "total_amount DOUBLE, payment_type STRING, producer_ts TIMESTAMP_NTZ, " +
-      "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ")
+      "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ, " +
+      "ingest_date DATE, pickup_date DATE")
 
   val dimVendorSchema: StructType = StructType.fromDDL(
     "vendor_nk STRING, vendor_sk INT")
 
   val factSchema: StructType = StructType.fromDDL(
-    "trip_id BIGINT, vendor_sk INT, pickup_date_key INT, fare_amount DOUBLE, " +
-      "tip_amount DOUBLE, total_amount DOUBLE, _runId STRING")
+    "trip_id BIGINT, vendor_sk INT, fare_amount DOUBLE, " +
+      "tip_amount DOUBLE, total_amount DOUBLE, _runId STRING, " +
+      "pickup_date_key INT")
 
   val auditSchema: StructType = StructType.fromDDL(
     "run_id STRING, p_date STRING, p_hour STRING, files BIGINT, " +
       "rows_copied BIGINT, inserted BIGINT, updated BIGINT, total BIGINT")
 
+  /** Per-blob ingest audit (ref stg.usp_log_ingest,
+    * sql/streaming/staging/0006_LogSuccess.sql:3-17 + 0004_Audit_table.sql):
+    * one row per copied file so file-level forensics ("which blob
+    * double-loaded?") stay reconstructable. */
+  val fileAuditSchema: StructType = StructType.fromDDL(
+    "run_id STRING, p_date STRING, p_hour STRING, blob_path STRING, " +
+      "rows_copied BIGINT, status STRING")
+
   final case class Warehouse(spark: SparkSession, dir: String) {
     val stg: ParquetTable = ParquetTable(spark, s"$dir/stg_trips_streaming", stgSchema)
     val slice: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean_slice", coreSchema)
-    val core: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean", coreSchema)
+    val core: ParquetTable =
+      ParquetTable(spark, s"$dir/core_trip_clean", coreSchema, Seq("pickup_date"))
     val dimVendor: ParquetTable = ParquetTable(spark, s"$dir/dim_vendor", dimVendorSchema)
-    val fact: ParquetTable = ParquetTable(spark, s"$dir/fact_trip", factSchema)
+    val fact: ParquetTable =
+      ParquetTable(spark, s"$dir/fact_trip", factSchema, Seq("pickup_date_key"))
     val audit: ParquetTable = ParquetTable(spark, s"$dir/ingest_audit", auditSchema)
+    val fileAudit: ParquetTable =
+      ParquetTable(spark, s"$dir/ingest_file_audit", fileAuditSchema)
   }
 
   final case class HourResult(files: Long, rowsCopied: Long, inserted: Long,
                               updated: Long, total: Long)
+
+  /** Update-then-insert merge of `staged` into the partitions of `target`
+    * that share `staged`'s values of `partCol` (all on `trip_id`).
+    * Returns (inserted, updated) and commits via dynamic partition
+    * overwrite — untouched partitions are never read or written.
+    *
+    * Column semantics: explicit existence markers per join side; a matched
+    * row takes every column from the source (reference UPDATE-all-columns,
+    * usp_upsert_trip_clean_from_slice_streaming.sql:37-44). */
+  private def scopedMerge(table: ParquetTable, staged: DataFrame,
+                          partCol: String): (Long, Long) = {
+    val partVals = staged.select(partCol).distinct().collect().map(_.get(0))
+    val nonNull = partVals.filter(_ != null)
+    val hasNull = partVals.exists(_ == null)
+    val prune0 = if (nonNull.nonEmpty) col(partCol).isin(nonNull.toSeq: _*) else lit(false)
+    val prune = if (hasNull) prune0 || col(partCol).isNull else prune0
+    val target = table.read.filter(prune) // partition-pruned target subset
+
+    val sEx = col("s._s_exists").isNotNull
+    val tEx = col("t._t_exists").isNotNull
+    val joined = staged.withColumn("_s_exists", lit(true)).as("s")
+      .join(target.withColumn("_t_exists", lit(true)).as("t"),
+        col("s.trip_id") === col("t.trip_id"), "full_outer")
+      .persist()
+    val merged = joined.select(
+      coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
+        table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
+          when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
+    val actions = joined.select(
+      when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
+      .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    table.overwritePartitions(merged)
+    joined.unpersist()
+    (actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L))
+  }
 
   /** Load one completed hour. Returns the merge counts; zero result (and
     * no writes) if the hour folder is absent. */
@@ -112,11 +187,14 @@ object HourLoad {
       lit(runId).as("_runId"),
       col("_blobPath"),
       current_timestamp().cast("timestamp_ntz").as("_ingestedAt"))
-    val blobs = typed.select("_blobPath").distinct().collect().map(_.getString(0))
+    // one job yields the blob list AND the per-blob counts (lineage_inject)
+    val perBlob = typed.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val blobs = perBlob.map(_._1)
     val files = blobs.length.toLong
+    val rowsCopied = perBlob.map(_._2).sum
     wh.stg.deleteWhere(col("_blobPath").isin(blobs.toSeq: _*))
     wh.stg.append(typed)
-    val rowsCopied = typed.count()
 
     // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id, dedupe
     val staged = wh.stg.read.filter(col("_runId") === runId)
@@ -125,51 +203,36 @@ object HourLoad {
       .orderBy(col("producer_ts").desc, col("_ingestedAt").desc, col("_blobPath").desc)
     val sliceDf = staged.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+      .withColumn("ingest_date", col("_ingestedAt").cast("date"))
+      .withColumn("pickup_date", to_date(col("pickup_ts")))
     wh.slice.deleteWhere(col("_runId") === runId)
     wh.slice.append(sliceDf)
 
-    // usp_upsert_trip_clean_from_slice_streaming: update-then-insert merge
-    val target = wh.core.read
+    // usp_upsert_trip_clean_from_slice_streaming: partition-scoped
+    // update-then-insert merge (see class doc)
     val stagedSlice = wh.slice.read.filter(col("_runId") === runId)
-    val joined = stagedSlice.as("s")
-      .join(target.as("t"), Seq("trip_id"), "full_outer")
-    val merged = joined.select(col("trip_id") +:
-      coreSchema.fieldNames.filterNot(_ == "trip_id").map(c =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toSeq: _*)
-    val actions = joined.select(
-      when(col("s.event_id").isNotNull && col("t.event_id").isNotNull, "updated")
-        .when(col("s.event_id").isNotNull, "inserted").otherwise("unchanged").as("a"))
-      .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    wh.core.overwrite(merged)
-    val inserted = actions.getOrElse("inserted", 0L)
-    val updated = actions.getOrElse("updated", 0L)
+    val (inserted, updated) = scopedMerge(wh.core, stagedSlice, "pickup_date")
 
     // usp_upsert_dims_from_slice_streaming: anti-join append of novel NKs
-    // (SKs continue after max; existing SKs never move)
-    // read from the slice table (not the merged-core plan — its source dir
-    // was just replaced by the overwrite above)
+    // (SKs continue after max; existing SKs never move). Dim is tiny —
+    // full overwrite is the right commit.
     val sliceForMdl = wh.slice.read.filter(col("_runId") === runId)
     val upsertedDim = graft.batch.StarModel.upsertDim(
       wh.dimVendor.read, sliceForMdl, "vendor_id", "vendor_nk", "vendor_sk")
     wh.dimVendor.overwrite(upsertedDim)
 
     // usp_upsert_fact_trip_streaming: resolve SKs (broadcast dim,
-    // COALESCE -1 unknown) + update-then-insert merge on trip_id
+    // COALESCE -1 unknown) + the same partition-scoped merge on trip_id
     val factStaged = sliceForMdl
       .join(broadcast(wh.dimVendor.read),
         sliceForMdl("vendor_id") === col("vendor_nk"), "left")
       .select(col("trip_id"),
         coalesce(col("vendor_sk"), lit(-1)).as("vendor_sk"),
-        (year(col("pickup_ts")) * 10000 + month(col("pickup_ts")) * 100 +
-          dayofmonth(col("pickup_ts"))).cast("int").as("pickup_date_key"),
         col("fare_amount"), col("tip_amount"), col("total_amount"),
-        col("_runId"))
-    val factJoined = factStaged.as("s")
-      .join(wh.fact.read.as("t"), Seq("trip_id"), "full_outer")
-    val factMerged = factJoined.select(col("trip_id") +:
-      factSchema.fieldNames.filterNot(_ == "trip_id").map(c =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toSeq: _*)
-    wh.fact.overwrite(factMerged)
+        col("_runId"),
+        (year(col("pickup_ts")) * 10000 + month(col("pickup_ts")) * 100 +
+          dayofmonth(col("pickup_ts"))).cast("int").as("pickup_date_key"))
+    scopedMerge(wh.fact, factStaged, "pickup_date_key")
 
     // usp_purge_trip_clean_slice_streaming: post-success purge
     wh.slice.deleteWhere(col("_runId") === runId)
@@ -178,6 +241,10 @@ object HourLoad {
     import spark.implicits._
     wh.audit.append(Seq((runId, date, hour, files, rowsCopied, inserted, updated,
       res.total)).toDF(auditSchema.fieldNames.toSeq: _*))
+    // per-blob audit rows (stg.usp_log_ingest: one 'Succeeded' row per file)
+    wh.fileAudit.append(perBlob.toSeq
+      .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
+      .toDF(fileAuditSchema.fieldNames.toSeq: _*))
     res
   }
 

@@ -114,16 +114,25 @@ object StreamTransforms {
     * ref README.md "Key design choices"): full-outer on trip_id; returns
     * the merged frame with a `merge_action` column so callers can derive
     * (inserted, updated, total) — the counts contract of
-    * usp_upsert_fact_trip_streaming (SURVEY §3.3 divergence note). */
+    * usp_upsert_fact_trip_streaming (SURVEY §3.3 divergence note).
+    *
+    * Row existence comes from explicit per-side markers (never from a
+    * value column's nullness), and a matched row takes EVERY column from
+    * the source — the reference's UPDATE-all-columns semantics
+    * (usp_upsert_trip_clean_from_slice_streaming.sql:37-44): a NULL in a
+    * re-delivered source row overwrites the target value. */
   def mergeByTripId(target: DataFrame, staged: DataFrame,
                     valueCols: Seq[String]): DataFrame = {
-    val s = staged.select((Seq(col("trip_id")) ++ valueCols.map(c => col(c).as(s"s_$c"))): _*)
-    val t = target.select((Seq(col("trip_id")) ++ valueCols.map(c => col(c).as(s"t_$c"))): _*)
+    val s = staged.select(Seq(col("trip_id"), lit(true).as("_s_exists")) ++
+      valueCols.map(c => col(c).as(s"s_$c")): _*)
+    val t = target.select(Seq(col("trip_id"), lit(true).as("_t_exists")) ++
+      valueCols.map(c => col(c).as(s"t_$c")): _*)
     val merged = s.join(t, Seq("trip_id"), "full_outer")
-    val out = valueCols.map(c => coalesce(col(s"s_$c"), col(s"t_$c")).as(c))
+    val sEx = col("_s_exists").isNotNull
+    val tEx = col("_t_exists").isNotNull
+    val out = valueCols.map(c => when(sEx, col(s"s_$c")).otherwise(col(s"t_$c")).as(c))
     merged.select((Seq(col("trip_id")) ++ out :+
-      when(col(s"s_${valueCols.head}").isNotNull && col(s"t_${valueCols.head}").isNotNull, "updated")
-        .when(col(s"s_${valueCols.head}").isNotNull, "inserted")
+      when(sEx && tEx, "updated").when(sEx, "inserted")
         .otherwise("unchanged").as("merge_action")): _*)
   }
 }

@@ -33,25 +33,38 @@ object WindowedStats {
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("sink"), col("events"))
 
-  final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double)
+  final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double,
+                              producer_ts: java.sql.Timestamp)
 
   /** Streaming first-wins dedupe by deterministic key: state = "seen"
-    * flag per trip_id with a processing-time TTL (the streaming analog of
+    * flag per trip_id with an EVENT-TIME TTL (the streaming analog of
     * `win_dedupe_stream`; replays in later micro-batches emit nothing).
-    * TTL bounds state growth — pick it ≥ the replay horizon. */
+    *
+    * The TTL is watermark-driven, not wall-clock: a key's state expires
+    * once the watermark passes `producer_ts + ttl`, so (a) state size is
+    * bounded by the replay horizon regardless of stream volume, (b)
+    * expiry is deterministic and replayable — the same input always
+    * dedupes the same way, and (c) bounded replays (Trigger.AvailableNow
+    * backfills) terminate: a processing-time TTL would keep the query
+    * alive firing empty maintenance micro-batches until wall-clock timers
+    * lapse (observed: hundreds of empty batches), where an event-time
+    * timer fires as soon as the data itself moves the watermark past it. */
   def dedupeByTripId(events: Dataset[KeyedEvent],
-                     ttl: String = "2 hours"): Dataset[KeyedEvent] = {
+                     ttl: java.time.Duration = java.time.Duration.ofHours(2)): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.trip_id)
+    events
+      .withWatermark("producer_ts", "0 seconds")
+      .groupByKey(_.trip_id)
       .flatMapGroupsWithState[Boolean, KeyedEvent](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, rows: Iterator[KeyedEvent], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) Iterator.empty // replay of a seen key
           else {
+            val first = rows.next() // first occurrence wins
             state.update(true)
-            state.setTimeoutDuration(ttl)
-            rows.take(1) // first occurrence wins
+            state.setTimeoutTimestamp(first.producer_ts.getTime + ttl.toMillis)
+            Iterator.single(first)
           }
       }
   }

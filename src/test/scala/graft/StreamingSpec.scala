@@ -1,6 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -11,6 +14,19 @@ import graft.stream.{HourLoad, Ingest}
   * 3-way routed hourly sinks, then the warehouse hour micro-batch with
   * idempotent re-runs (SURVEY §3.2/§3.3). */
 class StreamingSpec extends SparkSpec {
+
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop()) // never leave a query running
+    super.afterAll()
+  }
+
+  /** awaitTermination that fails loudly: the query must finish within the
+    * timeout AND terminate without an exception (a query that dies during
+    * teardown must fail the suite, not pass silently). */
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(q.awaitTermination(120000), s"stream ${q.name} finished in time")
+    assert(q.exception.isEmpty, s"stream ${q.name} terminated cleanly: ${q.exception}")
+  }
 
   private def lake(): (String, Ingest.LakeDirs) = {
     val base = tmpDir("graft_lake")
@@ -26,13 +42,36 @@ class StreamingSpec extends SparkSpec {
     env.count()
   }
 
+  /** Populated (p_date, p_hour) pairs of a curated lake, ordered. */
+  private def curatedHours(dirs: Ingest.LakeDirs): Seq[(String, String)] =
+    spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
+        regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
+      .distinct().orderBy("d", "h").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** md5-per-file snapshot of every data file under `dir`, keyed by
+    * relative path — byte-identical comparison for partition dirs. */
+  private def snapshot(dir: String): Map[String, String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Map.empty
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val md = MessageDigest.getInstance("MD5")
+        md.update(Files.readAllBytes(p))
+        root.relativize(p).toString -> md.digest().map("%02x".format(_)).mkString
+      }.toMap
+  }
+
   test("ingest stream: 3-way fan-out with hourly partitions, counts conserve") {
     val (base, dirs) = lake()
     val input = s"$base/landing"
     val total = landEnvelopes(input)
 
     val q = Ingest.start(spark, input, dirs)
-    q.awaitTermination(120000)
+    awaitDone(q)
 
     val raw = spark.read.text(dirs.raw).count()
     val curated = spark.read.schema(HourLoad.curatedReadSchema)
@@ -57,15 +96,11 @@ class StreamingSpec extends SparkSpec {
     val (base, dirs) = lake()
     val input = s"$base/landing"
     landEnvelopes(input)
-    Ingest.start(spark, input, dirs).awaitTermination(120000)
+    awaitDone(Ingest.start(spark, input, dirs))
 
     val wh = HourLoad.Warehouse(spark, s"$base/wh")
     // pick the first two populated hours of the curated lake
-    val hours = spark.read.schema(HourLoad.curatedReadSchema)
-      .option("header", "false").csv(dirs.curated)
-      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
-        regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
-      .distinct().orderBy("d", "h").collect().map(r => (r.getString(0), r.getString(1)))
+    val hours = curatedHours(dirs)
     assert(hours.length >= 2)
     val (d1, h1) = hours(0)
     val (d2, h2) = hours(1)
@@ -95,6 +130,17 @@ class StreamingSpec extends SparkSpec {
     assert(wh.audit.read.filter(col("run_id") === s"rerun-$d1-$h1")
       .select("updated").collect()(0).getLong(0) == r1.inserted)
 
+    // per-blob ingest audit (stg.usp_log_ingest): one row per copied file,
+    // rows reconcile with the hour totals, file-level forensics survive
+    val fa1 = wh.fileAudit.read.filter(col("run_id") === s"run-$d1-$h1")
+    assert(fa1.count() == r1.files, "one audit row per blob")
+    assert(fa1.select("blob_path").distinct().count() == r1.files)
+    assert(fa1.agg(sum("rows_copied")).collect()(0).getLong(0) == r1.rowsCopied)
+    assert(fa1.filter(col("status") =!= "Succeeded").count() == 0)
+    // the replay logs its own per-blob rows (double-load is visible)
+    assert(wh.fileAudit.read.filter(col("run_id") === s"rerun-$d1-$h1")
+      .count() == r1b.files)
+
     // absent hour → zero result, no writes
     val skip = HourLoad.runHour(wh, dirs.curated, "1970-01-01", "00", "run-skip")
     assert(skip == HourLoad.HourResult(0, 0, 0, 0, 0))
@@ -113,11 +159,52 @@ class StreamingSpec extends SparkSpec {
     assert(factFare.compareTo(coreFare) == 0, "fare reconciles core vs fact")
   }
 
+  test("partition-scoped merge: untouched date partitions stay byte-identical") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    awaitDone(Ingest.start(spark, input, dirs))
+
+    val wh = HourLoad.Warehouse(spark, s"$base/wh")
+    val hours = curatedHours(dirs)
+    // two hours from DIFFERENT dates so their pickup_date partition sets
+    // are (mostly) disjoint — the second load must not rewrite the first's
+    val (d1, h1) = hours.head
+    val (d2, h2) = hours.find(_._1 != d1)
+      .getOrElse(fail("fixture lake spans a single date"))
+
+    HourLoad.runHour(wh, dirs.curated, d1, h1, s"run-$d1-$h1")
+    val before = snapshot(s"$base/wh/core_trip_clean")
+    assert(before.nonEmpty)
+
+    // partitions hour 2 will touch = its slice's pickup dates
+    HourLoad.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
+    val touched = wh.core.read
+      .filter(col("_runId") === s"run-$d2-$h2")
+      .select(col("pickup_date").cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      .toSet
+    val after = snapshot(s"$base/wh/core_trip_clean")
+
+    val untouchedFiles = before.keySet.filter { rel =>
+      !touched.exists(d => rel.startsWith(s"pickup_date=$d/"))
+    }
+    assert(untouchedFiles.nonEmpty,
+      s"fixture must leave ≥1 untouched partition (touched=$touched)")
+    untouchedFiles.foreach { rel =>
+      assert(after.get(rel).contains(before(rel)),
+        s"untouched partition file $rel was rewritten")
+    }
+
+    // and the merge itself stayed correct across the two loads
+    assert(wh.core.read.select("trip_id").distinct().count() == wh.core.read.count())
+  }
+
   test("backfill range re-runs are no-ops on core") {
     val (base, dirs) = lake()
     val input = s"$base/landing"
     landEnvelopes(input)
-    Ingest.start(spark, input, dirs).awaitTermination(120000)
+    awaitDone(Ingest.start(spark, input, dirs))
 
     val wh = HourLoad.Warehouse(spark, s"$base/wh")
     val firstDate = spark.read.schema(HourLoad.curatedReadSchema)

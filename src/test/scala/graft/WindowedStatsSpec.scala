@@ -10,6 +10,19 @@ import graft.stream.{StreamTransforms, WindowedStats}
   * flatMapGroupsWithState dedupe, driven through a real file stream. */
 class WindowedStatsSpec extends SparkSpec {
 
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop()) // never leave a query running
+    super.afterAll()
+  }
+
+  /** awaitTermination that fails loudly: the query must finish within the
+    * timeout AND terminate without an exception — a query that dies during
+    * teardown (the round-1 deduped_stream NPE) must fail the suite. */
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(q.awaitTermination(120000), s"stream ${q.name} finished in time")
+    assert(q.exception.isEmpty, s"stream ${q.name} terminated cleanly: ${q.exception}")
+  }
+
   test("hourlyQualityCounts: streaming windowed agg equals the batch answer") {
     val base = tmpDir("graft_winagg")
     val input = s"$base/landing"
@@ -26,7 +39,7 @@ class WindowedStatsSpec extends SparkSpec {
     val q = WindowedStats.hourlyQualityCounts(routedOf(stream))
       .writeStream.format("memory").queryName("win_counts")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
 
     val got = spark.table("win_counts")
       .select("hour_start", "sink", "events")
@@ -43,35 +56,68 @@ class WindowedStatsSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty, "emitted windows match batch")
   }
 
-  test("dedupeByTripId: replays across micro-batches emit nothing") {
+  /** Streaming dedupe rig: CSV lines `trip_id,event_id,fare,ts` landed as
+    * files (one micro-batch per file via maxFilesPerTrigger=1), through
+    * [[WindowedStats.dedupeByTripId]] into a memory sink. */
+  private def runDedupe(input: String, queryName: String,
+                        ttl: java.time.Duration): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val base = tmpDir("graft_statededupe")
-    val input = s"$base/in"
-    // two landed files; maxFilesPerTrigger=1 forces them into separate
-    // micro-batches of ONE query run, so suppression crosses batch
-    // boundaries through the operator's state
-    Seq.tabulate(100)(i => s"${i + 1},${i + 1},10.0").toDF("v")
-      .coalesce(1).write.mode("overwrite").text(input)
-    (Seq.tabulate(50)(i => s"${i + 1},${i + 1001},99.0") ++
-      Seq.tabulate(20)(i => s"${i + 101},${i + 101},10.0"))
-      .toDF("v").coalesce(1).write.mode("append").text(input)
-
     val q0 = spark.readStream.schema("v STRING")
       .option("maxFilesPerTrigger", 1).text(input)
       .select(split(col("v"), ",").as("p"))
       .select(col("p")(0).cast("long").as("trip_id"),
         col("p")(1).cast("long").as("event_id"),
-        col("p")(2).cast("double").as("fare_amount"))
+        col("p")(2).cast("double").as("fare_amount"),
+        col("p")(3).cast("timestamp").as("producer_ts"))
       .as[WindowedStats.KeyedEvent]
-    WindowedStats.dedupeByTripId(q0)
-      .writeStream.format("memory").queryName("deduped_stream")
+    val q = WindowedStats.dedupeByTripId(q0, ttl)
+      .writeStream.format("memory").queryName(queryName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start().awaitTermination(120000)
+      .start()
+    awaitDone(q)
+    spark.table(queryName)
+  }
 
-    val rows = spark.table("deduped_stream")
+  private def land(input: String, mode: String, lines: Seq[String]): Unit = {
+    import spark.implicits._
+    lines.toDF("v").coalesce(1).write.mode(mode).text(input)
+    Thread.sleep(20) // distinct mtimes keep the file-source batch order stable
+  }
+
+  test("dedupeByTripId: replays across micro-batches emit nothing") {
+    val base = tmpDir("graft_statededupe")
+    val input = s"$base/in"
+    val t0 = "2024-01-01 00:00:00"
+    // two landed files; maxFilesPerTrigger=1 forces them into separate
+    // micro-batches of ONE query run, so suppression crosses batch
+    // boundaries through the operator's state
+    land(input, "overwrite", Seq.tabulate(100)(i => s"${i + 1},${i + 1},10.0,$t0"))
+    land(input, "append", Seq.tabulate(50)(i => s"${i + 1},${i + 1001},99.0,$t0") ++
+      Seq.tabulate(20)(i => s"${i + 101},${i + 101},10.0,$t0"))
+
+    val rows = runDedupe(input, "deduped_stream", java.time.Duration.ofHours(2))
     assert(rows.count() == 120, "50 replays suppressed, 20 novel emitted")
     assert(rows.select("trip_id").distinct().count() == 120,
       "each trip id surfaced exactly once")
+  }
+
+  test("dedupeByTripId: event-time TTL expires state — late replay re-emits") {
+    val base = tmpDir("graft_statededupe_ttl")
+    val input = s"$base/in"
+    // TTL = 1h of EVENT time. Batches: (1) id 1 @00:00 emits, timer 01:00;
+    // (2) id 999 @03:00 emits + advances the watermark to 03:00;
+    // (3) id 998 @03:00 emits, id 1's timer fires (03:00 > 01:00), state
+    //     drops; (4) id 1 replay @03:30 finds no state → re-emitted.
+    land(input, "overwrite", Seq("1,1,10.0,2024-01-01 00:00:00"))
+    land(input, "append", Seq("999,999,1.0,2024-01-01 03:00:00"))
+    land(input, "append", Seq("998,998,1.0,2024-01-01 03:00:00"))
+    land(input, "append", Seq("1,2001,99.0,2024-01-01 03:30:00"))
+
+    val rows = runDedupe(input, "deduped_ttl_stream", java.time.Duration.ofHours(1))
+    assert(rows.count() == 4, "3 uniques + 1 beyond-TTL re-emission")
+    assert(rows.filter(col("trip_id") === 1).count() == 2,
+      "the beyond-TTL replay of trip 1 re-emits")
+    assert(rows.filter(col("trip_id") === 1 && col("event_id") === 2001).count() == 1)
   }
 }
