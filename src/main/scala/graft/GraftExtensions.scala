@@ -19,6 +19,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("sha256_prefix64"),
       new ExpressionInfo(classOf[Sha256Prefix64].getName, "sha256_prefix64"),
-      (args: Seq[Expression]) => Sha256Prefix64(args.head)))
+      (args: Seq[Expression]) => {
+        // arity is checked HERE (the builder runs at analysis time) so a
+        // zero- or two-arg SQL call raises AnalysisException, never a
+        // builder NoSuchElementException at plan time
+        if (args.size != 1) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`sha256_prefix64`",
+              "expectedNum" -> "1",
+              "actualNum" -> args.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        Sha256Prefix64(args.head)
+      }))
   }
 }

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helper shared by interpreted eval and generated code. */
@@ -40,10 +41,16 @@ object Sha256Prefix64Util {
   * so it participates in whole-stage codegen instead of falling back to a
   * Scala UDF call path. */
 case class Sha256Prefix64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sha256_prefix64"
+
+  /** Strict STRING input (no implicit numeric→string coercion): hashing the
+    * string *rendering* of a number is almost certainly a caller bug, so a
+    * non-string argument fails at ANALYSIS (DATATYPE_MISMATCH), not at
+    * codegen/runtime. */
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     Sha256Prefix64Util.hash64(input.asInstanceOf[UTF8String])

@@ -71,23 +71,47 @@ final case class ParquetTable(spark: SparkSession, dir: String, schema: StructTy
       .parquet(dir)
   }
 
-  /** Hive-style partition directories currently on disk, as
-    * (rawDirValue, path) — `__HIVE_DEFAULT_PARTITION__` is the null slot. */
+  /** First-level Hive-style partition directories currently on disk, as
+    * (rawDirValue, path) — `__HIVE_DEFAULT_PARTITION__` is the null slot.
+    * For multi-level tables these are the `partitionCols.head=` dirs (the
+    * granularity retention purges operate on). */
   def partitions: Seq[(String, Path)] = {
-    require(partitionCols.size == 1, s"$dir: single-level partitioning only")
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
     if (!exists) Seq.empty
     else fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCols.head + "="))
       .map(s => (s.getPath.getName.stripPrefix(partitionCols.head + "="), s.getPath))
   }
 
-  /** Drop whole partitions (metadata-only delete, no rewrite): removes
-    * every partition dir whose *decoded string value* satisfies `keep ==
-    * false`. Null partitions (`__HIVE_DEFAULT_PARTITION__`) are passed to
-    * the predicate as None. Returns the dropped partition values. */
+  /** Undo Hive/Spark partition-path escaping (`ExternalCatalogUtils
+    * .escapePathName` semantics): `%xx` hex sequences ONLY. NOT URL
+    * decoding — Hive leaves `+` literal, URLDecoder would turn it into a
+    * space and a partition value containing '+' could dodge (or wrongly
+    * match) a retention predicate. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = try Integer.parseInt(s.substring(i + 1, i + 3), 16) catch {
+          case _: NumberFormatException => -1
+        }
+        if (hex >= 0) { sb.append(hex.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Drop whole first-level partitions (metadata-only delete, no rewrite):
+    * removes every partition dir whose *decoded string value* satisfies
+    * `drop == true`. Null partitions (`__HIVE_DEFAULT_PARTITION__`) are
+    * passed to the predicate as None. Returns the dropped partition
+    * values. */
   def dropPartitions(drop: Option[String] => Boolean): Seq[String] = {
     val dropped = partitions.filter { case (v, _) =>
-      val decoded = java.net.URLDecoder.decode(v, "UTF-8")
+      val decoded = unescapePathName(v)
       drop(if (decoded == "__HIVE_DEFAULT_PARTITION__") None else Some(decoded))
     }
     dropped.foreach { case (_, p) => fs.delete(p, true) }

@@ -48,12 +48,22 @@ object WindowedStats {
     * backfills) terminate: a processing-time TTL would keep the query
     * alive firing empty maintenance micro-batches until wall-clock timers
     * lapse (observed: hundreds of empty batches), where an event-time
-    * timer fires as soon as the data itself moves the watermark past it. */
+    * timer fires as soon as the data itself moves the watermark past it.
+    *
+    * `disorder` is the tolerated out-of-orderness ACROSS micro-batches,
+    * decoupled from the dedupe TTL: the watermark trails max(producer_ts)
+    * by this delay, and `flatMapGroupsWithState` DROPS (not dedupes) any
+    * input row whose producer_ts is older than the watermark — a NOVEL
+    * event arriving later than `disorder` behind the stream head is
+    * silently discarded, never emitted. Size it to the producer's real
+    * disorder bound (the reference's ASA job tolerates late arrival up to
+    * its hour boundary); `Duration.ZERO` restores drop-anything-late. */
   def dedupeByTripId(events: Dataset[KeyedEvent],
-                     ttl: java.time.Duration = java.time.Duration.ofHours(2)): Dataset[KeyedEvent] = {
+                     ttl: java.time.Duration = java.time.Duration.ofHours(2),
+                     disorder: java.time.Duration = java.time.Duration.ofMinutes(10)): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("producer_ts", "0 seconds")
+      .withWatermark("producer_ts", s"${disorder.getSeconds} seconds")
       .groupByKey(_.trip_id)
       .flatMapGroupsWithState[Boolean, KeyedEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

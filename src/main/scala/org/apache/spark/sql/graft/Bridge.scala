@@ -14,4 +14,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; expressions outside
+    * the sql namespace need it to declare `ExpectsInputTypes.inputTypes`. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

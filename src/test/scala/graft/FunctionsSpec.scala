@@ -72,6 +72,28 @@ class FunctionsSpec extends SparkSpec {
       assert(Sha256Prefix64Util.hash64(UTF8String.fromString(s)) == ref(s)))
   }
 
+  test("sha256_prefix64 SQL: non-string input fails at analysis") {
+    Seq("a").toDF("s").createOrReplaceTempView("sp64_in")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sha256_prefix64(123) FROM sp64_in").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("requires the \"string\" type") ||
+      e.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("sha256_prefix64 SQL: wrong arity fails at analysis") {
+    Seq("a").toDF("s").createOrReplaceTempView("sp64_in2")
+    val zero = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sha256_prefix64() FROM sp64_in2").collect()
+    }
+    assert(zero.getMessage.contains("sha256_prefix64"))
+    val two = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sha256_prefix64(s, s) FROM sp64_in2").collect()
+    }
+    assert(two.getMessage.contains("sha256_prefix64"))
+  }
+
   test("safeDivide guards zero/negative denominators") {
     val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
       .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))
