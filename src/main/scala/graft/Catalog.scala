@@ -16,6 +16,7 @@ object Catalog {
   val views: Seq[String] = Seq(
     "raw_trips", "stg_trip", "core_trip_clean", "err_trip",
     "dim_vendor", "dim_payment", "dim_rate", "dim_flag", "dim_location",
+    "dim_date", "dim_time",
     "fact_trip", "vw_fact_trip_bi",
     "stream_events", "stream_routed",
     "documents", "embeddings")
@@ -44,16 +45,44 @@ object Catalog {
     dr.createOrReplaceTempView("dim_rate")
     df.createOrReplaceTempView("dim_flag")
     dl.createOrReplaceTempView("dim_location")
+    val dd = StarModel.dimDate(deduped)
+    val dt = StarModel.dimTime(spark)
+    dd.createOrReplaceTempView("dim_date")
+    dt.createOrReplaceTempView("dim_time")
     val fact = StarModel.fact(deduped, dv, dp, dr, df, dl)
     fact.createOrReplaceTempView("fact_trip")
 
-    // BI flatten (ref: vw_fact_trip_bi.view.sql): star join + derived KPIs
-    fact.join(broadcast(dv), Seq("vendor_sk"), "left")
+    // Full BI flatten (ref: vw_fact_trip_bi.view.sql:41-48): dim_date is
+    // the view's FIRST (inner) join, then dim_time and the conformed dims,
+    // with dim_location role-played twice — 8 joins, all broadcast (the
+    // reference declares every dim DISTRIBUTION = REPLICATE; broadcast is
+    // the Spark analog, so the fact never shuffles through the view). The
+    // fixtures carry no borough/zone lookup, so the role-played location
+    // columns expose the NKs the reference's zone attributes hang off.
+    fact.as("f")
+      .join(broadcast(dd).as("d"), col("f.pickup_date_key") === col("d.date_key"))
+      .join(broadcast(dt).as("t"), col("f.pickup_time_key") === col("t.time_key"), "left")
+      .join(broadcast(dv), Seq("vendor_sk"), "left")
       .join(broadcast(dp), Seq("payment_sk"), "left")
-      .withColumn("tip_pct", when(col("fare_amount") > 0,
-        col("tip_amount") / col("fare_amount")))
-      .withColumn("fare_per_km", when(col("trip_distance_km") > 0,
-        col("fare_amount") / col("trip_distance_km")))
+      .join(broadcast(dr), Seq("rate_sk"), "left")
+      .join(broadcast(df), Seq("flag_sk"), "left")
+      .join(broadcast(dl).as("pu"), col("f.pu_location_sk") === col("pu.loc_sk"), "left")
+      .join(broadcast(dl).as("dol"), col("f.do_location_sk") === col("dol.loc_sk"), "left")
+      .select(
+        col("f.pickup_date_key"), col("d.date_value").as("pickup_date"),
+        col("d.is_weekend"), col("d.week_of_year"), col("d.iso_year"), col("d.iso_week"),
+        col("f.pickup_time_key"), col("t.hh24").as("pickup_hour"),
+        col("t.hour_bucket"), col("t.is_night").as("is_night_ride"),
+        col("vendor_nk").as("vendor_code"), col("payment_nk").as("payment_type"),
+        col("rate_nk").as("rate_code"), col("flag_nk").as("store_and_fwd_flag"),
+        col("pu.loc_nk").as("pickup_location_nk"), col("dol.loc_nk").as("dropoff_location_nk"),
+        col("f.trip_distance_km"), col("f.fare_amount"), col("f.tip_amount"),
+        col("f.tolls_amount"), col("f.total_amount"),
+        when(col("f.fare_amount") > 0,
+          col("f.tip_amount") / col("f.fare_amount")).as("tip_pct"),
+        when(col("f.trip_distance_km") > 0,
+          col("f.fare_amount") / col("f.trip_distance_km")).as("fare_per_km"),
+        col("f.ingest_date"), col("f.source_file_name"))
       .createOrReplaceTempView("vw_fact_trip_bi")
 
     Tables(spark, sfDir, "events").createOrReplaceTempView("stream_events")

@@ -80,6 +80,61 @@ object StarModel {
         col("ingest_date"), col("source_file_name"), col("loaded_at"))
   }
 
+  /** Weekday index with Sunday=0, from epoch-day arithmetic so Spark and
+    * the DuckDB oracle agree independently of locale / DATEFIRST settings
+    * (1970-01-01 was a Thursday → offset +4). */
+  private def dow0(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (datediff(d, to_date(lit("1970-01-01"))) + 4) % 7
+
+  /** Calendar dimension spanning the dates present in `deduped`'s pickup
+    * timestamps (ref: mdl/dim_date.table.sql:5-15). The reference ships
+    * DDL only — no population script — so the attribute semantics are
+    * pinned here: `iso_year`/`iso_week` are ISO-8601; `week_of_year` is
+    * the T-SQL `DATEPART(week)` convention (week 1 contains Jan 1, weeks
+    * break on Sunday); `is_holiday` defaults false per the DDL DEFAULT 0.
+    *
+    * Scale: two-phase — an all-to-one min/max agg (partial-aggregated,
+    * O(1) rows shuffled) then a single-row sequence explode producing
+    * O(span-days) rows. The dim is tiny by construction (decades ≈ 10k
+    * rows) and is always broadcast at join sites, replicating the
+    * reference's DISTRIBUTION = REPLICATE. */
+  def dimDate(deduped: DataFrame): DataFrame = {
+    val d = col("date_value")
+    deduped
+      .agg(min(to_date(col("pickup_ts_utc"))).as("lo"),
+           max(to_date(col("pickup_ts_utc"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("date_value"))
+      .select(
+        (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast("int").as("date_key"),
+        d,
+        year(d).cast("int").as("year"),
+        quarter(d).cast("int").as("quarter"),
+        month(d).cast("int").as("month"),
+        dayofmonth(d).cast("int").as("day"),
+        (floor((dayofyear(d) - 1 + dow0(trunc(d, "year"))) / 7) + 1)
+          .cast("int").as("week_of_year"),
+        expr("extract(YEAROFWEEK FROM date_value)").cast("int").as("iso_year"),
+        weekofyear(d).cast("int").as("iso_week"),
+        dow0(d).isin(0, 6).as("is_weekend"),
+        lit(false).as("is_holiday"))
+  }
+
+  /** Seconds-of-day dimension, one row per `time_key` 0..86399
+    * (ref: mdl/dim_time.table.sql:5-10): hh/mm/ss split, display
+    * `hour_bucket` ('22:00-22:59'), and the [22,5] `is_night` flag the
+    * BI view exposes as `is_night_ride`. Fixed 86400 rows — generated,
+    * broadcast, never shuffled. */
+  def dimTime(spark: SparkSession): DataFrame = {
+    val hh = (col("id") / 3600).cast("int")
+    spark.range(0, 86400).select(
+      col("id").cast("int").as("time_key"),
+      hh.as("hh24"),
+      ((col("id") % 3600) / 60).cast("int").as("mm"),
+      (col("id") % 60).cast("int").as("ss"),
+      format_string("%02d:00-%02d:59", hh, hh).as("hour_bucket"),
+      (hh >= 22 || hh <= 5).as("is_night"))
+  }
+
   /** Star build over an (ideally cached/materialized) deduped core —
     * each dim derives from the same frame, so pass one that won't be
     * recomputed per dim. */

@@ -252,6 +252,33 @@ object TaxiQueries {
         .orderBy("trip_id")
     }),
 
+    // Calendar dims (ref: mdl/dim_date.table.sql:5-15, dim_time.table
+    // .sql:5-10): reference ships DDL only, semantics pinned in
+    // StarModel.dimDate/dimTime scaladoc.
+    "dim_date_attrs" -> ((s, d) => StarModel.dimDate(dedupedDf(s, d))
+      .select(col("date_key"), col("date_value").cast("string").as("date_value"),
+        col("year"), col("quarter"), col("month"), col("day"),
+        col("week_of_year"), col("iso_year"), col("iso_week"),
+        col("is_weekend"), col("is_holiday"))
+      .orderBy("date_key")),
+
+    "dim_time_attrs" -> ((s, d) => StarModel.dimTime(s).orderBy("time_key")),
+
+    // The bread-and-butter BI slice the calendar dims exist for
+    // (ref: vw_fact_trip_bi.view.sql:46-47 — dim_date is the view's FIRST
+    // join): trips and fare by year × weekend × night. Both dims broadcast
+    // (REPLICATE analog); the fact never shuffles pre-aggregation.
+    "join_calendar" -> ((s, d) => {
+      val f = factDf(s, d)
+      val dd = StarModel.dimDate(dedupedDf(s, d))
+      val dt = StarModel.dimTime(s)
+      f.join(broadcast(dd), f("pickup_date_key") === dd("date_key"))
+        .join(broadcast(dt), f("pickup_time_key") === dt("time_key"), "left")
+        .groupBy(col("year"), col("is_weekend"), col("is_night"))
+        .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"))
+        .orderBy("year", "is_weekend", "is_night")
+    }),
+
     // ---- §2.5 aggregations ----
     "agg_counts_by_slice" -> ((s, d) => dedupedDf(s, d)
       .groupBy(col("ingest_date").cast("string").as("ingest_date"))
@@ -619,6 +646,66 @@ object TaxiQueries {
         |LEFT JOIN dim_vendor dv ON f.vendor_sk = dv.vendor_sk
         |LEFT JOIN dim_payment dp ON f.payment_sk = dp.payment_sk
         |ORDER BY f.trip_id""".stripMargin),
+
+    "dim_date_attrs" -> taxiWith(
+      """span AS (
+        |  SELECT min(CAST(pickup_ts_utc AS DATE)) AS lo,
+        |         max(CAST(pickup_ts_utc AS DATE)) AS hi
+        |  FROM deduped
+        |), dates AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS date_value FROM span
+        |)""".stripMargin,
+      """SELECT
+        |  CAST(year(date_value)*10000 + month(date_value)*100 + day(date_value)
+        |    AS INT) AS date_key,
+        |  CAST(date_value AS VARCHAR) AS date_value,
+        |  CAST(year(date_value) AS INT) AS "year",
+        |  CAST(quarter(date_value) AS INT) AS "quarter",
+        |  CAST(month(date_value) AS INT) AS "month",
+        |  CAST(day(date_value) AS INT) AS "day",
+        |  CAST(floor((dayofyear(date_value) - 1 +
+        |    (date_diff('day', DATE '1970-01-01', date_trunc('year', date_value)) + 4) % 7
+        |    ) / 7) + 1 AS INT) AS week_of_year,
+        |  CAST(isoyear(date_value) AS INT) AS iso_year,
+        |  CAST(weekofyear(date_value) AS INT) AS iso_week,
+        |  ((date_diff('day', DATE '1970-01-01', date_value) + 4) % 7) IN (0, 6)
+        |    AS is_weekend,
+        |  false AS is_holiday
+        |FROM dates ORDER BY date_key""".stripMargin),
+
+    "dim_time_attrs" ->
+      """SELECT CAST(range AS INT) AS time_key,
+        |  CAST(range // 3600 AS INT) AS hh24,
+        |  CAST((range % 3600) // 60 AS INT) AS mm,
+        |  CAST(range % 60 AS INT) AS ss,
+        |  printf('%02d:00-%02d:59', range // 3600, range // 3600) AS hour_bucket,
+        |  (range // 3600 >= 22 OR range // 3600 <= 5) AS is_night
+        |FROM range(86400) ORDER BY time_key""".stripMargin,
+
+    "join_calendar" -> taxiWith(
+      """span AS (
+        |  SELECT min(CAST(pickup_ts_utc AS DATE)) AS lo,
+        |         max(CAST(pickup_ts_utc AS DATE)) AS hi
+        |  FROM deduped
+        |), dd AS (
+        |  SELECT
+        |    CAST(year(dv)*10000 + month(dv)*100 + day(dv) AS INT) AS date_key,
+        |    CAST(year(dv) AS INT) AS "year",
+        |    ((date_diff('day', DATE '1970-01-01', dv) + 4) % 7) IN (0, 6) AS is_weekend
+        |  FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |          AS dv FROM span) x
+        |), tt AS (
+        |  SELECT CAST(range AS INT) AS time_key,
+        |    (range // 3600 >= 22 OR range // 3600 <= 5) AS is_night
+        |  FROM range(86400)
+        |)""".stripMargin,
+      s"""SELECT dd."year", dd.is_weekend, tt.is_night,
+         |  count(*) AS trips, ${dsumSql("f.fare_amount")} AS total_fare
+         |FROM fact f
+         |JOIN dd ON dd.date_key = f.pickup_date_key
+         |LEFT JOIN tt ON tt.time_key = f.pickup_time_key
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
     "agg_counts_by_slice" -> taxi(
       """SELECT CAST(ingest_date AS VARCHAR) AS ingest_date, count(*) AS rows_out

@@ -10,10 +10,22 @@ class CatalogSpec extends SparkSpec {
       assert(spark.sql(s"SELECT * FROM $v LIMIT 1").collect().length <= 1)
     }
     val kpi = spark.sql(
-      """SELECT vendor_nk, count(*) AS trips,
+      """SELECT vendor_code, count(*) AS trips,
         |  sum(fare_amount) / nullif(sum(trip_distance_km), 0) AS fare_per_km
-        |FROM vw_fact_trip_bi GROUP BY vendor_nk ORDER BY vendor_nk""".stripMargin)
+        |FROM vw_fact_trip_bi GROUP BY vendor_code ORDER BY vendor_code""".stripMargin)
     assert(kpi.count() >= 5)
+    // the bread-and-butter calendar slice the dims exist for: weekend vs
+    // weekday (ref: vw_fact_trip_bi.view.sql joins dim_date first)
+    val wk = spark.sql(
+      """SELECT is_weekend, count(*) AS trips, sum(fare_amount) AS fare
+        |FROM vw_fact_trip_bi GROUP BY is_weekend""".stripMargin).collect()
+    assert(wk.length == 2 && wk.forall(_.getLong(1) > 0))
+    // view row count conserves through the 8-join flatten (dim_date inner
+    // join always matches: fact dates are inside the deduped span)
+    assert(spark.sql("SELECT count(*) FROM vw_fact_trip_bi").collect()(0).getLong(0) ==
+      spark.sql("SELECT count(*) FROM fact_trip").collect()(0).getLong(0))
+    // dim_time is the full seconds-of-day domain
+    assert(spark.sql("SELECT count(*) FROM dim_time").collect()(0).getLong(0) == 86400L)
     // fact == core conservation through the SQL surface
     val Array(coreN, factN) = spark.sql(
       "SELECT (SELECT count(*) FROM core_trip_clean), (SELECT count(*) FROM fact_trip)")
