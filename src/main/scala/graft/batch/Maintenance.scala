@@ -46,6 +46,33 @@ object Maintenance {
     (finalName, md5)
   }
 
+  final case class PurgeResult(rowsDeleted: Long, partitionsDropped: Seq[String],
+                               cutoffDate: java.time.LocalDate)
+
+  /** Retention purge (ref usp_purge_trip_clean_slice.sql:16-25): delete
+    * everything with date partition value `< today - keepDays`. Because the
+    * target tables are hive-partitioned on their date column (core's
+    * `pickup_date`, stg's `p_date`), the DELETE collapses to whole-dir
+    * drops — metadata-only, no table rewrite at any scale. Mirrors the
+    * proc's contract: rejects keepDays < 1, pre-counts the purged rows,
+    * returns (rows_deleted, cutoff_date). NULL-dated partitions are kept,
+    * matching SQL `< cutoff` three-valued logic. */
+  def retentionPurge(table: graft.ops.ParquetTable, keepDays: Int,
+                     today: java.time.LocalDate): PurgeResult = {
+    require(keepDays >= 1, "keepDays must be >= 1")
+    val cutoff = today.minusDays(keepDays.toLong)
+    def isOld(v: Option[String]): Boolean = v.exists { s =>
+      scala.util.Try(java.time.LocalDate.parse(s)).toOption.exists(_.isBefore(cutoff))
+    }
+    val dateCol = table.partitionCols.head
+    val rows = // pre-count, partition-pruned to the dirs about to drop
+      if (table.exists)
+        table.read.filter(col(dateCol).cast("date") < lit(cutoff.toString).cast("date")).count()
+      else 0L
+    val dropped = table.dropPartitions(isOld)
+    PurgeResult(rows, dropped, cutoff)
+  }
+
   /** Insert-if-absent unknown member (`err/seed_unknowns.sql:5-47`): every
     * dim carries SK -1 / NK 'UNKNOWN' so fact FK resolution can COALESCE
     * to it without null keys. */

@@ -71,6 +71,24 @@ final case class ParquetTable(spark: SparkSession, dir: String, schema: StructTy
       .parquet(dir)
   }
 
+  /** [[overwritePartitions]] with the input STAGED to a sibling temp dir
+    * first: `df` is materialized to `dir._staged_merge`, read back, and the
+    * dynamic overwrite runs from those files. Use when `df`'s plan READS
+    * this table (merge/rewrite-in-place shapes): without staging, the
+    * overwrite job's tasks can re-read partition files the commit is
+    * concurrently deleting if a cached block is lost mid-write (executor
+    * loss in cluster mode) — silent data loss. The extra cost is one
+    * write+read of the touched slice, O(slice) not O(table). */
+  def overwritePartitionsStaged(df: DataFrame): Unit = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val tmp = new Path(dir + "._staged_merge")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan from a prior crash
+    df.select(schema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    overwritePartitions(spark.read.schema(schema).parquet(tmp.toString))
+    fs.delete(tmp, true)
+  }
+
   /** First-level Hive-style partition directories currently on disk, as
     * (rawDirValue, path) — `__HIVE_DEFAULT_PARTITION__` is the null slot.
     * For multi-level tables these are the `partitionCols.head=` dirs (the

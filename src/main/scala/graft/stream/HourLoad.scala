@@ -13,8 +13,10 @@ import graft.ops.ParquetTable
   *
   * Per completed hour: check the folder exists (skip if absent) → per-file
   * idempotent staging load (DELETE by `_blobPath` then append, ref
-  * 0005_delete.sql) with one audit row per copied blob (ref
-  * 0006_LogSuccess.sql:3-17) → run-scoped slice rebuild with the
+  * 0005_delete.sql — realized as a dynamic overwrite of the hour's own
+  * (p_date, p_hour) stg partition, O(hour) not O(stg)) with one audit row
+  * per copied blob (ref 0006_LogSuccess.sql:3-17) → run-scoped slice
+  * rebuild with the
   * deterministic hash64 trip id + winner-pick dedupe → update-then-insert
   * merge into `core_trip_clean` keyed on trip_id, returning (inserted,
   * updated, total) (the documented contract of
@@ -70,12 +72,17 @@ object HourLoad {
       "c_passengers STRING, c_distance STRING, c_fare STRING, c_tip STRING, " +
       "c_total STRING, c_payment STRING, c_producer STRING")
 
+  /** Staging schema. `p_date`/`p_hour` (the curated lake's hour coordinates)
+    * are ALSO the table's partition keys: the per-blob idempotent reload of
+    * an hour then rewrites exactly that hour's partition dir — O(hour), not
+    * O(stg) — and retention purges are metadata-only `p_date=` dir drops. */
   val stgSchema: StructType = StructType.fromDDL(
     "event_id BIGINT, vendor_id STRING, pickup_ts TIMESTAMP_NTZ, " +
       "dropoff_ts TIMESTAMP_NTZ, passenger_count BIGINT, trip_distance DOUBLE, " +
       "fare_amount DOUBLE, tip_amount DOUBLE, total_amount DOUBLE, " +
       "payment_type STRING, producer_ts TIMESTAMP_NTZ, " +
-      "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ")
+      "_runId STRING, _blobPath STRING, _ingestedAt TIMESTAMP_NTZ, " +
+      "p_date STRING, p_hour STRING")
 
   /** Core columns: staging + trip_id + ingest_date (lineage/retention, ref
     * usp_upsert_trips_from_streaming.sql:35) + pickup_date (the partition
@@ -109,7 +116,8 @@ object HourLoad {
       "rows_copied BIGINT, status STRING")
 
   final case class Warehouse(spark: SparkSession, dir: String) {
-    val stg: ParquetTable = ParquetTable(spark, s"$dir/stg_trips_streaming", stgSchema)
+    val stg: ParquetTable =
+      ParquetTable(spark, s"$dir/stg_trips_streaming", stgSchema, Seq("p_date", "p_hour"))
     val slice: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean_slice", coreSchema)
     val core: ParquetTable =
       ParquetTable(spark, s"$dir/core_trip_clean", coreSchema, Seq("pickup_date"))
@@ -154,7 +162,10 @@ object HourLoad {
     val actions = joined.select(
       when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
       .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    table.overwritePartitions(merged)
+    // staged commit: the overwrite job reads the staged temp files, never
+    // the live dir it is deleting from — correctness no longer rests on
+    // the persist() surviving executor/cache-block loss
+    table.overwritePartitionsStaged(merged)
     joined.unpersist()
     (actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L))
   }
@@ -186,18 +197,31 @@ object HourLoad {
       col("c_producer").cast("timestamp_ntz").as("producer_ts"),
       lit(runId).as("_runId"),
       col("_blobPath"),
-      current_timestamp().cast("timestamp_ntz").as("_ingestedAt"))
+      current_timestamp().cast("timestamp_ntz").as("_ingestedAt"),
+      lit(date).as("p_date"), lit(hour).as("p_hour"))
     // one job yields the blob list AND the per-blob counts (lineage_inject)
     val perBlob = typed.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val blobs = perBlob.map(_._1)
     val files = blobs.length.toLong
     val rowsCopied = perBlob.map(_._2).sum
-    wh.stg.deleteWhere(col("_blobPath").isin(blobs.toSeq: _*))
-    wh.stg.append(typed)
+    // Per-blob idempotent reload, partition-scoped (ref 0005_delete.sql):
+    // a blob's rows always land in the (p_date, p_hour) partition its path
+    // encodes, so DELETE-by-blob + append collapses to a dynamic overwrite
+    // of this hour's partition: survivors from other blobs of the same hour
+    // + the fresh copy. Other hours' partition dirs are never read or
+    // written (byte-identity asserted in StreamingSpec).
+    val survivors = wh.stg.read
+      .filter(col("p_date") === date && col("p_hour") === hour)
+      .filter(!col("_blobPath").isin(blobs.toSeq: _*))
+    wh.stg.overwritePartitionsStaged(survivors.unionByName(typed))
 
-    // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id, dedupe
-    val staged = wh.stg.read.filter(col("_runId") === runId)
+    // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
+    // dedupe. The (p_date, p_hour) filter partition-prunes the stg scan to
+    // this hour's dir before the _runId filter runs.
+    val staged = wh.stg.read
+      .filter(col("p_date") === date && col("p_hour") === hour)
+      .filter(col("_runId") === runId)
       .withColumn("trip_id", StreamTransforms.streamTripId)
     val w = Window.partitionBy(col("trip_id"))
       .orderBy(col("producer_ts").desc, col("_ingestedAt").desc, col("_blobPath").desc)
@@ -247,6 +271,15 @@ object HourLoad {
       .toDF(fileAuditSchema.fieldNames.toSeq: _*))
     res
   }
+
+  /** Retention purge of the staging table (usp_purge_trip_clean_slice
+    * semantics applied to stg): metadata-only drop of whole `p_date=`
+    * partition dirs older than `today - keepDays`. The same call works on
+    * any date-partitioned table of the warehouse (e.g. `core` by
+    * pickup_date for business-retention policies). */
+  def purgeStg(wh: Warehouse, keepDays: Int,
+               today: java.time.LocalDate): graft.batch.Maintenance.PurgeResult =
+    graft.batch.Maintenance.retentionPurge(wh.stg, keepDays, today)
 
   /** Backfill loop over an inclusive hour range within one date
     * (pl_streaming_backfill_range Until1). */

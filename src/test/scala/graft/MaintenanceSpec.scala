@@ -29,6 +29,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(actual == md5)
   }
 
+  test("retentionPurge drops old date partitions, keeps recent + null, counts rows") {
+    import spark.implicits._
+    val t = graft.ops.ParquetTable(spark, tmpDir("graft_purge") + "/t",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, p_date STRING"),
+      Seq("p_date"))
+    t.append(Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-10"),
+      (4L, "2024-01-20"), (5L, null)).toDF("id", "p_date"))
+    val res = Maintenance.retentionPurge(t, keepDays = 10,
+      today = java.time.LocalDate.parse("2024-01-25"))
+    assert(res.cutoffDate == java.time.LocalDate.parse("2024-01-15"))
+    assert(res.rowsDeleted == 3 && res.partitionsDropped.toSet ==
+      Set("2024-01-01", "2024-01-10"))
+    // recent and null-dated partitions survive; purged rows are gone
+    val left = t.read.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(left == Set(4L, 5L))
+    // keepDays guard mirrors the proc's RAISERROR
+    intercept[IllegalArgumentException] {
+      Maintenance.retentionPurge(t, 0, java.time.LocalDate.parse("2024-01-25"))
+    }
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")

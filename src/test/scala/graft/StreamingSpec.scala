@@ -157,6 +157,15 @@ class StreamingSpec extends SparkSpec {
     val coreFare = wh.core.read.agg(sum(col("fare_amount").cast("decimal(18,6)")))
       .collect()(0).getDecimal(0)
     assert(factFare.compareTo(coreFare) == 0, "fare reconciles core vs fact")
+
+    // stg retention purge: whole p_date partition dirs drop, no rewrite
+    val stgBefore = wh.stg.read.count()
+    assert(stgBefore > 0)
+    val purge = HourLoad.purgeStg(wh, keepDays = 1,
+      today = java.time.LocalDate.parse(d1).plusDays(10))
+    assert(purge.partitionsDropped.contains(d1) && purge.rowsDeleted > 0)
+    assert(wh.stg.read.filter(col("p_date") === d1).count() == 0)
+    assert(wh.stg.read.count() == stgBefore - purge.rowsDeleted)
   }
 
   test("partition-scoped merge: untouched date partitions stay byte-identical") {
@@ -176,9 +185,19 @@ class StreamingSpec extends SparkSpec {
     HourLoad.runHour(wh, dirs.curated, d1, h1, s"run-$d1-$h1")
     val before = snapshot(s"$base/wh/core_trip_clean")
     assert(before.nonEmpty)
+    val stgBefore = snapshot(s"$base/wh/stg_trips_streaming")
+    assert(stgBefore.keySet.exists(_.startsWith(s"p_date=$d1/")))
 
     // partitions hour 2 will touch = its slice's pickup dates
     HourLoad.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
+
+    // stg is (p_date, p_hour)-partitioned: loading hour 2 must leave hour
+    // 1's staging partition files byte-identical (no full-table rewrite)
+    val stgAfter = snapshot(s"$base/wh/stg_trips_streaming")
+    stgBefore.keys.filter(_.startsWith(s"p_date=$d1/")).foreach { rel =>
+      assert(stgAfter.get(rel).contains(stgBefore(rel)),
+        s"hour-1 stg partition file $rel was rewritten by the hour-2 load")
+    }
     val touched = wh.core.read
       .filter(col("_runId") === s"run-$d2-$h2")
       .select(col("pickup_date").cast("string")).distinct()
