@@ -34,9 +34,17 @@ object DocPipeline {
   /** MinHash signature length and LSH banding (4 bands × 4 rows). */
   val MinhashK = 16
   val Bands = 4
-  /** SimHash width (bits) and banded candidate width. */
-  val SimhashBits = 32
-  val SimhashBandBits = 8
+  /** SimHash width (bits) and banded candidate width. 64-bit hash with
+    * 4×16-bit bands: each band key carries ~2^16 distinct values, so at
+    * corpus size N the expected bucket is N/65536 (an 8-bit band would cap
+    * at 256 buckets corpus-wide and the in-bucket pair join would go
+    * quadratic at web scale). Bit 63 is structurally 0 (the token hash is
+    * an ABS, so its sign bit never votes positive) — band 3 carries 15
+    * effective bits, which leaves the layout uniform and overflow-free. */
+  val SimhashBits = 64
+  val SimhashBandBits = 16
+  /** Band-key mask, `2^SimhashBandBits - 1`. */
+  val SimhashBandMask: Long = (1L << SimhashBandBits) - 1
   /** Polynomial fingerprint base (Rabin-Karp over token hashes). */
   val FpBase: Long = 1000003L
 
@@ -95,10 +103,25 @@ object DocPipeline {
 
   // ---- n-gram Jaccard ----------------------------------------------------
 
+  /** Default document-frequency cap for [[jaccardPairs]]: shingles present
+    * in more docs than this are boilerplate, not signal. */
+  val JaccardDfCap = 1000
+
   /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle
-    * (inverted-index join — candidates only, never the cross product). */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleHashes(docs).cache()
+    * (inverted-index join — candidates only, never the cross product).
+    *
+    * `dfCap` drops shingles whose document frequency exceeds the cap
+    * BEFORE the self-join: one boilerplate shingle shared by k docs
+    * otherwise creates a k²/2 in-bucket pair blowup — the quadratic
+    * hot-key that kills the join at web scale. Jaccard is then exact over
+    * the capped shingle universe (sizes and intersections both exclude
+    * capped shingles, so the ratio stays internally consistent). */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   dfCap: Int = JaccardDfCap): DataFrame = {
+    val all = shingleHashes(docs)
+    val rare = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("h")
+    val sh = all.join(rare, "h").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -155,8 +178,8 @@ object DocPipeline {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 32-bit SimHash per doc over whitespace-token hashes (multiset): one
-    * groupBy(doc_id) with 32 partial ±1 sums, bit j set iff sum > 0. */
+  /** 64-bit SimHash per doc over whitespace-token hashes (multiset): one
+    * groupBy(doc_id) with 64 partial ±1 sums, bit j set iff sum > 0. */
   def simhashes(docs: DataFrame): DataFrame = {
     val tokenHashes = tokenized(docs)
       .select(col("doc_id"), explode(col("t")).as("w"))
@@ -171,13 +194,13 @@ object DocPipeline {
     grouped.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Near-dup pairs: banded candidates (any 8-bit chunk equal) filtered to
-    * Hamming distance ≤ maxHamming. */
+  /** Near-dup pairs: banded candidates (any 16-bit chunk equal) filtered
+    * to Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sim = simhashes(docs).cache()
     val bandCols = (0 until SimhashBits / SimhashBandBits).map { b =>
       concat_ws(":", lit(s"b$b"),
-        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(255))
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask))
     }
     val bands = sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
     val cand = bands.as("a")

@@ -72,7 +72,7 @@ object DocsOracle {
     val simVal = (0 until SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     val bandKeys = (0 until SimhashBits / SimhashBandBits)
-      .map(b => s"'b$b' || ':' || CAST((simhash >> ${b * SimhashBandBits}) & 255 AS VARCHAR)")
+      .map(b => s"'b$b' || ':' || CAST((simhash >> ${b * SimhashBandBits}) & $SimhashBandMask AS VARCHAR)")
       .mkString(", ")
     s"""simsums AS (SELECT doc_id, $sums FROM tokh GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simVal AS simhash FROM simsums),

@@ -44,7 +44,9 @@ object DocQueries {
       DocPipeline.exactDupGroups(DocPipeline.documentsWithDups(s, dir))
         .orderBy("text_sha")),
 
-    "dedup_ngram_jaccard" -> ((s, dir) => DocPipeline.jaccardPairs(d(s, dir), 0.5)
+    // dfCap=100 binds at fixture scale (corpus 500 docs): boilerplate
+    // shingles are dropped before the inverted-index self-join.
+    "dedup_ngram_jaccard" -> ((s, dir) => DocPipeline.jaccardPairs(d(s, dir), 0.5, 100)
       .orderBy("doc_a", "doc_b")),
 
     "dedup_minhash_lsh" -> ((s, dir) => DocPipeline.minhashLshPairs(d(s, dir), 0.5)
@@ -144,10 +146,13 @@ object DocQueries {
         |FROM docs_dup GROUP BY 1 ORDER BY text_sha""".stripMargin),
 
     "dedup_ngram_jaccard" -> docsWith(
-      """sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+      """shc AS (
+        |  SELECT s.doc_id, s.h FROM shh s
+        |  JOIN (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100) r USING (h)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)""".stripMargin,
       """SELECT doc_a, doc_b, shared,
         |  shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard

@@ -35,6 +35,43 @@ class DocOpsSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0, "exact dup => jaccard 1")
   }
 
+  test("Jaccard df-cap kills the hot-shingle quadratic bucket, keeps true near-dups") {
+    // every doc opens with the same boilerplate 3-gram; docs 1/2 are also
+    // genuine near-dups of each other, docs 3-5 share ONLY the boilerplate
+    val boiler = "terms of service"
+    val hot = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon eta"),
+      (3L, s"$boiler uno dos tres cuatro cinco seis"),
+      (4L, s"$boiler eins zwei drei vier funf sechs"),
+      (5L, s"$boiler one two three four five six")).toDF("doc_id", "text")
+    // dfCap below the corpus size drops the shared shingle before the
+    // self-join: no candidate pairs among 3/4/5 (their only link is gone)
+    val capped = DocPipeline.jaccardPairs(hot, 0.3, dfCap = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"only the true near-dup survives: $capped")
+    // uncapped, the boilerplate shingle links every doc pair (10 buckets
+    // of candidates from one hot key — the quadratic shape the cap kills)
+    val uncapped = DocPipeline.jaccardPairs(hot, 0.0, dfCap = Int.MaxValue)
+      .select("doc_a", "doc_b").collect()
+    assert(uncapped.length == 10, "hot shingle creates all 5*4/2 candidate pairs")
+  }
+
+  test("SimHash 16-bit bands exceed the 256-key capacity of 8-bit banding") {
+    // 300 docs of distinct content: an 8-bit band has only 256 possible
+    // keys corpus-wide (pigeonhole => guaranteed collisions and N/256
+    // buckets at scale); the implemented 16-bit band must spread wider
+    val many = (1 to 300).map(i =>
+      (i.toLong, (0 until 8).map(j => s"tok${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val distinctBand0 = DocPipeline.simhashes(many)
+      .select((col("simhash").bitwiseAND(DocPipeline.SimhashBandMask)).as("b0"))
+      .distinct().count()
+    assert(distinctBand0 > 256,
+      s"16-bit band-0 keys ($distinctBand0) exceed 8-bit capacity")
+    assert(DocPipeline.SimhashBits == 64 && DocPipeline.SimhashBandBits == 16)
+  }
+
   test("MinHash-LSH surfaces the same near-dup candidates") {
     val pairs = DocPipeline.minhashLshPairs(corpus, 0.5)
       .select("doc_a", "doc_b", "est_jaccard").collect()
