@@ -41,6 +41,19 @@ class RunnerSpec extends SparkSpec {
     val dq = runner.log.dqResult.read
     assert(dq.filter(col("status") === "FAILED").count() == 0)
     assert(dq.count() >= 12)
+    // the full 8-check ModelDQ gate (50_dq_modeling.sql:26-42) persisted
+    // under the reference check names, with the reference severities
+    val mdl = dq.filter(col("stage") === "core_to_mdl").collect()
+      .map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(mdl.keySet == Set("rowcount_fact_eq_core", "sum_fare_matches_core",
+      "unknown_vendor_eq_0", "unknown_payment_eq_0", "unknown_rate_eq_0",
+      "unknown_flag_eq_0", "unknown_pu_eq_0", "unknown_do_eq_0"))
+    assert(mdl("rowcount_fact_eq_core") == "PASSED")
+    assert(mdl("sum_fare_matches_core") == "PASSED")
+    assert(mdl("unknown_pu_eq_0") == "PASSED" && mdl("unknown_do_eq_0") == "PASSED")
+    // fixtures carry blank vendors and VOID/XX payments → warn, not fail
+    assert(mdl("unknown_vendor_eq_0") == "WARNING")
+    assert(mdl("unknown_payment_eq_0") == "WARNING")
     assert(runner.log.runMetrics.read.count() == 1)
 
     // rerun is idempotent (CTAS-style slice rebuild)
@@ -65,6 +78,24 @@ class RunnerSpec extends SparkSpec {
     assert(byName("negative_fare_warnonly") == "WARNING")
     assert(byName("rowcount_gt_0") == "PASSED")
     assert(log.runLog.read.filter(col("status") === "FAILED").count() == 1)
+  }
+
+  test("ModelDQ THROW-54000 fires on an unknown PU location") {
+    val wh = tmpDir("graft_mdl_gate_wh")
+    val log = RunLog(spark, wh)
+    val fare = new java.math.BigDecimal("100.000000")
+    val ex = intercept[DqGateException] {
+      Checks.gate(log, "run-pu", "core_to_mdl", 54000,
+        Runner.modelDqChecks(coreRows = 10, factRows = 10,
+          coreFare = fare, factFare = fare,
+          uVendor = 0, uPayment = 0, uRate = 0, uFlag = 0, uPu = 3, uDo = 0))
+    }
+    assert(ex.code == 54000 && ex.failed == Seq("unknown_pu_eq_0"))
+    // all 8 rows persisted even on the failing run
+    val rows = log.dqResult.read.filter(col("run_id") === "run-pu").collect()
+    assert(rows.length == 8)
+    assert(rows.map(r => r.getString(2) -> r.getString(3)).toMap
+      .apply("unknown_pu_eq_0") == "FAILED")
   }
 
   test("dim upsert appends only novel NKs and never reuses an SK") {
