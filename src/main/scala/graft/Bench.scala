@@ -10,15 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // labeled warm-up phase: materialize shared memo chains first so each
+    // query's number is steady-state, not chain-build attribution noise
+    val warm = scala.collection.immutable.ListMap(SparkEntry.warmups.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir) } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val results = scala.collection.immutable.ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def json(m: Map[String, Double]) = m.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total = warm-up + queries: same work as before, now attributed
+    val total = warm.values.sum + results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"warmup":${json(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

