@@ -76,6 +76,27 @@ object DocQueries {
       val all = e(s, dir)
       EmbeddingOps.bucketedTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // recall@3 of each approximate path against the exact brute-force
+    // truth set — the number the bucketing/probing trade-off buys. Pure
+    // relational over the ops above: truth ∩ approx via a semi-join.
+    "ann_recall" -> ((s, dir) => {
+      val all = e(s, dir)
+      val qs = all.filter(col("vec_id") % 50 === 0)
+      val exact = EmbeddingOps.bruteForceTopK(qs, all, 3)
+        .select("query_id", "neighbor_id")
+      def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
+        exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits")).select(lit(m).as("method"), col("hits"))
+      val truth = exact.agg(count(lit(1)).as("truth"))
+      hitsOf("ivf", EmbeddingOps.ivfTopK(qs, all, 3, 2))
+        .unionByName(hitsOf("lsh", EmbeddingOps.bucketedTopK(qs, all, 3, 4)))
+        .crossJoin(truth)
+        .select(col("method"), col("hits"), col("truth"),
+          (col("hits").cast("double") / col("truth")).as("recall"))
+        .orderBy("method")
     }))
 
   private val h64w =
@@ -255,5 +276,68 @@ object DocQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_recall" -> emb(
+      s"""${DocsOracle.embNorm("embeddings", 4)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn, bucket
+         |      FROM embn WHERE vec_id % 50 = 0),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) DESC,
+         |        e.vec_id) AS rank
+         |    FROM embn e CROSS JOIN q WHERE e.vec_id <> q.query_id) x
+         |  WHERE rank <= 3),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) DESC,
+         |        e.vec_id) AS rank
+         |    FROM embn e JOIN q ON e.bucket = q.bucket
+         |    WHERE e.vec_id <> q.query_id) x
+         |  WHERE rank <= 3),
+         |ivf_pos AS (
+         |  SELECT label, j, embedding[j] AS x FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS g(j)
+         |), ivf_cent AS (
+         |  SELECT label AS cell, j,
+         |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM ivf_pos GROUP BY label, j
+         |), ivf_centarr AS (
+         |  SELECT cell, list(c ORDER BY j) AS ce FROM ivf_cent GROUP BY cell
+         |), ivf_celldist AS (
+         |  SELECT e.vec_id, e.embedding, e.n, ca.cell,
+         |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+         |      i -> (e.embedding[i]::DOUBLE - ca.ce[i])
+         |           * (e.embedding[i]::DOUBLE - ca.ce[i])),
+         |      (x, y) -> x + y) AS cdist
+         |  FROM embn e CROSS JOIN ivf_centarr ca
+         |), ivf_cells AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdist, cell) AS crank
+         |  FROM ivf_celldist
+         |), ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        ${DocsOracle.dotSql("p.embedding", "a.embedding")} / (p.n * a.n) DESC,
+         |        a.vec_id) AS rank
+         |    FROM (SELECT * FROM ivf_cells WHERE crank = 1) a
+         |    JOIN (SELECT * FROM ivf_cells WHERE crank <= 2 AND vec_id % 50 = 0) p
+         |      ON a.cell = p.cell
+         |    WHERE a.vec_id <> p.vec_id) x
+         |  WHERE rank <= 3),
+         |truth AS (SELECT count(*) AS truth FROM bf)""".stripMargin,
+      """SELECT m.method, m.hits, truth.truth,
+        |  m.hits::DOUBLE / truth.truth AS recall
+        |FROM (
+        |  SELECT 'ivf' AS method, count(*) AS hits
+        |  FROM bf JOIN ivf USING (query_id, neighbor_id)
+        |  UNION ALL
+        |  SELECT 'lsh', count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)
+        |) m CROSS JOIN truth
+        |ORDER BY method""".stripMargin))
 }
