@@ -215,6 +215,94 @@ object DocPipeline {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---- dedup clustering --------------------------------------------------
+
+  /** Connected components over near-dup `pairs` (doc_a, doc_b): each doc's
+    * component id is the MIN doc_id reachable through the dup graph, and
+    * the keeper of a cluster is the doc that IS its component id — the
+    * canonical "keep one per near-dup cluster" final step of a dedup
+    * pipeline.
+    *
+    * Algorithm: min-label propagation to fixpoint — every round each node
+    * takes the min label in its 1-hop neighborhood (one shuffle per round,
+    * converges in O(graph diameter) rounds; near-dup clusters are short
+    * chains, so diameter is small). At extreme scale swap the round body
+    * for the large-star/small-star contraction — identical output. The
+    * driver-side loop only tests a converged flag, never collects data. */
+  def nearDupComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nbrcomp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrcomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"),
+      (col("id") === col("comp")).as("is_keeper"))
+  }
+
+  // ---- corpus hygiene ----------------------------------------------------
+
+  /** PII scrub: redact emails, North-American phone shapes, and IPv4
+    * addresses with typed placeholders. Narrow per-doc projection, zero
+    * shuffle; patterns are deliberately conservative (precision over
+    * recall) — production corpora layer locale packs on top. */
+  def piiScrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+    regexp_replace(phone,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * `sha256_prefix64(lang || ':' || doc_id) % 100 < pct(lang)`. Hash-based
+    * (not `rand()`): the sample is reproducible across runs, engines, and
+    * partitionings, and sampling is a pure narrow filter — no shuffle, no
+    * state. Unlisted strata default to 0 (dropped). */
+  def stratifiedSample(docs: DataFrame, pctByLang: Map[String, Int]): DataFrame = {
+    val pct = pctByLang.foldLeft(lit(0)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, p).otherwise(acc)
+    }
+    docs.filter(
+      pmod(hash64Id(concat_ws(":", col("lang"), col("doc_id"))), lit(100)) < pct)
+  }
+
+  /** Benchmark-contamination check: flag corpus docs sharing ≥ `minShared`
+    * word-3-gram shingles with any eval-set doc (self-matches excluded).
+    * The standard decontamination shape: both sides reduce to shingle
+    * hashes, the join is an equi-join on the hash (inverted index), and
+    * the eval side is tiny → broadcast. Returns per-doc match stats. */
+  def contamination(corpus: DataFrame, eval: DataFrame, minShared: Int): DataFrame = {
+    val c = shingleHashes(corpus)
+    val ev = shingleHashes(eval)
+      .select(col("doc_id").as("eval_doc_id"), col("h"))
+    c.join(broadcast(ev), "h")
+      .filter(col("doc_id") =!= col("eval_doc_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_doc_id")).as("eval_docs_hit"),
+        countDistinct(col("h")).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   // ---- per-doc text analysis --------------------------------------------
 
   private def stopHits(langList: Seq[String]): Column =

@@ -59,6 +59,37 @@ object DocQueries {
       EmbeddingOps.cosineDupPairs(EmbeddingOps.embeddingsWithDups(s, dir), 0.999, 16)
         .orderBy("vec_a", "vec_b")),
 
+    // ---- corpus hygiene / dedup clustering ----
+    // Fixture text carries no PII, so the query injects a deterministic
+    // contact line per doc and scrubs it — both engines build and scrub
+    // the same string, and the redaction is visibly exercised.
+    "text_pii_scrub" -> ((s, dir) => d(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com"),
+          lit(" ph 555-867-50"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+          .as("raw"))
+      .select(col("doc_id"), DocPipeline.piiScrub(col("raw")).as("scrubbed"))
+      .orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      DocPipeline.stratifiedSample(d(s, dir), Map("en" -> 50, "es" -> 30, "de" -> 20))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // eval set = every 40th doc; corpus docs sharing ≥2 distinct 3-gram
+    // shingles with an eval doc (other than themselves) are contaminated
+    "contamination_ngram" -> ((s, dir) =>
+      DocPipeline.contamination(d(s, dir), d(s, dir).filter(col("doc_id") % 40 === 0), 2)
+        .orderBy("doc_id")),
+
+    // connected components over the MinHash-LSH near-dup graph: component
+    // id = min reachable doc_id, keeper = the doc that IS its component
+    "dedup_components" -> ((s, dir) =>
+      DocPipeline.nearDupComponents(DocPipeline.minhashLshPairs(d(s, dir), 0.5))
+        .orderBy("doc_id")),
+
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
       val all = e(s, dir)
@@ -277,6 +308,57 @@ object DocQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "text_pii_scrub" -> docs(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         || ' ph 555-867-50' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "sample_stratified" -> docs(
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, $h64w % 100 AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |    ('0x' || substr(sha256(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+         |    FROM documents) y) z
+         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30
+         |                         WHEN 'de' THEN 20 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin),
+
+    "contamination_ngram" -> docsWith(
+      """ev AS (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 40 = 0)""",
+      """SELECT s.doc_id,
+        |  CAST(count(DISTINCT e.eval_doc_id) AS BIGINT) AS eval_docs_hit,
+        |  CAST(count(DISTINCT s.h) AS BIGINT) AS shared_shingles
+        |FROM shh s JOIN ev e ON s.h = e.h AND s.doc_id <> e.eval_doc_id
+        |GROUP BY s.doc_id HAVING count(DISTINCT s.h) >= 2
+        |ORDER BY doc_id""".stripMargin),
+
+    "dedup_components" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r)
+         |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    },
 
     "ann_recall" -> emb(
       s"""${DocsOracle.embNorm("embeddings", 4)},

@@ -89,6 +89,51 @@ class DocOpsSpec extends SparkSpec {
     assert(hamNear < hamFar, s"near ($hamNear) < far ($hamFar)")
   }
 
+  test("connected components: a chain collapses to one cluster with the min-id keeper") {
+    // edges 1-2, 2-3 (a chain: 1 and 3 never share an edge) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comps = DocPipeline.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(comps(1L) == (1L, true) && comps(2L) == (1L, false) && comps(3L) == (1L, false),
+      "transitive closure reaches across the chain")
+    assert(comps(7L) == (7L, true) && comps(9L) == (7L, false))
+    assert(comps.size == 5)
+  }
+
+  test("PII scrub redacts emails, phones, IPs and leaves prose alone") {
+    val doc = Seq((1L, "reach me at jane.doe+x@corp.example.org or 555-867-5309, host 192.168.1.10 thanks"))
+      .toDF("doc_id", "text")
+    val got = doc.select(DocPipeline.piiScrub(col("text"))).collect()(0).getString(0)
+    assert(got == "reach me at <EMAIL> or <PHONE>, host <IP> thanks")
+  }
+
+  test("stratified sample is deterministic and respects per-language rates") {
+    val docs = (1 to 600).map(i =>
+      (i.toLong, s"text $i", Seq("en", "es", "de")(i % 3))).toDF("doc_id", "text", "lang")
+    val s1 = DocPipeline.stratifiedSample(docs, Map("en" -> 50, "es" -> 20, "de" -> 0))
+    val s2 = DocPipeline.stratifiedSample(docs, Map("en" -> 50, "es" -> 20, "de" -> 0))
+    assert(s1.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet,
+      "hash-based sample is reproducible")
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("de"), "0% stratum drops entirely")
+    // 200 docs per stratum; hash buckets are near-uniform
+    assert(byLang("en") > 70 && byLang("en") < 130)
+    assert(byLang("es") > 15 && byLang("es") < 70)
+  }
+
+  test("contamination flags docs overlapping the eval set, never self-matches") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta nothing else here"), // overlaps eval doc 1
+      (3L, "totally unrelated content words only here")).toDF("doc_id", "text")
+    val eval = corpus.filter(col("doc_id") === 1L)
+    val hits = DocPipeline.contamination(corpus, eval, minShared = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits.keySet == Set(2L), s"doc 1 is the eval doc itself (no self-match): $hits")
+    assert(hits(2L) == 2L, "shares 'alpha beta gamma' and 'beta gamma delta'")
+  }
+
   test("language id picks the stopword-dominant language") {
     val docs = Seq(
       (1L, "the cat is on the mat with a hat"),
