@@ -19,15 +19,41 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * partition-pruned downstream loads. Exactly-once lands on the
   * deterministic-id merge in [[HourLoad]], not sink transactions —
   * mirroring the reference's idempotency model (SURVEY §2.8 late_data).
+  * The three appends are additionally guarded by per-(sink, batchId)
+  * commit markers, so a foreachBatch retry after a mid-batch crash never
+  * double-lands rows in a sink that had already committed that batch.
   */
 object Ingest {
 
   final case class LakeDirs(raw: String, curated: String, dlq: String,
                             checkpoint: String)
 
+  /** Marker path recording that sink `dir` has committed `batchId`.
+    * Underscore-prefixed, so Spark's file index treats it as hidden. */
+  private def markerPath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/batch-$batchId")
+
+  /** Run `write` unless this (sink, batchId) already committed, then drop
+    * the marker. A foreachBatch retry re-runs ALL sinks of the batch; the
+    * markers make each sink's append idempotent, so a sink that committed
+    * before a mid-batch crash cannot double-land its rows on replay (the
+    * cross-sink atomicity gap of three sequential appends). `batchId < 0`
+    * (direct batch use, tests) bypasses the protocol. */
+  private def oncePerBatch(spark: SparkSession, dir: String, batchId: Long)
+                          (write: => Unit): Unit = {
+    if (batchId < 0) { write; return }
+    val m = markerPath(dir, batchId)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(m)) return
+    write
+    fs.mkdirs(m.getParent)
+    fs.create(m, true).close()
+  }
+
   /** Per-batch 3-way fan-out used by the streaming query (and directly
     * testable on a static frame). */
-  def writeBatch(batch: DataFrame, dirs: LakeDirs): Unit = {
+  def writeBatch(batch: DataFrame, dirs: LakeDirs, batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
     val routed = StreamTransforms.route(StreamTransforms.enrich(
       StreamTransforms.parse(batch)))
       .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
@@ -36,18 +62,24 @@ object Ingest {
       .cache()
     try {
       // raw passthrough (JSONL, hourly dirs)
-      routed.select(col("json"), col("p_date"), col("p_hour"))
-        .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.raw)
+      oncePerBatch(spark, dirs.raw, batchId) {
+        routed.select(col("json"), col("p_date"), col("p_hour"))
+          .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.raw)
+      }
       // curated (CSV, positional, headerless — ds_curated_csv.json shape)
-      routed.filter(col("sink") === "curated")
-        .select(HourLoad.curatedCsvColumns: _*)
-        .write.mode(SaveMode.Append).option("header", "false")
-        .partitionBy("p_date", "p_hour").csv(dirs.curated)
+      oncePerBatch(spark, dirs.curated, batchId) {
+        routed.filter(col("sink") === "curated")
+          .select(HourLoad.curatedCsvColumns: _*)
+          .write.mode(SaveMode.Append).option("header", "false")
+          .partitionBy("p_date", "p_hour").csv(dirs.curated)
+      }
       // DLQ (JSONL + reason)
-      routed.filter(col("sink") === "dlq")
-        .select(to_json(struct(col("event_id"), col("reason"), col("json"))).as("value"),
-          col("p_date"), col("p_hour"))
-        .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.dlq)
+      oncePerBatch(spark, dirs.dlq, batchId) {
+        routed.filter(col("sink") === "dlq")
+          .select(to_json(struct(col("event_id"), col("reason"), col("json"))).as("value"),
+            col("p_date"), col("p_hour"))
+          .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.dlq)
+      }
     } finally routed.unpersist()
   }
 
@@ -65,7 +97,7 @@ object Ingest {
     lines.writeStream
       .option("checkpointLocation", dirs.checkpoint)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, _: Long) => writeBatch(batch, dirs))
+      .foreachBatch((batch: DataFrame, batchId: Long) => writeBatch(batch, dirs, batchId))
       .start()
   }
 }

@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     assert(someHour.contains("p_date=") && someHour.contains("p_hour="))
   }
 
+  test("writeBatch replay with the same batchId is a no-op per sink") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    val batch = spark.read.text(input).withColumnRenamed("value", "json")
+      .withColumn("arrival_ts",
+        get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"))
+
+    Ingest.writeBatch(batch, dirs, batchId = 7L)
+    val raw1 = spark.read.text(dirs.raw).count()
+    val cur1 = spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count()
+    assert(raw1 > 0 && cur1 > 0)
+
+    // retry of the SAME batch (mid-batch-crash replay): markers skip all
+    // three appends — nothing double-lands
+    Ingest.writeBatch(batch, dirs, batchId = 7L)
+    assert(spark.read.text(dirs.raw).count() == raw1)
+    assert(spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count() == cur1)
+
+    // a NEW batch id appends as usual
+    Ingest.writeBatch(batch, dirs, batchId = 8L)
+    assert(spark.read.text(dirs.raw).count() == 2 * raw1)
+  }
+
   test("hour micro-batch: merge counts, replay idempotence, purge, audit") {
     val (base, dirs) = lake()
     val input = s"$base/landing"
