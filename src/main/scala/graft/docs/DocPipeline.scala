@@ -339,6 +339,29 @@ object DocPipeline {
       .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
         "digit_ratio", "quality_score")
 
+  /** Repetition signals (the Gopher-style repetition filters): type-token
+    * ratio (distinct/total tokens) and the fraction of word-bigrams taken
+    * by the single most frequent bigram — high values of the latter mark
+    * boilerplate/keyword-stuffed docs. Two doc_id-keyed aggregations, both
+    * partial-aggregated; docs with <2 tokens get a NULL bigram fraction. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = tokenized(docs)
+    val n = size(col("t"))
+    val bigrams = t.select(col("doc_id"), explode(
+      when(n >= 2, transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array())).as("bg"))
+    val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topc"), sum(col("c")).as("total"))
+    val tokStats = t.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("w")).as("dt"), count(lit(1)).as("ntok"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("dt").cast("double") / col("ntok")).as("type_token_ratio"),
+        (col("topc").cast("double") / col("total")).as("top_bigram_frac"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces
     * (letter runs | single digits | single punctuation). */
   def tokenCounts(docs: DataFrame): DataFrame =

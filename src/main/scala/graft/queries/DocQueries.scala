@@ -59,6 +59,9 @@ object DocQueries {
       EmbeddingOps.cosineDupPairs(EmbeddingOps.embeddingsWithDups(s, dir), 0.999, 16)
         .orderBy("vec_a", "vec_b")),
 
+    "text_repetition" -> ((s, dir) => DocPipeline.repetitionStats(d(s, dir))
+      .orderBy("doc_id")),
+
     // ---- corpus hygiene / dedup clustering ----
     // Fixture text carries no PII, so the query injects a deterministic
     // contact line per doc and scrubs it — both engines build and scrub
@@ -308,6 +311,22 @@ object DocQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "text_repetition" -> docsWith(
+      """bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |bgs AS (
+        |  SELECT doc_id, max(c) AS topc, sum(c) AS total
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) x
+        |  GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, count(DISTINCT w) AS dt, count(*) AS ntok
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) y GROUP BY 1)""".stripMargin,
+      """SELECT t.doc_id, t.dt::DOUBLE / t.ntok AS type_token_ratio,
+        |  b.topc::DOUBLE / b.total AS top_bigram_frac
+        |FROM tok t LEFT JOIN bgs b USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     "text_pii_scrub" -> docs(
       """SELECT doc_id,

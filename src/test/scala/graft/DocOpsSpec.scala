@@ -134,6 +134,21 @@ class DocOpsSpec extends SparkSpec {
     assert(hits(2L) == 2L, "shares 'alpha beta gamma' and 'beta gamma delta'")
   }
 
+  test("repetition stats: boilerplate scores high bigram fraction, prose low") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),         // 'buy now' dominates
+      (2L, "each word here appears exactly once only"),
+      (3L, "solo")).toDF("doc_id", "text")              // 1 token → NULL bigram frac
+    val got = DocPipeline.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // doc 1: 8 tokens, 2 distinct → ttr 0.25; 7 bigrams, 'buy now' ×4 → 4/7
+    assert(got(1L)._1 == 0.25 && math.abs(got(1L)._2.get - 4.0 / 7) < 1e-12)
+    // doc 2: all distinct → ttr 1.0; every bigram unique → 1/6
+    assert(got(2L)._1 == 1.0 && math.abs(got(2L)._2.get - 1.0 / 6) < 1e-12)
+    assert(got(3L)._1 == 1.0 && got(3L)._2.isEmpty)
+  }
+
   test("language id picks the stopword-dominant language") {
     val docs = Seq(
       (1L, "the cat is on the mat with a hat"),
