@@ -58,4 +58,26 @@ class PerfTechniquesSpec extends SparkSpec {
       .select("k", "row_id", "payload")
     assert(saltedDet.exceptAll(plain).isEmpty && plain.exceptAll(saltedDet).isEmpty)
   }
+
+  test("round-3 ops keep their scale-critical plan shapes") {
+    val d = sf()
+    // calendar slice: every dim joins as broadcast — the fact side never
+    // sort-merge-joins (REPLICATE analog)
+    val cal = SparkEntry.queries("join_calendar")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(cal.contains("BroadcastHashJoin") && !cal.contains("SortMergeJoin"),
+      s"join_calendar must broadcast its dims:\n${cal.take(2000)}")
+    // decontamination: the (tiny) eval side broadcasts into the corpus scan
+    val cont = SparkEntry.queries("contamination_ngram")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(cont.contains("BroadcastHashJoin"),
+      "contamination joins the eval set by broadcast")
+    // stratified sampling: a narrow projection — the scan reads only the
+    // two columns the query returns, and no join/aggregate appears
+    val samp = SparkEntry.queries("sample_stratified")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(samp.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"sample must prune to (doc_id, lang):\n${samp.take(2000)}")
+    assert(!samp.contains("Join"), "sample is join-free")
+  }
 }
