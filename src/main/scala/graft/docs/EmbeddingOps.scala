@@ -113,6 +113,49 @@ object EmbeddingOps {
     scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= take)
   }
 
+  /** Assign every vector to its nearest centroid (ties → smallest cell
+    * id, lexicographic). Centroids broadcast; one narrow pass. */
+  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist", dist2(col("embedding"), col("ce")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Assignment of vectors to trained centroids, public surface:
+    * (vec_id, cell). */
+  def assignTo(vecs: DataFrame, cent: DataFrame): DataFrame =
+    assignCells(vecs, cent).select("vec_id", "cell")
+
+  /** Deterministic Lloyd's k-means — the trained coarse quantizer the
+    * fixture's `label` column stands in for elsewhere: seeds = the k
+    * lowest vec_ids (cell id = seed id), a FIXED number of rounds, means
+    * via exact DECIMAL sums (order-independent, so centroids are
+    * bit-identical across engines and partitionings — the property that
+    * lets a DuckDB oracle check a clustering). Per round: one broadcast
+    * assign pass + one per-(cell, dim) partial-aggregated mean; at 100 TB
+    * this is the standard k-means-on-Spark shape (centroids tiny,
+    * broadcast; corpus never shuffles except the dim-keyed mean agg).
+    * Cells that lose every member drop out, same in both engines. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = vecs.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("string").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to iters) {
+      val pos = assignCells(vecs, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "x")))
+      cent = pos.groupBy(col("cell"), col("p"))
+        .agg((sum(col("x").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+          s => s.getField("c")).as("ce"))
+    }
+    cent
+  }
+
   /** IVF search: assign the corpus to its nearest cell, probe each
     * query's `nprobe` nearest cells, score cosine only inside probed
     * cells. The 100 TB layout: corpus hash-partitioned by cell (the

@@ -88,6 +88,12 @@ object DocsOracle {
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** Left-to-right squared L2 distance between a float-list column and a
+    * double-list centroid column (mirror of `EmbeddingOps.dist2`). */
+  def dist2Sql(v: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($v)), " +
+      s"i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x, y) -> x + y)"
+
   def bucketSql(v: String, bits: Int): String =
     (0 until bits)
       .map(j => s"CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")

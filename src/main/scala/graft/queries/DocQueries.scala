@@ -112,6 +112,22 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // k-means training of the IVF coarse quantizer: 4 cells, 2 Lloyd
+    // rounds. Declared output = the resulting PARTITION of the corpus
+    // (per-cell membership stats), which is discrete and hash-exact;
+    // raw centroid doubles differ between engines at the last ulp (float
+    // →decimal cast rendering) and are pinned by DocOpsSpec instead.
+    "ivf_train" -> ((s, dir) => {
+      val all = e(s, dir)
+      val cent = EmbeddingOps.kmeansCentroids(all, 4, 2)
+      EmbeddingOps.assignTo(all, cent)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("members"),
+          min(col("vec_id")).as("min_vec_id"), max(col("vec_id")).as("max_vec_id"),
+          sum(col("vec_id")).as("sum_vec_id"))
+        .orderBy("cell")
+    }),
+
     // recall@3 of each approximate path against the exact brute-force
     // truth set — the number the bucketing/probing trade-off buys. Pure
     // relational over the ops above: truth ∩ approx via a semi-join.
@@ -377,6 +393,39 @@ object DocQueries {
          |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r)
          |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "ivf_train" -> {
+      def assign(src: String, centArr: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, s.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${DocsOracle.dist2Sql("e.embedding", "s.ce")}, s.cell) AS r
+           |    FROM embeddings e CROSS JOIN $centArr s) x WHERE r = 1)""".stripMargin
+      def mean(src: String, out: String) =
+        s"""${out}_pos AS (
+           |  SELECT cell, j, embedding[j] AS x FROM $src,
+           |    unnest(generate_series(1, len(embedding))) AS g(j)
+           |), ${out}_c AS (
+           |  SELECT cell, j,
+           |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+           |  FROM ${out}_pos GROUP BY 1, 2
+           |), $out AS (SELECT cell, list(c ORDER BY j) AS ce FROM ${out}_c GROUP BY cell)""".stripMargin
+      emb(
+        s"""seeds AS (
+           |  SELECT CAST(vec_id AS VARCHAR) AS cell,
+           |    list_transform(embedding, x -> x::DOUBLE) AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 4),
+           |${assign("embeddings", "seeds", "a1")},
+           |${mean("a1", "cent1")},
+           |${assign("embeddings", "cent1", "a2")},
+           |${mean("a2", "cent2")},
+           |${assign("embeddings", "cent2", "a3")}""".stripMargin,
+        """SELECT cell, count(*) AS members,
+          |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+          |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin)
     },
 
     "ann_recall" -> emb(

@@ -159,6 +159,25 @@ class DocOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
 
+  test("k-means: two well-separated clusters converge to their exact means") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),    // cluster at (0,1)
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 12.0f)) // cluster at (10,11)
+      ).toDF("vec_id", "embedding")
+    // seeds = vec_ids 1 and 2 (both in the left cluster); one Lloyd round
+    // pulls 3 and 4 toward seed 2's cell, the second separates cleanly
+    val cent = EmbeddingOps.kmeansCentroids(vecs, 2, 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val assign = EmbeddingOps.assignTo(vecs, EmbeddingOps.kmeansCentroids(vecs, 2, 2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign(1L) == assign(2L) && assign(3L) == assign(4L)
+      && assign(1L) != assign(3L), s"clusters separate: $assign")
+    // exact means (small integers → decimal sums exact)
+    val cells = assign(1L) :: assign(3L) :: Nil
+    assert(cent(cells.head) == Seq(0.0, 1.0))
+    assert(cent(cells(1)) == Seq(10.0, 11.0))
+  }
+
   test("brute-force ANN ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
