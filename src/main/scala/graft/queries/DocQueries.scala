@@ -112,6 +112,18 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the dedup pipeline applied end-to-end: detect (MinHash-LSH pairs) →
+    // cluster (connected components) → drop non-keepers from the corpus
+    "dedup_apply" -> ((s, dir) => {
+      val corpus = d(s, dir)
+      val comps = DocPipeline.nearDupComponents(
+        DocPipeline.minhashLshPairs(corpus, 0.5))
+      corpus.join(comps.filter(!col("is_keeper")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // k-means training of the IVF coarse quantizer: 4 cells, 2 Lloyd
     // rounds. Declared output = the resulting PARTITION of the corpus
     // (per-cell membership stats), which is discrete and hash-exact;
@@ -393,6 +405,30 @@ object DocQueries {
          |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r)
          |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_apply" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r),
+         |losers AS (
+         |  SELECT id FROM walk GROUP BY id HAVING min(r) <> id)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "ivf_train" -> {
