@@ -17,6 +17,13 @@ object DocQueries {
   private def d(s: SparkSession, dir: String) = DocPipeline.documents(s, dir)
   private def e(s: SparkSession, dir: String) = EmbeddingOps.embeddings(s, dir)
 
+  /** Near-dup component labels, memoized: the iterative propagation runs
+    * once per session; `dedup_components` and `dedup_apply` both read the
+    * final labels frame. */
+  private def components(s: SparkSession, dir: String) = Memo.of(s, s"$dir/dup_components") {
+    DocPipeline.nearDupComponents(DocPipeline.minhashLshPairs(d(s, dir), 0.5))
+  }
+
   val queries: Map[String, QFn] = Map(
     // ---- text analysis ----
     "text_normalize" -> ((s, dir) => d(s, dir)
@@ -89,9 +96,7 @@ object DocQueries {
 
     // connected components over the MinHash-LSH near-dup graph: component
     // id = min reachable doc_id, keeper = the doc that IS its component
-    "dedup_components" -> ((s, dir) =>
-      DocPipeline.nearDupComponents(DocPipeline.minhashLshPairs(d(s, dir), 0.5))
-        .orderBy("doc_id")),
+    "dedup_components" -> ((s, dir) => components(s, dir).orderBy("doc_id")),
 
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -114,15 +119,11 @@ object DocQueries {
 
     // the dedup pipeline applied end-to-end: detect (MinHash-LSH pairs) →
     // cluster (connected components) → drop non-keepers from the corpus
-    "dedup_apply" -> ((s, dir) => {
-      val corpus = d(s, dir)
-      val comps = DocPipeline.nearDupComponents(
-        DocPipeline.minhashLshPairs(corpus, 0.5))
-      corpus.join(comps.filter(!col("is_keeper")).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
+    "dedup_apply" -> ((s, dir) => d(s, dir)
+      .join(components(s, dir).filter(!col("is_keeper")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")),
 
     // k-means training of the IVF coarse quantizer: 4 cells, 2 Lloyd
     // rounds. Declared output = the resulting PARTITION of the corpus

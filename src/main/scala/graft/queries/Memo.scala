@@ -20,9 +20,20 @@ import org.apache.spark.sql.DataFrame
 object Memo {
   private val frames = TrieMap.empty[(Int, String), DataFrame]
 
+  /** `build` is evaluated on every call (needed to learn the owning
+    * session) but the CACHED frame wins on a hit — fine for lazy plan
+    * builders. For builders that run jobs eagerly use [[of]]. */
   def apply(key: String)(build: => DataFrame): DataFrame = {
     val df = build
     val sessionId = System.identityHashCode(df.sparkSession)
     frames.getOrElseUpdate((sessionId, key), df.cache())
   }
+
+  /** Session-explicit variant that does NOT evaluate `build` on a hit —
+    * required when the builder runs Spark jobs eagerly (e.g. iterative
+    * algorithms), where re-evaluating just to discard would redo the
+    * work. */
+  def of(spark: org.apache.spark.sql.SparkSession, key: String)
+        (build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((System.identityHashCode(spark), key), build.cache())
 }
