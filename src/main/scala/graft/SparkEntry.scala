@@ -73,7 +73,8 @@ object SparkEntry {
     * another chain's build cost. */
   def warmups: Map[String, (SparkSession, String) => Unit] = Map(
     "taxi_chain" -> (_root_.graft.queries.TaxiQueries.warm _),
-    "events_chain" -> (_root_.graft.queries.StreamQueries.warm _))
+    "events_chain" -> (_root_.graft.queries.StreamQueries.warm _),
+    "docs_dup_graph" -> (_root_.graft.queries.DocQueries.warm _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

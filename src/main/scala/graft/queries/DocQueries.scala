@@ -24,6 +24,12 @@ object DocQueries {
     DocPipeline.nearDupComponents(DocPipeline.minhashLshPairs(d(s, dir), 0.5))
   }
 
+  /** Materialize the near-dup graph memo (pairs → components) for
+    * steady-state benchmarking (see [[TaxiQueries.warm]]). */
+  def warm(s: SparkSession, dir: String): Unit = {
+    components(s, dir).count(): Unit
+  }
+
   val queries: Map[String, QFn] = Map(
     // ---- text analysis ----
     "text_normalize" -> ((s, dir) => d(s, dir)
