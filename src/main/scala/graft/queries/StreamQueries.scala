@@ -128,6 +128,16 @@ object StreamQueries {
       graft.stream.WindowedStats.hourlyQualityCounts(routed(s, d))
         .orderBy("hour_start", "sink")),
 
+    // ASA HoppingWindow(hour,1,minute,30) analog: overlapping windows
+    "stream_hopping_window" -> ((s, d) =>
+      graft.stream.WindowedStats.hoppingQualityCounts(routed(s, d))
+        .orderBy("win_start", "sink")),
+
+    // ASA SessionWindow analog: 10-minute-gap sessions per vendor
+    "stream_session_window" -> ((s, d) =>
+      graft.stream.WindowedStats.vendorSessions(routed(s, d), 10)
+        .orderBy("session_start", "vendor_id")),
+
     "late_data" -> ((s, d) => {
       // Replays of hour-H events arriving at H+1 are absorbed by the
       // deterministic-id dedupe: slice cardinality is unchanged.
@@ -221,6 +231,32 @@ object StreamQueries {
       """SELECT date_trunc('hour', arrival_ts) AS hour_start, sink,
         |  count(*) AS events
         |FROM ev_routed GROUP BY 1, 2 ORDER BY hour_start, sink""".stripMargin),
+
+    "stream_hopping_window" -> stream(
+      """SELECT win_start, sink, count(*) AS events FROM (
+        |  SELECT sink, unnest([
+        |    CAST(to_timestamp(floor(epoch(arrival_ts) / 1800) * 1800) AS TIMESTAMP),
+        |    CAST(to_timestamp(floor(epoch(arrival_ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+        |  ]) AS win_start
+        |  FROM ev_routed) x
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "stream_session_window" -> stream(
+      """SELECT min(arrival_ts) AS session_start,
+        |  max(arrival_ts) + INTERVAL 10 MINUTE AS session_end,
+        |  vendor_id, count(*) AS events
+        |FROM (
+        |  SELECT vendor_id, arrival_ts,
+        |    sum(brk) OVER (PARTITION BY vendor_id ORDER BY arrival_ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT vendor_id, arrival_ts,
+        |      CASE WHEN arrival_ts < lag(arrival_ts) OVER (
+        |             PARTITION BY vendor_id ORDER BY arrival_ts)
+        |           + INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+        |    FROM ev_routed WHERE vendor_id IS NOT NULL) m) s
+        |GROUP BY vendor_id, sid
+        |ORDER BY session_start, vendor_id""".stripMargin),
 
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed

@@ -33,6 +33,32 @@ object WindowedStats {
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("sink"), col("events"))
 
+  /** Hopping (sliding) window counts — the ASA `HoppingWindow(hour, 1,
+    * minute, 30)` analog: every event lands in size/slide = 2 overlapping
+    * windows. Same static/streaming duality as [[hourlyQualityCounts]]. */
+  def hoppingQualityCounts(routed: DataFrame): DataFrame =
+    routed
+      .withColumn("_evt", col("arrival_ts").cast("timestamp"))
+      .withWatermark("_evt", "2 hours")
+      .groupBy(window(col("_evt"), "1 hour", "30 minutes"), col("sink"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("sink"), col("events"))
+
+  /** Per-vendor session windows — the ASA `SessionWindow` analog: an
+    * event within `gapMinutes` of the session's last event extends it;
+    * session end = last event + gap. State per open session only. */
+  def vendorSessions(routed: DataFrame, gapMinutes: Int): DataFrame =
+    routed
+      .filter(col("vendor_id").isNotNull)
+      .withColumn("_evt", col("arrival_ts").cast("timestamp"))
+      .withWatermark("_evt", "2 hours")
+      .groupBy(session_window(col("_evt"), s"$gapMinutes minutes"), col("vendor_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("vendor_id"), col("events"))
+
   final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double,
                               producer_ts: java.sql.Timestamp)
 

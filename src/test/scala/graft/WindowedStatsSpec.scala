@@ -56,6 +56,40 @@ class WindowedStatsSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty, "emitted windows match batch")
   }
 
+  test("vendorSessions: streaming session windows equal the batch answer") {
+    val base = tmpDir("graft_sesswin")
+    val input = s"$base/landing"
+    EventsModel.envelopes(spark, sf()).select("json")
+      .coalesce(2).write.mode("overwrite").text(input)
+
+    def routedOf(df: org.apache.spark.sql.DataFrame) =
+      StreamTransforms.route(StreamTransforms.enrich(StreamTransforms.parse(df)))
+    def src(streaming: Boolean) = {
+      val r = if (streaming) spark.readStream.text(input) else spark.read.text(input)
+      r.withColumnRenamed("value", "json")
+        .withColumn("arrival_ts",
+          get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"))
+    }
+
+    val q = WindowedStats.vendorSessions(routedOf(src(streaming = true)), 10)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+
+    val got = spark.table("sess_win")
+    val batch = WindowedStats.vendorSessions(routedOf(src(streaming = false)), 10)
+    assert(got.count() > 0)
+    // watermark may hold back trailing sessions in AvailableNow; every
+    // emitted session must match the batch operator exactly
+    assert(got.exceptAll(batch).isEmpty, "emitted sessions match batch")
+    // sessions are disjoint per vendor and end = last event + gap
+    val overlaps = batch.as("a").join(batch.as("b"),
+      col("a.vendor_id") === col("b.vendor_id") &&
+        col("a.session_start") < col("b.session_start") &&
+        col("b.session_start") < col("a.session_end")).count()
+    assert(overlaps == 0, "sessions never overlap within a vendor")
+  }
+
   /** Streaming dedupe rig: CSV lines `trip_id,event_id,fare,ts` landed as
     * files (one micro-batch per file via maxFilesPerTrigger=1), through
     * [[WindowedStats.dedupeByTripId]] into a memory sink. */
