@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Sha256Prefix64
+import graft.functions.{FloatVecDot, Sha256Prefix64}
 
 /** Session-extension hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -13,9 +13,30 @@ import graft.functions.Sha256Prefix64
   *
   * `sha256_prefix64(s)` — signed-positive first 8 bytes of SHA-256
   * (the streaming surrogate trip id, ref:
-  * usp_upsert_trips_from_streaming.sql:14-16). */
+  * usp_upsert_trips_from_streaming.sql:14-16).
+  * `vec_dot(a, b)` — codegen'd float-vector dot product (similarity
+  * search hot path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
+    if (args.size != expected) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        requireArity("vec_dot", 2, args)
+        FloatVecDot(args.head, args(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("sha256_prefix64"),
       new ExpressionInfo(classOf[Sha256Prefix64].getName, "sha256_prefix64"),
@@ -23,15 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // arity is checked HERE (the builder runs at analysis time) so a
         // zero- or two-arg SQL call raises AnalysisException, never a
         // builder NoSuchElementException at plan time
-        if (args.size != 1) {
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`sha256_prefix64`",
-              "expectedNum" -> "1",
-              "actualNum" -> args.size.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        }
+        requireArity("sha256_prefix64", 1, args)
         Sha256Prefix64(args.head)
       }))
   }

@@ -32,10 +32,11 @@ object EmbeddingOps {
       .withColumn("vec_id", col("vec_id") + 100000L))
   }
 
-  /** Left-to-right double dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product of two float vectors — a native
+    * codegen expression ([[graft.functions.FloatVecDot]]); bit-identical
+    * to the `aggregate(zip_with(...))` HOF form it replaced, without the
+    * per-row intermediate array or lambda interpretation. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot.dot(a, b)
 
   /** Euclidean norm (double). */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -94,6 +94,35 @@ class FunctionsSpec extends SparkSpec {
     assert(two.getMessage.contains("sha256_prefix64"))
   }
 
+  test("vec_dot equals the HOF dot bit-for-bit and fails analysis on bad types") {
+    val vecs = Seq(
+      (1L, Array(0.25f, -1.5f, 3.125f), Array(2.0f, 0.5f, -0.75f)),
+      (2L, Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)))
+      .toDF("id", "a", "b")
+    val hof = vecs.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).collect().map(_.getDouble(0))
+    val native = vecs.select(
+      graft.functions.FloatVecDot.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    // bit-identical, not approximately equal: same left-to-right order
+    assert(java.util.Arrays.equals(
+      hof.map(java.lang.Double.doubleToLongBits),
+      native.map(java.lang.Double.doubleToLongBits)))
+    // SQL registration + codegen path
+    vecs.createOrReplaceTempView("vec_in")
+    val sql = spark.sql("SELECT vec_dot(a, b) FROM vec_in ORDER BY id")
+      .collect().map(_.getDouble(0))
+    assert(sql.toSeq == native.toSeq)
+    // non-array input fails at analysis, as does wrong arity
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(id, a) FROM vec_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(a) FROM vec_in").collect()
+    }
+  }
+
   test("safeDivide guards zero/negative denominators") {
     val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
       .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))
