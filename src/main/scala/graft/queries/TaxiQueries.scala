@@ -346,6 +346,21 @@ object TaxiQueries {
         (dsum("fare_amount") / nullif(dsum("trip_distance_km"), lit(0.0))).as("avg_fare_per_km"))
       .orderBy("vendor_sk")),
 
+    // BI subtotal lattice over the calendar: ROLLUP(year, quarter) gives
+    // per-quarter, per-year, and grand-total rows in one pass (partial
+    // aggregation handles all grouping sets in a single shuffle).
+    "agg_rollup_calendar" -> ((s, d) => {
+      val f = factDf(s, d)
+      val dd = StarModel.dimDate(dedupedDf(s, d))
+      f.join(broadcast(dd), f("pickup_date_key") === dd("date_key"))
+        .rollup(col("year"), col("quarter"))
+        .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"),
+          grouping(col("year")).cast("int").as("g_year"),
+          grouping(col("quarter")).cast("int").as("g_quarter"))
+        .select("year", "quarter", "trips", "total_fare", "g_year", "g_quarter")
+        .orderBy(col("g_year"), col("g_quarter"), col("year"), col("quarter"))
+    }),
+
     // Exact distinct-count KPI (README_modeling.md §7 "Trips =
     // COUNT(DISTINCT trip_id)"); approx_count_distinct is the documented
     // scale opt-in but is engine-specific, so the declared query is exact.
@@ -715,6 +730,27 @@ object TaxiQueries {
          |JOIN dd ON dd.date_key = f.pickup_date_key
          |LEFT JOIN tt ON tt.time_key = f.pickup_time_key
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "agg_rollup_calendar" -> taxiWith(
+      """span AS (
+        |  SELECT min(CAST(pickup_ts_utc AS DATE)) AS lo,
+        |         max(CAST(pickup_ts_utc AS DATE)) AS hi
+        |  FROM deduped
+        |), dd AS (
+        |  SELECT
+        |    CAST(year(dv)*10000 + month(dv)*100 + day(dv) AS INT) AS date_key,
+        |    CAST(year(dv) AS INT) AS "year",
+        |    CAST(quarter(dv) AS INT) AS "quarter"
+        |  FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |          AS dv FROM span) x
+        |)""".stripMargin,
+      s"""SELECT dd."year", dd."quarter", count(*) AS trips,
+         |  ${dsumSql("f.fare_amount")} AS total_fare,
+         |  CAST(GROUPING(dd."year") AS INT) AS g_year,
+         |  CAST(GROUPING(dd."quarter") AS INT) AS g_quarter
+         |FROM fact f JOIN dd ON dd.date_key = f.pickup_date_key
+         |GROUP BY ROLLUP (dd."year", dd."quarter")
+         |ORDER BY g_year, g_quarter, dd."year", dd."quarter"""".stripMargin),
 
     "agg_counts_by_slice" -> taxi(
       """SELECT CAST(ingest_date AS VARCHAR) AS ingest_date, count(*) AS rows_out
