@@ -57,6 +57,45 @@ class PropertySpec extends SparkSpec {
     assert(hs.distinct.size == 1000)
   }
 
+  test("vec_dot/vec_dist_sq match the interpreted definition on random vectors") {
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    forAll(Gen.zip(genVec, genVec), n = 200) { case (a, b) =>
+      val exp = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      val expD = a.zip(b).foldLeft(0.0) { (s, p) =>
+        val d = p._1.toDouble - p._2.toDouble; s + d * d
+      }
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val xa = ArrayData.toArrayData(a.toArray)
+      val xb = ArrayData.toArrayData(b.toArray)
+      // interpreted eval path, bit-for-bit (left-to-right double sums)
+      val one = org.apache.spark.sql.graft.Bridge.expression(lit(1))
+      val dot = graft.functions.FloatVecDot(one, one)
+        .nullSafeEval(xa, xb).asInstanceOf[Double]
+      assert(java.lang.Double.doubleToLongBits(dot) ==
+        java.lang.Double.doubleToLongBits(exp))
+      val dsq = graft.functions.VecDistSq(one, one)
+        .nullSafeEval(xa, ArrayData.toArrayData(b.map(_.toDouble).toArray))
+        .asInstanceOf[Double]
+      assert(java.lang.Double.doubleToLongBits(dsq) ==
+        java.lang.Double.doubleToLongBits(expD))
+    }
+    // codegen path agrees with interpreted on a sampled frame
+    import spark.implicits._
+    val rows = (1 to 50).map { i =>
+      (Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toFloat / 3f),
+        Array.tabulate(8)(j => (i * 17 + j * 5 % 11).toFloat / 7f))
+    }.toDF("a", "b")
+    val viaCodegen = rows.select(graft.functions.FloatVecDot.dot(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val viaEval = rows.collect().map { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+    }
+    assert(java.util.Arrays.equals(
+      viaCodegen.map(java.lang.Double.doubleToLongBits),
+      viaEval.map(java.lang.Double.doubleToLongBits)))
+  }
+
   test("miles→km round conversion stays within half-milli tolerance") {
     forAll(Gen.chooseNum(0.0, 1000.0)) { (mi: Double) =>
       val km = BigDecimal(mi * 1.609344)
