@@ -105,25 +105,34 @@ object EmbeddingOps {
     * bit-identical to the HOF form it replaced. */
   def dist2(v: Column, c: Column): Column = graft.functions.VecDistSq.distSq(v, c)
 
-  /** Nearest-`take` cells per vector (ties broken by cell id). */
+  /** Nearest-`take` cells per vector (ties broken by cell id), computed as
+    * a PROJECTION: the coarse quantizer is collected to the driver (k×dims
+    * doubles — tiny by design in every IVF system, and the collect is what
+    * ships it into the task closure) and becomes a per-row literal array
+    * of (dist, cell) structs, sorted and sliced in place. Zero shuffle:
+    * the previous crossJoin + Window shape shuffled |corpus|×k rows on
+    * vec_id — a k× amplification that dominates at scale. Tie order
+    * (cdist, cell) matches the window form and the DuckDB oracle. */
   private def nearestCells(vecs: DataFrame, centroids: DataFrame,
                            take: Int): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dist2(col("embedding"), col("ce")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))
-    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= take)
+    val cents = centroids.collect()
+      .map(r => (r.get(0), r.getSeq[Double](1))) // cell keeps its native type
+    val scored = array(cents.map { case (cell, ce) =>
+      struct(
+        graft.functions.VecDistSq.distSq(col("embedding"), typedLit(ce)).as("cdist"),
+        lit(cell).as("cell"))
+    }.toSeq: _*)
+    vecs.withColumn("_sc", explode(slice(array_sort(scored), 1, take)))
+      .withColumn("cdist", col("_sc.cdist"))
+      .withColumn("cell", col("_sc.cell"))
+      .drop("_sc")
   }
 
   /** Assign every vector to its nearest centroid (ties → smallest cell
-    * id, lexicographic). Centroids broadcast; one narrow pass. */
-  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cdist", dist2(col("embedding"), col("ce")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    * id, lexicographic). A pure projection — see [[nearestCells]]. */
+  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    nearestCells(vecs.select(col("vec_id"), col("embedding")), cent, 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-  }
 
   /** Assignment of vectors to trained centroids, public surface:
     * (vec_id, cell). */
