@@ -37,8 +37,12 @@ object Ingest {
     * the marker. A foreachBatch retry re-runs ALL sinks of the batch; the
     * markers make each sink's append idempotent, so a sink that committed
     * before a mid-batch crash cannot double-land its rows on replay (the
-    * cross-sink atomicity gap of three sequential appends). `batchId < 0`
-    * (direct batch use, tests) bypasses the protocol. */
+    * cross-sink atomicity gap of three sequential appends). Remaining
+    * window, stated honestly: a crash BETWEEN a sink's append and its
+    * marker write replays that one sink — closing it needs a
+    * transactional table format; downstream, the deterministic-id merge
+    * absorbs curated replays either way. `batchId < 0` (direct batch use,
+    * tests) bypasses the protocol. */
   private def oncePerBatch(spark: SparkSession, dir: String, batchId: Long)
                           (write: => Unit): Unit = {
     if (batchId < 0) { write; return }
