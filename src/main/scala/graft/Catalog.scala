@@ -19,7 +19,7 @@ object Catalog {
     "dim_date", "dim_time",
     "fact_trip", "vw_fact_trip_bi",
     "stream_events", "stream_routed",
-    "documents", "embeddings")
+    "documents", "embeddings", "vw_doc_quality", "vw_doc_dedup")
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -89,5 +89,18 @@ object Catalog {
     EventsModel.routed(spark, sfDir).createOrReplaceTempView("stream_routed")
     Tables(spark, sfDir, "documents").createOrReplaceTempView("documents")
     Tables(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+
+    // Training-data pipeline surface: per-doc signals as lazy views; the
+    // near-dup verdict view is backed by the session-scoped components
+    // memo (the graph algorithm is iterative, so it runs ONCE here at
+    // registration and every later spark.sql touch reuses the labels).
+    val docs = graft.docs.DocPipeline.documents(spark, sfDir)
+    graft.docs.DocPipeline.qualityScores(docs)
+      .join(graft.docs.DocPipeline.repetitionStats(docs), Seq("doc_id"))
+      .createOrReplaceTempView("vw_doc_quality")
+    graft.queries.Memo.of(spark, s"$sfDir/dup_components") {
+      graft.docs.DocPipeline.nearDupComponents(
+        graft.docs.DocPipeline.minhashLshPairs(docs, 0.5))
+    }.createOrReplaceTempView("vw_doc_dedup")
   }
 }

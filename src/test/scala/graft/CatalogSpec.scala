@@ -26,6 +26,15 @@ class CatalogSpec extends SparkSpec {
       spark.sql("SELECT count(*) FROM fact_trip").collect()(0).getLong(0))
     // dim_time is the full seconds-of-day domain
     assert(spark.sql("SELECT count(*) FROM dim_time").collect()(0).getLong(0) == 86400L)
+    // training-data surface answers spark.sql: quality signals join the
+    // dedup verdicts, and keepers are a subset of the corpus
+    val dq = spark.sql(
+      """SELECT count(*) AS flagged FROM vw_doc_quality q
+        |JOIN vw_doc_dedup d ON q.doc_id = d.doc_id
+        |WHERE NOT d.is_keeper""".stripMargin).collect()(0).getLong(0)
+    assert(dq >= 0)
+    assert(spark.sql("SELECT count(*) FROM vw_doc_dedup WHERE is_keeper").collect()(0)
+      .getLong(0) <= spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
     // fact == core conservation through the SQL surface
     val Array(coreN, factN) = spark.sql(
       "SELECT (SELECT count(*) FROM core_trip_clean), (SELECT count(*) FROM fact_trip)")
