@@ -375,7 +375,37 @@ object TaxiQueries {
           col("last_loaded_at").cast("timestamp").cast("long")) / 60)
           .cast("long").as("minutes_behind"))),
 
+    // Exact percentile KPIs (median / p90 fare per vendor) — linear
+    // interpolation at (n-1)*q, the same rule DuckDB's quantile_cont uses,
+    // so the doubles match bit-for-bit. At 100 TB swap for
+    // approx_percentile (documented engine-specific trade).
+    "agg_percentile_fare" -> ((s, d) => dedupedDf(s, d)
+      .filter(col("vendor_code").isNotNull)
+      .groupBy("vendor_code")
+      .agg(expr("percentile(fare_amount, 0.5)").as("median_fare"),
+        expr("percentile(fare_amount, 0.9)").as("p90_fare"),
+        count(lit(1)).as("trips"))
+      .orderBy("vendor_code")),
+
     // ---- §2.6 windows ----
+    // Running total + day-over-day delta per vendor: cumulative sums use
+    // exact decimal summation inside the window (order-independent under
+    // ties — both engines default to the RANGE frame, so tied order keys
+    // get equal cumulative values).
+    "win_running_total" -> ((s, d) => {
+      val daily = dedupedDf(s, d)
+        .filter(col("vendor_code").isNotNull)
+        .groupBy(col("vendor_code"), col("ingest_date"))
+        .agg(dsum("fare_amount").as("day_fare"))
+      val w = Window.partitionBy(col("vendor_code")).orderBy(col("ingest_date"))
+      daily
+        .withColumn("cum_fare",
+          sum(col("day_fare").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("prev_day_fare", lag(col("day_fare"), 1).over(w))
+        .select(col("vendor_code"), col("ingest_date").cast("string").as("ingest_date"),
+          col("day_fare"), col("cum_fare"), col("prev_day_fare"))
+        .orderBy("vendor_code", "ingest_date")
+    }),
     "win_dedupe_rank" -> ((s, d) => dedupedDf(s, d)
       .select("trip_src_id", "vendor_code", "pickup_ts_utc", "dropoff_ts_utc",
         "trip_distance_km", "fare_amount", "payment_type", "source_file_name")
@@ -751,6 +781,28 @@ object TaxiQueries {
          |FROM fact f JOIN dd ON dd.date_key = f.pickup_date_key
          |GROUP BY ROLLUP (dd."year", dd."quarter")
          |ORDER BY g_year, g_quarter, dd."year", dd."quarter"""".stripMargin),
+
+    "agg_percentile_fare" -> taxi(
+      """SELECT vendor_code,
+        |  quantile_cont(fare_amount, 0.5) AS median_fare,
+        |  quantile_cont(fare_amount, 0.9) AS p90_fare,
+        |  count(*) AS trips
+        |FROM deduped WHERE vendor_code IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "win_running_total" -> taxiWith(
+      s"""daily AS (
+         |  SELECT vendor_code, ingest_date,
+         |    ${dsumSql("fare_amount")} AS day_fare
+         |  FROM deduped WHERE vendor_code IS NOT NULL
+         |  GROUP BY 1, 2)""".stripMargin,
+      """SELECT vendor_code, CAST(ingest_date AS VARCHAR) AS ingest_date,
+        |  day_fare,
+        |  CAST(SUM(CAST(day_fare AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY vendor_code ORDER BY ingest_date) AS DOUBLE) AS cum_fare,
+        |  lag(day_fare, 1) OVER (
+        |    PARTITION BY vendor_code ORDER BY ingest_date) AS prev_day_fare
+        |FROM daily ORDER BY vendor_code, ingest_date""".stripMargin),
 
     "agg_counts_by_slice" -> taxi(
       """SELECT CAST(ingest_date AS VARCHAR) AS ingest_date, count(*) AS rows_out
