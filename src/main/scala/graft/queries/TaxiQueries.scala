@@ -288,6 +288,22 @@ object TaxiQueries {
         .orderBy("year", "is_weekend", "is_night")
     }),
 
+    // As-of join (time-series primitive; DuckDB oracle uses its native
+    // ASOF LEFT JOIN): each trip picks the vendor's latest daily rate
+    // whose version timestamp is <= the pickup time.
+    "join_asof" -> ((s, d) => {
+      val ded = dedupedDf(s, d).filter(col("vendor_code").isNotNull)
+      val rates = ded.groupBy(col("vendor_code"), col("ingest_date"))
+        .agg((dsum("fare_amount") / count(lit(1))).as("day_rate"))
+        .select(col("vendor_code"),
+          col("ingest_date").cast("timestamp_ntz").as("rate_ts"), col("day_rate"))
+      val left = ded.select(col("trip_src_id"), col("vendor_code"), col("pickup_ts_utc"))
+      graft.ops.AsofJoin.backward(left, rates, Seq("vendor_code"),
+          "pickup_ts_utc", "rate_ts", Seq("day_rate"))
+        .select(col("trip_src_id"), col("vendor_code"), col("day_rate"))
+        .orderBy("trip_src_id", "vendor_code", "day_rate")
+    }),
+
     // ---- §2.5 aggregations ----
     "agg_counts_by_slice" -> ((s, d) => dedupedDf(s, d)
       .groupBy(col("ingest_date").cast("string").as("ingest_date"))
@@ -781,6 +797,19 @@ object TaxiQueries {
          |FROM fact f JOIN dd ON dd.date_key = f.pickup_date_key
          |GROUP BY ROLLUP (dd."year", dd."quarter")
          |ORDER BY g_year, g_quarter, dd."year", dd."quarter"""".stripMargin),
+
+    "join_asof" -> taxiWith(
+      s"""rates AS (
+         |  SELECT vendor_code, CAST(ingest_date AS TIMESTAMP) AS rate_ts,
+         |    ${dsumSql("fare_amount")} / count(*) AS day_rate
+         |  FROM deduped WHERE vendor_code IS NOT NULL
+         |  GROUP BY vendor_code, ingest_date)""".stripMargin,
+      """SELECT d.trip_src_id, d.vendor_code, r.day_rate
+        |FROM (SELECT trip_src_id, vendor_code, pickup_ts_utc FROM deduped
+        |      WHERE vendor_code IS NOT NULL) d
+        |ASOF LEFT JOIN rates r
+        |  ON d.vendor_code = r.vendor_code AND d.pickup_ts_utc >= r.rate_ts
+        |ORDER BY d.trip_src_id, d.vendor_code, r.day_rate""".stripMargin),
 
     "agg_percentile_fare" -> taxi(
       """SELECT vendor_code,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsofJoin
+
+/** As-of join semantics on hand-checkable frames: latest-not-later pick,
+  * inclusive equality, NULL before the first version, key isolation. */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("backward as-of picks the latest right row at or before each left ts") {
+    val left = Seq(
+      ("a", 5L, 100L), ("a", 10L, 101L), ("a", 15L, 102L),
+      ("b", 10L, 200L),
+      ("c", 10L, 300L)).toDF("k", "ts", "row_id")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 12L, 2.0),  // a: versions at 10 and 12
+      ("b", 1L, 9.0)).toDF("k", "vts", "rate")
+      // c: no versions at all
+
+    val got = AsofJoin.backward(left, right, Seq("k"), "ts", "vts", Seq("rate"))
+      .select("k", "row_id", "rate").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+
+    assert(got(("a", 100L)).isEmpty, "left ts=5 precedes every version -> NULL")
+    assert(got(("a", 101L)).contains(1.0), "ts=10 sees the version AT 10 (inclusive)")
+    assert(got(("a", 102L)).contains(2.0), "ts=15 sees the latest earlier version (12)")
+    assert(got(("b", 200L)).contains(9.0), "other key resolves independently")
+    assert(got(("c", 300L)).isEmpty, "key with no right side stays NULL")
+    assert(got.size == 5, "every left row survives (left-join semantics)")
+  }
+
+  test("as-of plan shuffles once per side on the key, no range explosion") {
+    val left = (1 to 1000).map(i => ("k" + i % 3, i.toLong, i.toLong))
+      .toDF("k", "ts", "row_id")
+    val right = (1 to 100).map(i => ("k" + i % 3, i.toLong * 10, i * 1.0))
+      .toDF("k", "vts", "rate")
+    val joined = AsofJoin.backward(left, right, Seq("k"), "ts", "vts", Seq("rate"))
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no range-join explosion:\n${plan.take(1500)}")
+  }
+}
