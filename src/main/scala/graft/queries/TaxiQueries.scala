@@ -304,6 +304,23 @@ object TaxiQueries {
         .orderBy("trip_src_id", "vendor_code", "day_rate")
     }),
 
+    // Range join (point-in-interval, bin-bucketized — no cross product):
+    // trips against overlapping time-of-day bands (48 half-hours + two
+    // broad rush bands, so points genuinely match multiple intervals).
+    "join_range" -> ((s, d) => {
+      import s.implicits._
+      val bands = ((0 until 48).map(i =>
+        (f"hh${i / 2}%02d_${30 * (i % 2)}%02d", i * 1800L, i * 1800L + 1799L)) ++
+        Seq(("morning", 6 * 3600L, 12 * 3600L - 1), ("evening", 16 * 3600L, 22 * 3600L - 1)))
+        .toDF("band", "lo", "hi")
+      val pts = dedupedDf(s, d).select(col("trip_src_id"), col("fare_amount"),
+        timeKey(col("pickup_ts_utc")).as("tk"))
+      graft.ops.RangeJoin.pointInInterval(pts, bands, "tk", "lo", "hi", 1800L)
+        .groupBy("band")
+        .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"))
+        .orderBy("band")
+    }),
+
     // ---- §2.5 aggregations ----
     "agg_counts_by_slice" -> ((s, d) => dedupedDf(s, d)
       .groupBy(col("ingest_date").cast("string").as("ingest_date"))
@@ -810,6 +827,23 @@ object TaxiQueries {
         |ASOF LEFT JOIN rates r
         |  ON d.vendor_code = r.vendor_code AND d.pickup_ts_utc >= r.rate_ts
         |ORDER BY d.trip_src_id, d.vendor_code, r.day_rate""".stripMargin),
+
+    "join_range" -> taxiWith(
+      """bands AS (
+        |  SELECT printf('hh%02d_%02d', CAST(r // 2 AS INT), CAST(30 * (r % 2) AS INT)) AS band,
+        |         r * 1800 AS lo, r * 1800 + 1799 AS hi
+        |  FROM (SELECT unnest(generate_series(0, 47)) AS r) g
+        |  UNION ALL SELECT 'morning', 21600, 43199
+        |  UNION ALL SELECT 'evening', 57600, 79199
+        |), pts AS (
+        |  SELECT trip_src_id, fare_amount,
+        |    hour(pickup_ts_utc) * 3600 + minute(pickup_ts_utc) * 60
+        |      + second(pickup_ts_utc) AS tk
+        |  FROM deduped)""".stripMargin,
+      s"""SELECT b.band, count(*) AS trips,
+         |  ${dsumSql("p.fare_amount")} AS total_fare
+         |FROM pts p JOIN bands b ON p.tk BETWEEN b.lo AND b.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "agg_percentile_fare" -> taxi(
       """SELECT vendor_code,
