@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // opt-in BETWEEN-join → bin-bucketized range-join rewrite
+    e.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -27,6 +27,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(counts == 0, "no duplicate pairs from multi-bin intervals")
   }
 
+  test("optimizer rule rewrites a naive BETWEEN join when binWidth is set") {
+    val pts = (1 to 500).map(i => (i.toLong, (i % 300).toLong)).toDF("id", "p")
+    val ivs = (0 until 30).map(i => (s"iv$i", i * 10L, i * 10L + 9L)).toDF("iv", "lo", "hi")
+    pts.createOrReplaceTempView("rj_pts")
+    ivs.createOrReplaceTempView("rj_ivs")
+    val sql = "SELECT id, iv FROM rj_pts JOIN rj_ivs ON p >= lo AND p <= hi"
+
+    val before = spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(spark.sql(sql).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "naive BETWEEN join is a nested loop")
+
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val after = spark.sql(sql)
+      val plan = after.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule must produce an equi-join:\n${plan.take(1500)}")
+      assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+        "rewrite preserves results exactly")
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("plan is an equi-join on the bin — no cartesian / nested loop") {
     val pts = (1 to 1000).map(i => (i.toLong, i.toLong % 500)).toDF("id", "p")
     val ivs = (0 until 50).map(i => (s"iv$i", i * 10L, i * 10L + 9L)).toDF("iv", "lo", "hi")
