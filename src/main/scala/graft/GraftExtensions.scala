@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, Sha256Prefix64}
+import graft.functions.{FloatVecDot, Sha256Prefix64, VecDistSq}
 
 /** Session-extension hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -15,7 +15,10 @@ import graft.functions.{FloatVecDot, Sha256Prefix64}
   * (the streaming surrogate trip id, ref:
   * usp_upsert_trips_from_streaming.sql:14-16).
   * `vec_dot(a, b)` — codegen'd float-vector dot product (similarity
-  * search hot path). */
+  * search hot path).
+  * `vec_dist_sq(v, c)` — codegen'd squared L2 distance between an
+  * `array<float>` vector and an `array<double>` centroid (IVF/k-means
+  * assignment hot path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
@@ -38,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         requireArity("vec_dot", 2, args)
         FloatVecDot(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dist_sq"),
+      new ExpressionInfo(classOf[VecDistSq].getName, "vec_dist_sq"),
+      (args: Seq[Expression]) => {
+        requireArity("vec_dist_sq", 2, args)
+        VecDistSq(args.head, args(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("sha256_prefix64"),

@@ -64,11 +64,10 @@ object Maintenance {
     def isOld(v: Option[String]): Boolean = v.exists { s =>
       scala.util.Try(java.time.LocalDate.parse(s)).toOption.exists(_.isBefore(cutoff))
     }
-    val dateCol = table.partitionCols.head
-    val rows = // pre-count, partition-pruned to the dirs about to drop
-      if (table.exists)
-        table.read.filter(col(dateCol).cast("date") < lit(cutoff.toString).cast("date")).count()
-      else 0L
+    // count and drop share ONE partition-selection predicate (isOld), so
+    // a value Spark could cast but strict ISO parse rejects is counted for
+    // neither — rowsDeleted always equals the rows actually removed
+    val rows = if (table.exists) table.countPartitions(isOld) else 0L
     val dropped = table.dropPartitions(isOld)
     PurgeResult(rows, dropped, cutoff)
   }

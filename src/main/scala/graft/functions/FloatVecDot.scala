@@ -18,14 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulator over the two `ArrayData` buffers — no allocation, no boxing.
   *
   * Semantics match the HOF form exactly on well-formed embeddings: same
-  * left-to-right double summation (bit-identical, DuckDB-oracle-safe).
-  * Length mismatch truncates to the shorter side; arrays are assumed
-  * non-null-elemented (embedding vectors). */
+  * left-to-right double summation (bit-identical, DuckDB-oracle-safe),
+  * and a NULL element in either array makes the whole result NULL, as
+  * `aggregate(zip_with(...))` does (a null slot would poison the fold).
+  * Length mismatch truncates to the shorter side (the HOF form instead
+  * null-pads and so returns NULL — documented divergence). */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true // NULL on null array elements
 
   override def inputTypes: Seq[Bridge.AbstractType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -36,7 +39,11 @@ case class FloatVecDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -49,6 +56,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;

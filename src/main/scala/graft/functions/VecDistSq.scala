@@ -12,12 +12,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (|corpus| × |centroids| evaluations per round). Codegen'd tight loop,
   * same left-to-right double accumulation as the
   * `aggregate(zip_with(...))` form it replaces (bit-identical,
-  * DuckDB-oracle-safe). See [[FloatVecDot]] for the rationale. */
+  * DuckDB-oracle-safe), and a NULL element in either array makes the
+  * whole result NULL, as the HOF fold would. See [[FloatVecDot]] for
+  * the rationale. */
 case class VecDistSq(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dist_sq"
+  override def nullable: Boolean = true // NULL on null array elements
 
   override def inputTypes: Seq[Bridge.AbstractType] =
     Seq(ArrayType(FloatType), ArrayType(DoubleType))
@@ -29,6 +32,7 @@ case class VecDistSq(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getFloat(i).toDouble - y.getDouble(i)
       s += d * d
       i += 1
@@ -46,6 +50,7 @@ case class VecDistSq(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $d = (double) $a.getFloat($i) - $b.getDouble($i);
          |  $s += $d * $d;
          |}

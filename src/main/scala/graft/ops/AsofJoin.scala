@@ -12,37 +12,47 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scalable union + ordered-window shape, NOT a
   * range join: both sides shuffle ONCE on the key, rows interleave in
-  * time order, and each left row picks the last right payload seen via
+  * time order, and each left row picks the last right row seen via
   * `last(_, ignoreNulls = true)` over the per-key timeline. A range join
   * (`l.ts >= r.ts` + dedupe) explodes to |L|×|R| pairs per key before
   * pruning — this stays O(|L|+|R|) through the shuffle. A right row AT
   * exactly `leftTs` is visible to that left row (ties sort right-first),
-  * matching DuckDB's `ON l.ts >= r.ts` semantics. */
+  * matching DuckDB's `ON l.ts >= r.ts` semantics.
+  *
+  * The payload travels as ONE struct column, so all payload values come
+  * from the SAME right row and a legitimately-NULL field inside the
+  * matched row is preserved (per-column `last(ignoreNulls)` would skip it
+  * and leak an older row's value — and could mix columns from different
+  * rows). NULL join keys never match (equality semantics, like DuckDB
+  * ASOF): NULL-keyed right rows are dropped before the union, so
+  * NULL-keyed left rows keep NULL payload. */
 object AsofJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val lTagged = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select(keys.map(col) ++ Seq(col("_ts"), col("_side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(payType).as("_pay"): _*)
     val rTagged = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select(keys.map(col) ++ Seq(col("_ts"), col("_side")) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_pay"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(lTagged.unionByName(rTagged)) { (df, p) =>
-        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_ts", "_side")
+    payload.foldLeft(filled)((df, p) => df.withColumn(p, col("_pay")(p)))
+      .drop("_ts", "_side", "_pay")
   }
 }

@@ -122,16 +122,31 @@ final case class ParquetTable(spark: SparkSession, dir: String, schema: StructTy
     sb.toString
   }
 
+  /** Partitions `drop` selects — the exact set a [[dropPartitions]] call
+    * with the same predicate deletes — as (rawDirValue, path). */
+  private def selectPartitions(drop: Option[String] => Boolean): Seq[(String, Path)] =
+    partitions.filter { case (v, _) =>
+      val decoded = unescapePathName(v)
+      drop(if (decoded == "__HIVE_DEFAULT_PARTITION__") None else Some(decoded))
+    }
+
+  /** Rows inside the partitions `drop` selects — the rows a
+    * [[dropPartitions]] call with the same predicate removes. Shares the
+    * selection with the drop, so count and delete can never disagree on
+    * which partitions qualify (a Spark-castable but non-ISO value counts
+    * for neither). Parquet-footer count, no data read. */
+  def countPartitions(drop: Option[String] => Boolean): Long = {
+    val paths = selectPartitions(drop).map(_._2.toString)
+    if (paths.isEmpty) 0L else spark.read.parquet(paths: _*).count()
+  }
+
   /** Drop whole first-level partitions (metadata-only delete, no rewrite):
     * removes every partition dir whose *decoded string value* satisfies
     * `drop == true`. Null partitions (`__HIVE_DEFAULT_PARTITION__`) are
     * passed to the predicate as None. Returns the dropped partition
     * values. */
   def dropPartitions(drop: Option[String] => Boolean): Seq[String] = {
-    val dropped = partitions.filter { case (v, _) =>
-      val decoded = unescapePathName(v)
-      drop(if (decoded == "__HIVE_DEFAULT_PARTITION__") None else Some(decoded))
-    }
+    val dropped = selectPartitions(drop)
     dropped.foreach { case (_, p) => fs.delete(p, true) }
     dropped.map(_._1)
   }

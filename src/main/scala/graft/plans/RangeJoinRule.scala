@@ -27,14 +27,23 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private val ConfKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.conf.getOption(ConfKey).map(_.toLong)
-    if (width.isEmpty || width.exists(_ <= 0)) return plan
-    val w = width.get
-    plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && matchBetween(cond, left, right).isDefined =>
-        val (p, lo, hi) = matchBetween(cond, left, right).get
-        rewrite(left, right, p, lo, hi, cond, w, hint)
+    // a malformed conf value disables the rewrite (with a warning) rather
+    // than throwing inside the optimizer and failing every session query
+    val width = spark.conf.getOption(ConfKey).flatMap { s =>
+      val parsed = scala.util.Try(s.toLong).toOption
+      if (parsed.isEmpty)
+        logWarning(s"$ConfKey='$s' is not a long; range-join rewrite disabled")
+      parsed
+    }.filter(_ > 0)
+    width match {
+      case None => plan
+      case Some(w) => plan.transformUp {
+        case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
+          matchBetween(cond, left, right) match {
+            case Some((p, lo, hi)) => rewrite(left, right, p, lo, hi, cond, w, hint)
+            case None => j
+          }
+      }
     }
   }
 

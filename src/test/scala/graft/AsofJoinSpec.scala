@@ -33,6 +33,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.size == 5, "every left row survives (left-join semantics)")
   }
 
+  test("payload columns all come from the same right row; NULL fields survive") {
+    val left = Seq(("a", 20L)).toDF("k", "ts")
+    // newest matching row (vts=15) has rate NULL but src set; per-column
+    // last(ignoreNulls) would leak rate=1.0 from the OLDER row and mix rows
+    val right = Seq(
+      ("a", 10L, Some(1.0), "old"),
+      ("a", 15L, None, "new")).toDF("k", "vts", "rate", "src")
+    val row = AsofJoin.backward(left, right, Seq("k"), "ts", "vts", Seq("rate", "src"))
+      .select("rate", "src").collect().head
+    assert(row.isNullAt(0), "matched row's legitimately-NULL rate is preserved")
+    assert(row.getString(1) == "new", "both payload columns come from vts=15")
+  }
+
+  test("NULL keys never match (equality semantics)") {
+    val left = Seq((Option.empty[String], 10L, 1L), (Some("a"), 10L, 2L))
+      .toDF("k", "ts", "row_id")
+    val right = Seq((Option.empty[String], 5L, 9.0), (Some("a"), 5L, 1.0))
+      .toDF("k", "vts", "rate")
+    val got = AsofJoin.backward(left, right, Seq("k"), "ts", "vts", Seq("rate"))
+      .select("row_id", "rate").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty, "NULL-keyed left row matches nothing")
+    assert(got(2L).contains(1.0), "non-null key still resolves")
+  }
+
   test("as-of plan shuffles once per side on the key, no range explosion") {
     val left = (1 to 1000).map(i => ("k" + i % 3, i.toLong, i.toLong))
       .toDF("k", "ts", "row_id")

@@ -123,6 +123,39 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dist_sq is SQL-registered with the same guards as vec_dot") {
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f), Array(0.5, 1.5)),
+      (2L, Array(0.0f, 0.0f), Array(3.0, 4.0))).toDF("id", "v", "c")
+    rows.createOrReplaceTempView("vds_in")
+    val sql = spark.sql("SELECT vec_dist_sq(v, c) FROM vds_in ORDER BY id")
+      .collect().map(_.getDouble(0))
+    assert(sql.toSeq == Seq(0.5, 25.0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dist_sq(id, c) FROM vds_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dist_sq(v) FROM vds_in").collect()
+    }
+  }
+
+  test("vector kernels return NULL on null array elements, like the HOF fold") {
+    val rows = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)))
+      .toDF("id", "a", "b")
+    val dot = rows.orderBy("id")
+      .select(graft.functions.FloatVecDot.dot(col("a"), col("b")))
+      .collect().map(r => Option(r.get(0)))
+    assert(dot(0).isEmpty, "null element poisons the sum, as aggregate(zip_with(...)) would")
+    assert(dot(1).contains(11.0))
+    val dist = rows.orderBy("id")
+      .select(graft.functions.VecDistSq.distSq(col("a"), col("b").cast("array<double>")))
+      .collect().map(r => Option(r.get(0)))
+    assert(dist(0).isEmpty)
+    assert(dist(1).contains(8.0))
+  }
+
   test("safeDivide guards zero/negative denominators") {
     val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
       .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))

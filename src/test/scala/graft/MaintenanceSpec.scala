@@ -51,6 +51,23 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("retentionPurge count and drop agree on non-ISO partition values") {
+    import spark.implicits._
+    val t = graft.ops.ParquetTable(spark, tmpDir("graft_purge_iso") + "/t",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, p_date STRING"),
+      Seq("p_date"))
+    // '2024-1-2' is Spark-castable to DATE but strict ISO parse rejects it:
+    // it must count for NEITHER the row count nor the drop
+    t.append(Seq(
+      (1L, "2024-01-01"), (2L, "2024-1-2"), (3L, "2024-01-20"))
+      .toDF("id", "p_date"))
+    val res = Maintenance.retentionPurge(t, keepDays = 10,
+      today = java.time.LocalDate.parse("2024-01-25"))
+    assert(res.partitionsDropped == Seq("2024-01-01"))
+    assert(res.rowsDeleted == 1, "count derives from the same selection as the drop")
+    assert(t.read.count() == 2, "non-ISO partition kept, and not counted as deleted")
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")

@@ -49,6 +49,21 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("a malformed binWidth conf disables the rewrite instead of failing queries") {
+    val pts = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("id", "p")
+    val ivs = Seq(("iv0", 0L, 25L)).toDF("iv", "lo", "hi")
+    pts.createOrReplaceTempView("rjm_pts")
+    ivs.createOrReplaceTempView("rjm_ivs")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
+    try {
+      // every query in the session must still run; the rewrite is just off
+      val n = spark.sql(
+        "SELECT id FROM rjm_pts JOIN rjm_ivs ON p >= lo AND p <= hi").count()
+      assert(n == 25)
+      assert(spark.sql("SELECT 1").collect().head.getInt(0) == 1)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("plan is an equi-join on the bin — no cartesian / nested loop") {
     val pts = (1 to 1000).map(i => (i.toLong, i.toLong % 500)).toDF("id", "p")
     val ivs = (0 until 50).map(i => (s"iv$i", i * 10L, i * 10L + 9L)).toDF("iv", "lo", "hi")
