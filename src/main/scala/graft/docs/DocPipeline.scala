@@ -315,6 +315,139 @@ object DocPipeline {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Deterministic train/val/test split: bucket = signed SHA-256 prefix of
+    * `"split:" + id` mod 100. Hash-based, not `rand()`: assignment is a
+    * pure narrow projection (no shuffle, no state), reproducible across
+    * engines and partitionings, and STABLE under corpus growth — adding
+    * docs never reassigns an existing one, the property that keeps eval
+    * sets uncontaminated as the corpus evolves. */
+  def hashSplit(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percentages must be non-negative and sum to <= 100")
+    docs
+      .withColumn("split_bucket",
+        pmod(hash64Id(concat_ws(":", lit("split"), col(idCol))), lit(100L)))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .when(col("split_bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Deterministic paragraph segmentation: fixed `chunk`-token windows in
+    * document order, (doc_id, pos, para) long form. Real corpora split on
+    * newline runs; the synthetic fixture has no newline structure, so the
+    * window stands in — the dedup downstream is identical either way. */
+  def paragraphs(docs: DataFrame, chunk: Int): DataFrame = {
+    val n = size(col("t"))
+    val nChunks = greatest(ceil(n.cast("double") / chunk).cast("int"), lit(1))
+    tokenized(docs)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("t"), i * chunk + 1, lit(chunk))))))
+      .withColumnRenamed("col", "para")
+  }
+
+  /** C4-style corpus-wide paragraph dedup: a paragraph survives only at
+    * its FIRST occurrence in (doc_id, pos) order; every doc is reassembled
+    * from its surviving paragraphs. Two shuffles: one window over the
+    * paragraph text (global first-occurrence pick), one groupBy(doc_id)
+    * (reassembly) — never a self-join. At 100 TB, key the window by a
+    * 64-bit hash of the paragraph and resolve the (negligible) collision
+    * risk in a residual exact pass, so the shuffle carries 8 bytes + the
+    * payload instead of double text. */
+  def paragraphDedup(docs: DataFrame, chunk: Int = 10): DataFrame = {
+    val paras = paragraphs(docs, chunk)
+    val kept = paras
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n").as("text_dedup"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** C4-style document-quality heuristics (per the C4 cleaning rules,
+    * applied doc-level): enough words, terminal punctuation, no code
+    * braces, no 'lorem ipsum' boilerplate, no pathological word length.
+    * Narrow projection, zero shuffle; emits per-rule flags, the combined
+    * `keep`, and the first failing rule for reject routing. */
+  def c4Rules(docs: DataFrame, minWords: Int = 5, maxWordLen: Int = 50): DataFrame =
+    docs.select(col("doc_id"), trim(col("text")).as("txt"), tokens.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        (size(col("t")) >= minWords).as("r_min_words"),
+        col("txt").rlike("[.!?]$").as("r_terminal_punct"),
+        (!lower(col("txt")).contains("lorem ipsum")).as("r_no_lorem"),
+        (!col("txt").contains("{")).as("r_no_brace"),
+        (array_max(transform(col("t"), w => length(w))) <= maxWordLen).as("r_word_len"))
+      .withColumn("keep",
+        col("r_min_words") && col("r_terminal_punct") && col("r_no_lorem") &&
+          col("r_no_brace") && col("r_word_len"))
+      .withColumn("reject_reason",
+        when(col("keep"), lit(null).cast("string"))
+          .when(!col("r_min_words"), "min_words")
+          .when(!col("r_terminal_punct"), "terminal_punct")
+          .when(!col("r_no_lorem"), "lorem_ipsum")
+          .when(!col("r_no_brace"), "code_brace")
+          .otherwise("word_len"))
+
+  /** [[contamination]] with a Bloom-filter prefilter — the decontamination
+    * shape that scales when the corpus dwarfs the eval set. The eval
+    * shingle hashes build a driver-side Bloom filter (~1.2 bytes/item at
+    * 1% fpp) broadcast to executors; corpus shingles failing
+    * `mightContain` are dropped BEFORE the shuffle, so the exact-confirm
+    * join reads |hits| + fp rows instead of |corpus shingles|. False
+    * positives cannot reach the result — the confirm join is exact, the
+    * bloom only prunes. At ~1e9 eval shingles the filter is ~1.5 GB;
+    * beyond that, shard it by hash range or fall back to the plain
+    * broadcast semi-join of [[contamination]]. */
+  def bloomContamination(corpus: DataFrame, eval: DataFrame, minShared: Int,
+                         expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val ev = shingleHashes(eval)
+      .select(col("doc_id").as("eval_doc_id"), col("h")).cache()
+    val bloom = ev.stat.bloomFilter("h", expectedItems, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bloomB.value.mightContain(h))
+    shingleHashes(corpus).filter(might(col("h")))
+      .join(broadcast(ev), "h")
+      .filter(col("doc_id") =!= col("eval_doc_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_doc_id")).as("eval_docs_hit"),
+        countDistinct(col("h")).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch and
+    * an EXISTING corpus represented only by its persisted signatures — the
+    * daily-ingest pattern at 100 TB, where re-pairing the full corpus
+    * every run (O(corpus²) band buckets) is the thing this exists to
+    * avoid. Signatures are per-doc (shingles never cross documents), so a
+    * signature computed at ingest time equals one computed over any
+    * superset corpus; the band join touches existing×new only, never
+    * existing×existing. Returns (new_doc_id, existing_doc_id,
+    * est_jaccard ≥ threshold). */
+  def incrementalLshPairs(existingSigs: DataFrame, newDocs: DataFrame,
+                          threshold: Double): DataFrame = {
+    val newSigs = minhashSignatures(newDocs).cache()
+    val cand = minhashBands(newSigs).as("a")
+      .join(minhashBands(existingSigs).as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"))
+      .distinct()
+    val eq = (0 until MinhashK)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(newSigs.as("a"), col("new_doc_id") === col("a.doc_id"))
+      .join(existingSigs.as("b"), col("existing_doc_id") === col("b.doc_id"))
+      .select(col("new_doc_id"), col("existing_doc_id"), (eq / lit(16.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ---- per-doc text analysis --------------------------------------------
 
   private def stopHits(langList: Seq[String]): Column =

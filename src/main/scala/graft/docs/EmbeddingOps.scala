@@ -41,6 +41,30 @@ object EmbeddingOps {
   /** Euclidean norm (double). */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** L2-normalize a float vector to unit length (zero vectors pass
+    * through unchanged). Pure projection, no shuffle; double math inside,
+    * float out — normalize once at ingest and every cosine downstream
+    * collapses to a plain dot product. */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v)
+      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Symmetric int8 quantization with a per-vector scale:
+    * q_i = round(x_i · 127 / max|x|) ∈ [-127, 127] (all-zero vectors map
+    * to all-zero codes). Pure projection; 4× smaller than float32 — at
+    * 100 TB of embeddings the difference between an ANN working set that
+    * fits executor memory and one that spills. All arithmetic in double;
+    * `round` is half-away-from-zero in both Spark and DuckDB, so the
+    * codes are oracle-exact. */
+  def quantizeInt8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    when(mx === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        round(x.cast("double") * 127.0 / mx).cast("int")))
+  }
+
   /** Sign-LSH bucket id from the leading `bits` dimensions:
     * bit j set iff v[j] > 0. */
   def signBucket(v: Column, bits: Int): Column =

@@ -166,7 +166,60 @@ object DocQueries {
         .select(col("method"), col("hits"), col("truth"),
           (col("hits").cast("double") / col("truth")).as("recall"))
         .orderBy("method")
-    }))
+    }),
+
+    // ---- corpus assembly ----
+    // deterministic 80/10/10 train/val/test split: hash-bucketed, stable
+    // under corpus growth (adding docs never moves an existing one)
+    "split_hash" -> ((s, dir) =>
+      DocPipeline.hashSplit(d(s, dir), "doc_id", 80, 10)
+        .select("doc_id", "split_bucket", "split")
+        .orderBy("doc_id")),
+
+    // C4-style corpus-wide paragraph dedup over 10-token windows: a
+    // paragraph survives only at its first (doc_id, pos) occurrence
+    "dedup_paragraph" -> ((s, dir) => DocPipeline.paragraphDedup(d(s, dir), 10)
+      .orderBy("doc_id")),
+
+    // C4 cleaning rules over text with injected deterministic defects
+    // (the fixture corpus is uniform word soup, so the query plants
+    // terminal punctuation / boilerplate / braces the way text_pii_scrub
+    // plants PII — both engines construct the same string)
+    "filter_c4_rules" -> ((s, dir) => DocPipeline.c4Rules(
+      d(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(".")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" {code}")).otherwise(lit("")))
+          .as("text")))
+      .orderBy("doc_id")),
+
+    // decontamination with a Bloom prefilter before the confirm join;
+    // eval set = every 25th doc, flagged at >= 2 shared shingles. Result
+    // is exact (the bloom only prunes), so the oracle is the plain join.
+    "decontaminate_bloom" -> ((s, dir) =>
+      DocPipeline.bloomContamination(d(s, dir),
+        d(s, dir).filter(col("doc_id") % 25 === 0), 2)
+        .orderBy("doc_id")),
+
+    // incremental dedup: new batch (doc_id % 3 == 0) against the persisted
+    // signatures of the existing corpus — band join touches new×existing
+    // only, never existing×existing
+    "dedup_incremental" -> ((s, dir) => {
+      val all = d(s, dir)
+      DocPipeline.incrementalLshPairs(
+        DocPipeline.minhashSignatures(all.filter(col("doc_id") % 3 =!= 0)),
+        all.filter(col("doc_id") % 3 === 0), 0.5)
+        .orderBy("new_doc_id", "existing_doc_id")
+    }),
+
+    // per-vector symmetric int8 quantization; codes rendered as csv so the
+    // compare is over exact integers, not parquet list physical layout
+    "vec_quantize_int8" -> ((s, dir) => e(s, dir)
+      .select(col("vec_id"),
+        array_join(EmbeddingOps.quantizeInt8(col("embedding")).cast("array<string>"), ",")
+          .as("q8_csv"))
+      .orderBy("vec_id")))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -532,5 +585,105 @@ object DocQueries {
         |  UNION ALL
         |  SELECT 'lsh', count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)
         |) m CROSS JOIN truth
-        |ORDER BY method""".stripMargin))
+        |ORDER BY method""".stripMargin),
+
+    "split_hash" -> docs(
+      s"""SELECT doc_id, bucket AS split_bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, $h64w % 100 AS bucket
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+         |    FROM documents) y) z
+         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_paragraph" -> docsWith(
+      """paras AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(CAST(ceil(len(t) / 10.0) AS INT), 1) - 1),
+        |    i -> {'pos': i, 'para': array_to_string(t[(i*10+1):(i*10+10)], ' ')}),
+        |    recursive := true)
+        |  FROM toks),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para,
+        |      row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |    FROM paras) r WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_paras_kept,
+        |    string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+        |  FROM kept GROUP BY doc_id)""".stripMargin,
+      """SELECT b.doc_id, b.n_paras,
+        |  coalesce(k.n_paras_kept, 0) AS n_paras_kept,
+        |  coalesce(k.text_dedup, '') AS text_dedup
+        |FROM (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id) b
+        |LEFT JOIN rebuilt k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "filter_c4_rules" -> docs(
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  len(t) >= 5 AS r_min_words,
+        |  regexp_matches(txt, '[.!?]$') AS r_terminal_punct,
+        |  NOT contains(lower(txt), 'lorem ipsum') AS r_no_lorem,
+        |  NOT contains(txt, '{') AS r_no_brace,
+        |  list_max(list_transform(t, w -> len(w))) <= 50 AS r_word_len,
+        |  keep,
+        |  CASE WHEN keep THEN NULL
+        |       WHEN NOT len(t) >= 5 THEN 'min_words'
+        |       WHEN NOT regexp_matches(txt, '[.!?]$') THEN 'terminal_punct'
+        |       WHEN contains(lower(txt), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(txt, '{') THEN 'code_brace'
+        |       ELSE 'word_len' END AS reject_reason
+        |FROM (
+        |  SELECT doc_id, txt, string_split_regex(txt, '\s+') AS t,
+        |    len(string_split_regex(txt, '\s+')) >= 5
+        |      AND regexp_matches(txt, '[.!?]$')
+        |      AND NOT contains(lower(txt), 'lorem ipsum')
+        |      AND NOT contains(txt, '{')
+        |      AND list_max(list_transform(string_split_regex(txt, '\s+'), w -> len(w))) <= 50
+        |      AS keep
+        |  FROM (
+        |    SELECT doc_id, trim(text
+        |      || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END) AS txt
+        |    FROM documents) raw) flags
+        |ORDER BY doc_id""".stripMargin),
+
+    "decontaminate_bloom" -> docsWith(
+      """bev AS (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 25 = 0)""",
+      """SELECT s.doc_id,
+        |  CAST(count(DISTINCT e.eval_doc_id) AS BIGINT) AS eval_docs_hit,
+        |  CAST(count(DISTINCT s.h) AS BIGINT) AS shared_shingles
+        |FROM shh s JOIN bev e ON s.h = e.h AND s.doc_id <> e.eval_doc_id
+        |GROUP BY s.doc_id HAVING count(DISTINCT s.h) >= 2
+        |ORDER BY doc_id""".stripMargin),
+
+    "dedup_incremental" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      docsWith(
+        """icand AS (
+          |  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS existing_doc_id
+          |  FROM mhb a JOIN mhb b ON a.bk = b.bk
+          |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)""".stripMargin,
+        s"""SELECT c.new_doc_id, c.existing_doc_id, ($eq) / 16.0 AS est_jaccard
+           |FROM icand c JOIN mh a ON c.new_doc_id = a.doc_id
+           |JOIN mh b ON c.existing_doc_id = b.doc_id
+           |WHERE ($eq) / 16.0 >= 0.5
+           |ORDER BY new_doc_id, existing_doc_id""".stripMargin)
+    },
+
+    "vec_quantize_int8" -> emb(
+      """q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings)""".stripMargin,
+      """SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(embedding,
+        |              x -> CAST(round(x::DOUBLE * 127 / mx) AS INT)), ',')
+        |  END AS q8_csv
+        |FROM q ORDER BY vec_id""".stripMargin))
 }

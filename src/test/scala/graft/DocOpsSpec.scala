@@ -201,4 +201,102 @@ class DocOpsSpec extends SparkSpec {
       .digest(("abcd" * 8).getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(frames(0).getString(2) == expected0)
   }
+
+  test("hash split is stable under corpus growth and respects bucket bounds") {
+    val small = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val grown = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      DocPipeline.hashSplit(df, "doc_id", 80, 10)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assignments(small)
+    val b = assignments(grown)
+    assert(a.forall { case (id, s) => b(id) == s },
+      "adding docs never reassigns an existing one")
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > counts("test") && counts("test") > 0 && counts("val") > 0,
+      s"all three splits populated, train largest: $counts")
+  }
+
+  test("paragraph dedup keeps a duplicated paragraph only at its first occurrence") {
+    // 10-token paragraphs; doc 2 repeats doc 1's first paragraph verbatim
+    val p1 = "a b c d e f g h i j"
+    val p2 = "k l m n o p q r s t"
+    val p3 = "u v w x y z aa bb cc dd"
+    val docs = Seq(
+      (1L, s"$p1 $p2"),
+      (2L, s"$p1 $p3")).toDF("doc_id", "text")
+    val out = DocPipeline.paragraphDedup(docs, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, s"$p1\n$p2")), "doc 1 keeps both paragraphs")
+    assert(out(2L) == ((2L, 1L, p3)), "doc 2 loses the repeated paragraph, keeps its own")
+  }
+
+  test("C4 rules: each heuristic rejects its defect, clean text passes") {
+    val docs = Seq(
+      (1L, "this text is long enough and it ends properly."),
+      (2L, "too short."),                                         // min_words (2 tokens)
+      (3L, "plenty of words here but no terminal punctuation at all"),
+      (4L, "this document mentions Lorem Ipsum boilerplate somewhere inside."),
+      (5L, "function main() { return 0; } plus some words after."),
+      (6L, s"one ${"x" * 60} word is pathologically long in here."))
+      .toDF("doc_id", "text")
+    val got = DocPipeline.c4Rules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(7), Option(r.getString(8)))).toMap
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((false, Some("min_words"))))
+    assert(got(3L) == ((false, Some("terminal_punct"))))
+    assert(got(4L) == ((false, Some("lorem_ipsum"))))
+    assert(got(5L) == ((false, Some("code_brace"))))
+    assert(got(6L) == ((false, Some("word_len"))))
+  }
+
+  test("bloom decontamination returns exactly the exact-join result") {
+    val eval = corpus.filter(col("doc_id") === 1L)
+    val exact = DocPipeline.contamination(corpus, eval, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = DocPipeline.bloomContamination(corpus, eval, 2,
+      expectedItems = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact, "the bloom only prunes; it never changes the result")
+    assert(exact.map(_._1).intersect(Set(2L, 4L)) == Set(2L, 4L),
+      "near-dup and exact-dup of the eval doc are both flagged")
+  }
+
+  test("incremental LSH equals the full-corpus pairs restricted to new x existing") {
+    val existing = corpus.filter(col("doc_id") =!= 2L)
+    val newBatch = corpus.filter(col("doc_id") === 2L)
+    val inc = DocPipeline.incrementalLshPairs(
+      DocPipeline.minhashSignatures(existing), newBatch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DocPipeline.minhashLshPairs(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, e) => n == 2L && e != 2L }.toSet
+    assert(inc == full, s"incremental $inc vs full-restricted $full")
+    assert(inc.nonEmpty, "doc 2 is a near-dup of existing docs 1/4")
+  }
+
+  test("l2 normalize yields unit vectors; int8 quantization bounds the error") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),                  // zero vector passes through
+      (3L, Array(-1.5f, 0.25f, 127.0f)))
+      .toDF("vec_id", "embedding")
+    val norms = vecs.select(col("vec_id"),
+      EmbeddingOps.norm(EmbeddingOps.l2Normalize(col("embedding"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(norms(1L) - 1.0) < 1e-6 && math.abs(norms(3L) - 1.0) < 1e-6)
+    assert(norms(2L) == 0.0, "zero vector stays zero")
+    val q = vecs.select(col("vec_id"),
+      EmbeddingOps.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L) == Seq(95, 127), "round(3*127/4)=95, max maps to 127")
+    assert(q(2L) == Seq(0, 0))
+    assert(q(3L).max == 127 && q(3L).forall(c => c >= -127 && c <= 127))
+    // dequantized error bound: half a quantization step per component
+    val scale = 127.0 / 127.0 // mx / 127
+    assert(q(3L).zip(Seq(-1.5, 0.25, 127.0)).forall { case (c, x) =>
+      math.abs(c * scale - x) <= scale / 2 + 1e-9 })
+  }
 }
