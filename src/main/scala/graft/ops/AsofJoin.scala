@@ -28,8 +28,22 @@ import org.apache.spark.sql.functions._
   * NULL-keyed left rows keep NULL payload. */
 object AsofJoin {
 
+  /** Greatest `rightTs <= leftTs` per key (DuckDB `ON l.ts >= r.ts`). */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    joinAsof(left, right, keys, leftTs, rightTs, payload, fwd = false)
+
+  /** Mirror image: smallest `rightTs >= leftTs` per key (DuckDB
+    * `ON l.ts <= r.ts`) — "next version at or after". Same union +
+    * one-shuffle-per-side window shape, scanned in descending time order
+    * so "last right row seen" is the nearest one ahead. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    joinAsof(left, right, keys, leftTs, rightTs, payload, fwd = true)
+
+  private def joinAsof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val lTagged = left
@@ -46,8 +60,10 @@ object AsofJoin {
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_pay"): _*)
+    // ties sort right(0)-first in both directions, so a right row AT the
+    // left timestamp is always visible (inclusive bound)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(if (fwd) col("_ts").desc else col("_ts").asc, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))

@@ -152,6 +152,24 @@ object StreamQueries {
       origCnt.crossJoin(replayCnt)
         .select(col("orig_rows"), col("after_replay_rows"),
           (col("orig_rows") === col("after_replay_rows")).as("absorbed"))
+    }),
+
+    // SCD2 dimension history assembled from the event change log: per
+    // user, one row per event_type VERSION with [from, to) validity in
+    // epoch-micros and an is_current flag — the dimension-history op the
+    // reference's SCD1 (insert-new-members-only) upsert lacks.
+    // ops/Scd2: lag-based change detection + lead-based validity share
+    // ONE window spec → one shuffle on the key, no self-join.
+    "scd2_history" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      graft.ops.Scd2.fromChangeLog(ev, Seq("user_id"),
+          Seq("ts_us", "event_id"), Seq("event_type"), "ts_us")
+        .select(col("user_id"), col("event_type"),
+          col("effective_from").as("from_us"), col("effective_to").as("to_us"),
+          col("is_current"))
+        .orderBy("user_id", "from_us", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +278,22 @@ object StreamQueries {
 
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed
-        |FROM (SELECT count(*) AS c FROM ev_slice) t""".stripMargin))
+        |FROM (SELECT count(*) AS c FROM ev_slice) t""".stripMargin),
+
+    "scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), versions AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM ordered
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        |)
+        |SELECT user_id, event_type, ts_us AS from_us,
+        |  lead(ts_us) OVER w2 AS to_us,
+        |  lead(ts_us) OVER w2 IS NULL AS is_current
+        |FROM versions
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, from_us, event_type""".stripMargin)
 }

@@ -304,6 +304,21 @@ object TaxiQueries {
         .orderBy("trip_src_id", "vendor_code", "day_rate")
     }),
 
+    // Forward as-of: each trip picks the vendor's NEXT daily rate at or
+    // after pickup — the settlement-lookup direction (mirror of join_asof).
+    "join_asof_fwd" -> ((s, d) => {
+      val ded = dedupedDf(s, d).filter(col("vendor_code").isNotNull)
+      val rates = ded.groupBy(col("vendor_code"), col("ingest_date"))
+        .agg((dsum("fare_amount") / count(lit(1))).as("day_rate"))
+        .select(col("vendor_code"),
+          col("ingest_date").cast("timestamp_ntz").as("rate_ts"), col("day_rate"))
+      val left = ded.select(col("trip_src_id"), col("vendor_code"), col("pickup_ts_utc"))
+      graft.ops.AsofJoin.forward(left, rates, Seq("vendor_code"),
+          "pickup_ts_utc", "rate_ts", Seq("day_rate"))
+        .select(col("trip_src_id"), col("vendor_code"), col("day_rate"))
+        .orderBy("trip_src_id", "vendor_code", "day_rate")
+    }),
+
     // Range join (point-in-interval, bin-bucketized — no cross product):
     // trips against overlapping time-of-day bands (48 half-hours + two
     // broad rush bands, so points genuinely match multiple intervals).
@@ -446,11 +461,12 @@ object TaxiQueries {
         "fare_amount", "trip_distance_km")),
 
     "win_global_rownum" -> ((s, d) => {
-      // Global ordered ROW_NUMBER — single-partition by construction; kept
-      // at declared-oracle scale only (SURVEY §7.4 hard-part 2: at 100 TB
-      // the composite key itself replaces this correlation id).
-      val w = Window.orderBy(col("source_file_name"), col("loaded_at"), col("trip_src_id"))
-      trips(s, d).withColumn("rn", row_number().over(w))
+      // Global ordered ROW_NUMBER via the scalable two-pass shape
+      // (ops/GlobalRowNumber: range repartition → per-partition counts →
+      // offset + partition-local window). No single-task sort — SURVEY
+      // §7.4 hard-part 2 resolved rather than documented-around.
+      graft.ops.GlobalRowNumber.withRowNumber(trips(s, d), "rn",
+          Seq("source_file_name", "loaded_at", "trip_src_id"))
         .select("rn", "trip_src_id", "source_file_name")
         .orderBy("rn")
     }),
@@ -827,6 +843,19 @@ object TaxiQueries {
         |ASOF LEFT JOIN rates r
         |  ON d.vendor_code = r.vendor_code AND d.pickup_ts_utc >= r.rate_ts
         |ORDER BY d.trip_src_id, d.vendor_code, r.day_rate""".stripMargin),
+
+    "join_asof_fwd" -> taxiWith(
+      s"""rates AS (
+         |  SELECT vendor_code, CAST(ingest_date AS TIMESTAMP) AS rate_ts,
+         |    ${dsumSql("fare_amount")} / count(*) AS day_rate
+         |  FROM deduped WHERE vendor_code IS NOT NULL
+         |  GROUP BY vendor_code, ingest_date)""".stripMargin,
+      """SELECT d.trip_src_id, d.vendor_code, r.day_rate
+        |FROM (SELECT trip_src_id, vendor_code, pickup_ts_utc FROM deduped
+        |      WHERE vendor_code IS NOT NULL) d
+        |ASOF LEFT JOIN rates r
+        |  ON d.vendor_code = r.vendor_code AND d.pickup_ts_utc <= r.rate_ts
+        |ORDER BY d.trip_src_id, d.vendor_code, r.day_rate NULLS FIRST""".stripMargin),
 
     "join_range" -> taxiWith(
       """bands AS (

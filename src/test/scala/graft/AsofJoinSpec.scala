@@ -33,6 +33,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.size == 5, "every left row survives (left-join semantics)")
   }
 
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val left = Seq(("a", 5L, 100L), ("a", 12L, 101L), ("a", 20L, 102L))
+      .toDF("k", "ts", "row_id")
+    val right = Seq(("a", 10L, 1.0), ("a", 12L, 2.0)).toDF("k", "vts", "rate")
+    val got = AsofJoin.forward(left, right, Seq("k"), "ts", "vts", Seq("rate"))
+      .select("row_id", "rate").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(100L).contains(1.0), "ts=5 takes the next version (10)")
+    assert(got(101L).contains(2.0), "ts=12 sees the version AT 12 (inclusive)")
+    assert(got(102L).isEmpty, "nothing at or after ts=20 -> NULL")
+  }
+
   test("payload columns all come from the same right row; NULL fields survive") {
     val left = Seq(("a", 20L)).toDF("k", "ts")
     // newest matching row (vts=15) has rate NULL but src set; per-column

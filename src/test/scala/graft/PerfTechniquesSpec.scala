@@ -59,6 +59,40 @@ class PerfTechniquesSpec extends SparkSpec {
     assert(saltedDet.exceptAll(plain).isEmpty && plain.exceptAll(saltedDet).isEmpty)
   }
 
+  test("scalable global row_number: equals the naive window, never a single-task sort") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (s"g${i % 7}", i.toLong)).toDF("grp", "id")
+    val got = graft.ops.GlobalRowNumber.withRowNumber(df, "rn", Seq("grp", "id"), 8)
+    val naive = df.withColumn("rn", org.apache.spark.sql.functions.row_number()
+      .over(org.apache.spark.sql.expressions.Window.orderBy("grp", "id")))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-pass numbering must equal the single-partition window exactly")
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(_gpid"),
+      s"the window is partitioned by the range-partition id, not global:\n${plan.take(1500)}")
+  }
+
+  test("round-4 ops keep their scale-critical plan shapes") {
+    val d = sf()
+    // split + C4 rules: narrow projections — join-free, no hash shuffle
+    Seq("split_hash", "filter_c4_rules").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("Exchange hashpartitioning"),
+        s"$q must stay a narrow projection:\n${plan.take(1500)}")
+    }
+    // paragraph dedup: window + reassembly joins, never a product
+    val para = SparkEntry.queries("dedup_paragraph")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!para.contains("CartesianProduct") && !para.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup has no pair explosion:\n${para.take(1500)}")
+    // bloom decontamination: the UDF prefilter sits on the corpus side
+    // BEFORE the broadcast confirm join
+    val bloom = SparkEntry.queries("decontaminate_bloom")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(bloom.contains("UDF") && bloom.contains("BroadcastHashJoin"),
+      s"bloom prefilter + broadcast confirm expected:\n${bloom.take(1500)}")
+  }
+
   test("round-3 ops keep their scale-critical plan shapes") {
     val d = sf()
     // calendar slice: every dim joins as broadcast — the fact side never
