@@ -448,6 +448,19 @@ object DocPipeline {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** URL canonicalization for crawl dedup: lowercase the scheme+host,
+    * strip the query string (tracking params), the fragment, and any
+    * trailing slash — the normalizations that make syntactically-distinct
+    * crawl URLs compare equal. Path case is preserved (paths are
+    * case-sensitive per RFC 3986; hosts are not). Pure projection. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val schemeHost = lower(regexp_extract(noQuery, "^([A-Za-z]+://[^/]+)", 1))
+    val rest = regexp_replace(noQuery, "^[A-Za-z]+://[^/]+", "")
+    concat(schemeHost, regexp_replace(rest, "/$", ""))
+  }
+
   // ---- per-doc text analysis --------------------------------------------
 
   private def stopHits(langList: Seq[String]): Column =

@@ -219,7 +219,41 @@ object DocQueries {
       .select(col("vec_id"),
         array_join(EmbeddingOps.quantizeInt8(col("embedding")).cast("array<string>"), ",")
           .as("q8_csv"))
-      .orderBy("vec_id")))
+      .orderBy("vec_id")),
+
+    // crawl-URL dedup: canonicalize (lowercase scheme+host, strip query/
+    // fragment/trailing slash) and group. URLs are constructed
+    // deterministically from the fixture (mixed case, tracking params,
+    // fragments planted the way text_pii_scrub plants PII) — doc_id % 50
+    // collapses to one canonical page per source.
+    "dedup_url" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), lit(".example.com/Page/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source=feed&session="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      d(s, dir).select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"), DocPipeline.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
+    // corpus report card: per-(lang, source) rollup of docs, tokens,
+    // chars — the one-shuffle summary a curation run publishes
+    "corpus_stats" -> ((s, dir) => d(s, dir)
+      .join(DocPipeline.tokenCounts(d(s, dir)), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_tokens"),
+        sum(col("n_chars").cast("bigint")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang", "source")))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -685,5 +719,39 @@ object DocQueries {
         |       ELSE array_to_string(list_transform(embedding,
         |              x -> CAST(round(x::DOUBLE * 127 / mx) AS INT)), ',')
         |  END AS q8_csv
-        |FROM q ORDER BY vec_id""".stripMargin))
+        |FROM q ORDER BY vec_id""".stripMargin),
+
+    "dedup_url" -> docs(
+      """SELECT canonical_url, count(*) AS copies, min(doc_id) AS keeper_doc_id
+        |FROM (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nq, '^([A-Za-z]+://[^/]+)', 1))
+        |      || regexp_replace(regexp_replace(nq, '^[A-Za-z]+://[^/]+', ''), '/$', '')
+        |      AS canonical_url
+        |  FROM (
+        |    SELECT doc_id,
+        |      regexp_replace(regexp_replace(u, '#.*$', ''), '\?.*$', '') AS nq
+        |    FROM (
+        |      SELECT doc_id,
+        |        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |        || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END)
+        |        || source || '.example.com/Page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |        || (CASE WHEN doc_id % 5 = 0
+        |              THEN '?utm_source=feed&session=' || CAST(doc_id AS VARCHAR)
+        |              ELSE '' END)
+        |        || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS u
+        |      FROM documents) a) b) c
+        |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
+
+    "corpus_stats" -> docsWith(
+      """tc AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |    CAST(len(t.t) AS BIGINT) AS ws_tokens
+        |  FROM documents d JOIN toks t USING (doc_id))""".stripMargin,
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id
+        |FROM tc GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 }

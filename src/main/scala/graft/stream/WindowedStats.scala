@@ -59,6 +59,32 @@ object WindowedStats {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("vendor_id"), col("events"))
 
+  /** Stream-stream interval join — the two-stream correlation ASA spells
+    * `JOIN ... ON a.id = b.id AND DATEDIFF(minute, a, b) BETWEEN 0 AND n`:
+    * a start event joins the matching end event arriving within
+    * `maxSpanMinutes`. Both sides carry watermarks AND the join condition
+    * bounds the time skew, so the state store provably discards a row
+    * once `watermark > ts + span` — bounded state at any stream length
+    * (without the bound, stream-stream join state grows forever).
+    * Inner-join rows emit as soon as both sides arrive; the watermark
+    * only gates state eviction. Works identically on static frames. */
+  def intervalJoin(starts: DataFrame, ends: DataFrame,
+                   maxSpanMinutes: Int): DataFrame = {
+    val s = starts.withColumn("start_ts", col("start_ts").cast("timestamp"))
+      .withWatermark("start_ts", "2 hours").as("s")
+    val e = ends.withColumn("end_ts", col("end_ts").cast("timestamp"))
+      .withWatermark("end_ts", "2 hours").as("e")
+    s.join(e,
+      col("s.trip_id") === col("e.trip_id") &&
+        col("e.end_ts") >= col("s.start_ts") &&
+        col("e.end_ts") <= col("s.start_ts") + expr(s"interval $maxSpanMinutes minutes"))
+      .select(col("s.trip_id").as("trip_id"),
+        col("s.start_ts").cast("timestamp_ntz").as("start_ts"),
+        col("e.end_ts").cast("timestamp_ntz").as("end_ts"),
+        ((col("e.end_ts").cast("long") - col("s.start_ts").cast("long")) / 60)
+          .cast("long").as("span_min"))
+  }
+
   final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double,
                               producer_ts: java.sql.Timestamp)
 

@@ -202,6 +202,22 @@ class DocOpsSpec extends SparkSpec {
     assert(frames(0).getString(2) == expected0)
   }
 
+  test("URL canonicalization: host case, tracking params, fragments, slashes") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM/Page/3?utm_source=x#frag"),
+      (2L, "https://www.example.com/Page/3/"),
+      (3L, "https://www.example.com/Page/3"),
+      (4L, "https://www.example.com/page/3"))   // path case is significant
+      .toDF("doc_id", "url")
+    val canon = urls.select(col("doc_id"),
+      DocPipeline.canonicalUrl(col("url")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "https://www.example.com/Page/3")
+    assert(canon(2L) == canon(1L) && canon(3L) == canon(1L),
+      "case/params/fragment/trailing-slash variants collapse")
+    assert(canon(4L) != canon(1L), "path case preserved (RFC 3986)")
+  }
+
   test("hash split is stable under corpus growth and respects bucket bounds") {
     val small = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val grown = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -119,6 +119,35 @@ class WindowedStatsSpec extends SparkSpec {
     Thread.sleep(20) // distinct mtimes keep the file-source batch order stable
   }
 
+  test("intervalJoin: stream-stream join equals the batch join, bounded state") {
+    import spark.implicits._
+    val base = tmpDir("graft_ssjoin")
+    // start/end event streams for the same trips; ends lag 5-200 minutes,
+    // trip 7 ends outside the 120-minute bound, trip 9 never ends
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    def plus(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val starts = (1L to 10L).map(i => (i, plus(i))).toDF("trip_id", "start_ts")
+    val ends = (1L to 10L).filter(_ != 9L)
+      .map(i => (i, plus(i + (if (i == 7) 200 else 5 + i)))).toDF("trip_id", "end_ts")
+    starts.write.mode("overwrite").parquet(s"$base/starts")
+    ends.write.mode("overwrite").parquet(s"$base/ends")
+
+    val sStream = spark.readStream.schema(starts.schema).parquet(s"$base/starts")
+    val eStream = spark.readStream.schema(ends.schema).parquet(s"$base/ends")
+    val q = WindowedStats.intervalJoin(sStream, eStream, 120)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+
+    val got = spark.table("ss_join")
+    val batch = WindowedStats.intervalJoin(
+      spark.read.parquet(s"$base/starts"), spark.read.parquet(s"$base/ends"), 120)
+    assert(got.count() == 8, "trips 1-8 minus the out-of-bound 7, minus unmatched 9")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream-stream join equals the static join exactly")
+    assert(!got.collect().map(_.getLong(0)).contains(7L), "200-min span exceeds the bound")
+  }
+
   test("dedupeByTripId: replays across micro-batches emit nothing") {
     val base = tmpDir("graft_statededupe")
     val input = s"$base/in"
