@@ -117,8 +117,16 @@ object DocPipeline {
     * the capped shingle universe (sizes and intersections both exclude
     * capped shingles, so the ratio stays internally consistent). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   dfCap: Int = JaccardDfCap): DataFrame = {
-    val all = shingleHashes(docs)
+                   dfCap: Int = JaccardDfCap): DataFrame =
+    jaccardPairsFromShingles(shingleHashes(docs), threshold, dfCap)
+
+  /** [[jaccardPairs]] over a precomputed (doc_id, h) shingle index — the
+    * production entry point: a curation run materializes the shingle
+    * index ONCE (a persisted table at 100 TB, a cached frame here) and
+    * every shingle consumer (Jaccard, MinHash, decontamination) reads it
+    * instead of re-exploding the corpus. */
+  def jaccardPairsFromShingles(all: DataFrame, threshold: Double,
+                               dfCap: Int = JaccardDfCap): DataFrame = {
     val rare = all.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("h")
     val sh = all.join(rare, "h").cache()
@@ -140,11 +148,16 @@ object DocPipeline {
 
   /** 16-component MinHash signature per doc: ONE groupBy with 16 partial
     * `min`s over affine re-hashes of the shingle hash. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingleHashes(docs))
+
+  /** [[minhashSignatures]] over a precomputed shingle index (see
+    * [[jaccardPairsFromShingles]] for why). */
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map { i =>
       min((col("h") * (2 * i + 1) + lit(7919L * i)) % P).as(s"m$i")
     }
-    shingleHashes(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: 4 bands of 4 signature components, band index baked
@@ -159,8 +172,13 @@ object DocPipeline {
 
   /** Candidate pairs (any band equal) with the estimated Jaccard =
     * matching-components / K; keeps est ≥ threshold. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minhashLshPairsFromSignatures(minhashSignatures(docs), threshold)
+
+  /** [[minhashLshPairs]] over precomputed signatures. */
+  def minhashLshPairsFromSignatures(signatures: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val sig = signatures.cache()
     val bands = minhashBands(sig)
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -303,10 +321,16 @@ object DocPipeline {
     * The standard decontamination shape: both sides reduce to shingle
     * hashes, the join is an equi-join on the hash (inverted index), and
     * the eval side is tiny → broadcast. Returns per-doc match stats. */
-  def contamination(corpus: DataFrame, eval: DataFrame, minShared: Int): DataFrame = {
-    val c = shingleHashes(corpus)
-    val ev = shingleHashes(eval)
-      .select(col("doc_id").as("eval_doc_id"), col("h"))
+  def contamination(corpus: DataFrame, eval: DataFrame, minShared: Int): DataFrame =
+    contaminationFromShingles(shingleHashes(corpus), shingleHashes(eval), minShared)
+
+  /** [[contamination]] over precomputed shingle indexes. The eval index
+    * may be a FILTER of the corpus index — shingles are per-doc, so
+    * `sh.filter(evalPred)` equals `shingleHashes(docs.filter(evalPred))`
+    * exactly. */
+  def contaminationFromShingles(c: DataFrame, evalSh: DataFrame,
+                                minShared: Int): DataFrame = {
+    val ev = evalSh.select(col("doc_id").as("eval_doc_id"), col("h"))
     c.join(broadcast(ev), "h")
       .filter(col("doc_id") =!= col("eval_doc_id"))
       .groupBy("doc_id")
@@ -407,13 +431,19 @@ object DocPipeline {
     * beyond that, shard it by hash range or fall back to the plain
     * broadcast semi-join of [[contamination]]. */
   def bloomContamination(corpus: DataFrame, eval: DataFrame, minShared: Int,
-                         expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val ev = shingleHashes(eval)
-      .select(col("doc_id").as("eval_doc_id"), col("h")).cache()
+                         expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    bloomContaminationFromShingles(shingleHashes(corpus), shingleHashes(eval),
+      minShared, expectedItems, fpp)
+
+  /** [[bloomContamination]] over precomputed shingle indexes. */
+  def bloomContaminationFromShingles(c: DataFrame, evalSh: DataFrame, minShared: Int,
+                                     expectedItems: Long = 1000000L,
+                                     fpp: Double = 0.01): DataFrame = {
+    val ev = evalSh.select(col("doc_id").as("eval_doc_id"), col("h")).cache()
     val bloom = ev.stat.bloomFilter("h", expectedItems, fpp)
-    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val bloomB = c.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bloomB.value.mightContain(h))
-    shingleHashes(corpus).filter(might(col("h")))
+    c.filter(might(col("h")))
       .join(broadcast(ev), "h")
       .filter(col("doc_id") =!= col("eval_doc_id"))
       .groupBy("doc_id")
@@ -432,8 +462,14 @@ object DocPipeline {
     * existing×existing. Returns (new_doc_id, existing_doc_id,
     * est_jaccard ≥ threshold). */
   def incrementalLshPairs(existingSigs: DataFrame, newDocs: DataFrame,
-                          threshold: Double): DataFrame = {
-    val newSigs = minhashSignatures(newDocs).cache()
+                          threshold: Double): DataFrame =
+    incrementalLshPairsFromSignatures(existingSigs, minhashSignatures(newDocs), threshold)
+
+  /** [[incrementalLshPairs]] with both sides as precomputed signatures. */
+  def incrementalLshPairsFromSignatures(existingSigs: DataFrame,
+                                        newSignatures: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val newSigs = newSignatures.cache()
     val cand = minhashBands(newSigs).as("a")
       .join(minhashBands(existingSigs).as("b"), col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"))

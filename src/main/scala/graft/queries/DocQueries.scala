@@ -17,16 +17,27 @@ object DocQueries {
   private def d(s: SparkSession, dir: String) = DocPipeline.documents(s, dir)
   private def e(s: SparkSession, dir: String) = EmbeddingOps.embeddings(s, dir)
 
+  /** The corpus shingle index, materialized once per session — the
+    * in-session analog of the persisted shingle/signature table a 100 TB
+    * curation run maintains: Jaccard, MinHash, and both decontamination
+    * paths read this instead of re-exploding the corpus text. */
+  private def shingles(s: SparkSession, dir: String) = Memo.of(s, s"$dir/shingle_index") {
+    DocPipeline.shingleHashes(d(s, dir))
+  }
+
   /** Near-dup component labels, memoized: the iterative propagation runs
     * once per session; `dedup_components` and `dedup_apply` both read the
     * final labels frame. */
   private def components(s: SparkSession, dir: String) = Memo.of(s, s"$dir/dup_components") {
-    DocPipeline.nearDupComponents(DocPipeline.minhashLshPairs(d(s, dir), 0.5))
+    DocPipeline.nearDupComponents(DocPipeline.minhashLshPairsFromSignatures(
+      DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5))
   }
 
-  /** Materialize the near-dup graph memo (pairs → components) for
-    * steady-state benchmarking (see [[TaxiQueries.warm]]). */
+  /** Materialize the shingle index + near-dup graph memos (shingles →
+    * pairs → components) for steady-state benchmarking (see
+    * [[TaxiQueries.warm]]). */
   def warm(s: SparkSession, dir: String): Unit = {
+    shingles(s, dir).count(): Unit
     components(s, dir).count(): Unit
   }
 
@@ -59,10 +70,12 @@ object DocQueries {
 
     // dfCap=100 binds at fixture scale (corpus 500 docs): boilerplate
     // shingles are dropped before the inverted-index self-join.
-    "dedup_ngram_jaccard" -> ((s, dir) => DocPipeline.jaccardPairs(d(s, dir), 0.5, 100)
-      .orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
+        .orderBy("doc_a", "doc_b")),
 
-    "dedup_minhash_lsh" -> ((s, dir) => DocPipeline.minhashLshPairs(d(s, dir), 0.5)
+    "dedup_minhash_lsh" -> ((s, dir) => DocPipeline.minhashLshPairsFromSignatures(
+        DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5)
       .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) => DocPipeline.simhashPairs(d(s, dir), 6)
@@ -95,9 +108,12 @@ object DocQueries {
         .orderBy("doc_id")),
 
     // eval set = every 40th doc; corpus docs sharing ≥2 distinct 3-gram
-    // shingles with an eval doc (other than themselves) are contaminated
+    // shingles with an eval doc (other than themselves) are contaminated.
+    // The eval index is a FILTER of the corpus shingle index (shingles
+    // are per-doc, so this equals shingling the filtered docs).
     "contamination_ngram" -> ((s, dir) =>
-      DocPipeline.contamination(d(s, dir), d(s, dir).filter(col("doc_id") % 40 === 0), 2)
+      DocPipeline.contaminationFromShingles(shingles(s, dir),
+        shingles(s, dir).filter(col("doc_id") % 40 === 0), 2)
         .orderBy("doc_id")),
 
     // connected components over the MinHash-LSH near-dup graph: component
@@ -198,18 +214,19 @@ object DocQueries {
     // eval set = every 25th doc, flagged at >= 2 shared shingles. Result
     // is exact (the bloom only prunes), so the oracle is the plain join.
     "decontaminate_bloom" -> ((s, dir) =>
-      DocPipeline.bloomContamination(d(s, dir),
-        d(s, dir).filter(col("doc_id") % 25 === 0), 2)
+      DocPipeline.bloomContaminationFromShingles(shingles(s, dir),
+        shingles(s, dir).filter(col("doc_id") % 25 === 0), 2)
         .orderBy("doc_id")),
 
     // incremental dedup: new batch (doc_id % 3 == 0) against the persisted
     // signatures of the existing corpus — band join touches new×existing
-    // only, never existing×existing
+    // only, never existing×existing. Signatures are per-doc, so both
+    // sides derive from the shared shingle index by filter.
     "dedup_incremental" -> ((s, dir) => {
-      val all = d(s, dir)
-      DocPipeline.incrementalLshPairs(
-        DocPipeline.minhashSignatures(all.filter(col("doc_id") % 3 =!= 0)),
-        all.filter(col("doc_id") % 3 === 0), 0.5)
+      val sh = shingles(s, dir)
+      DocPipeline.incrementalLshPairsFromSignatures(
+        DocPipeline.signaturesFromShingles(sh.filter(col("doc_id") % 3 =!= 0)),
+        DocPipeline.signaturesFromShingles(sh.filter(col("doc_id") % 3 === 0)), 0.5)
         .orderBy("new_doc_id", "existing_doc_id")
     }),
 
