@@ -261,6 +261,14 @@ object DocQueries {
         .orderBy("canonical_url")
     }),
 
+    // token-count histogram in fixed 10-token buckets (integer division —
+    // engine-exact, unlike float log buckets) — the length distribution a
+    // curation run inspects before setting min/max-length filters
+    "text_token_hist" -> ((s, dir) => DocPipeline.tokenCounts(d(s, dir))
+      .groupBy((expr("ws_tokens div 10") * 10).as("bucket_lo"))
+      .agg(count(lit(1)).as("docs"), sum(col("ws_tokens")).as("tokens"))
+      .orderBy("bucket_lo")),
+
     // corpus report card: per-(lang, source) rollup of docs, tokens,
     // chars — the one-shuffle summary a curation run publishes
     "corpus_stats" -> ((s, dir) => d(s, dir)
@@ -760,6 +768,13 @@ object DocQueries {
         |        || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS u
         |      FROM documents) a) b) c
         |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
+
+    "text_token_hist" -> docsWith(
+      """tc2 AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens FROM toks)""".stripMargin,
+      """SELECT (ws_tokens // 10) * 10 AS bucket_lo,
+        |  count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens
+        |FROM tc2 GROUP BY 1 ORDER BY bucket_lo""".stripMargin),
 
     "corpus_stats" -> docsWith(
       """tc AS (

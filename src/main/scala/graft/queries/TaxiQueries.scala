@@ -409,6 +409,18 @@ object TaxiQueries {
         .orderBy(col("g_year"), col("g_quarter"), col("year"), col("quarter"))
     }),
 
+    // Full CUBE lattice over vendor × rate (all four grouping sets in one
+    // shuffle), completing the grouping-sets family next to ROLLUP.
+    // Vendor NULLs are filtered so data NULLs never collide with
+    // cube-generated subtotal NULLs in the sort.
+    "agg_cube" -> ((s, d) => dedupedDf(s, d)
+      .filter(col("vendor_code").isNotNull)
+      .cube(col("vendor_code"), col("rate_code"))
+      .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"),
+        grouping(col("vendor_code")).cast("int").as("g_vendor"),
+        grouping(col("rate_code")).cast("int").as("g_rate"))
+      .orderBy(col("g_vendor"), col("g_rate"), col("vendor_code"), col("rate_code"))),
+
     // Exact distinct-count KPI (README_modeling.md §7 "Trips =
     // COUNT(DISTINCT trip_id)"); approx_count_distinct is the documented
     // scale opt-in but is engine-specific, so the declared query is exact.
@@ -958,6 +970,15 @@ object TaxiQueries {
          |  ${dsumSql("fare_amount")} / nullif(${dsumSql("trip_distance_km")}, 0.0)
          |    AS avg_fare_per_km
          |FROM fact GROUP BY vendor_sk ORDER BY vendor_sk""".stripMargin),
+
+    "agg_cube" -> taxi(
+      s"""SELECT vendor_code, rate_code, count(*) AS trips,
+         |  ${dsumSql("fare_amount")} AS total_fare,
+         |  CAST(GROUPING(vendor_code) AS INT) AS g_vendor,
+         |  CAST(GROUPING(rate_code) AS INT) AS g_rate
+         |FROM deduped WHERE vendor_code IS NOT NULL
+         |GROUP BY CUBE(vendor_code, rate_code)
+         |ORDER BY g_vendor, g_rate, vendor_code, rate_code""".stripMargin),
 
     "agg_count_distinct" -> taxi(
       """SELECT count(DISTINCT trip_id) AS distinct_trips, count(*) AS rows
