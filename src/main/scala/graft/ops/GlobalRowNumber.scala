@@ -1,19 +1,20 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalable total-order ROW_NUMBER — what `Window.orderBy` without a
   * partition spec degenerates to a single-task sort for.
   *
   * Shape: range-repartition on the sort key (so partition p holds keys
-  * strictly below partition p+1), count rows per partition (tiny: one
-  * row per partition, bounded by the cluster's partition count, not the
-  * data), turn the counts into cumulative offsets on the driver, then a
-  * PARTITION-LOCAL window adds `offset(p) + local row_number`. Every
-  * stage is parallel; the only driver traffic is the per-partition count
-  * vector.
+  * strictly below partition p+1), sort within partitions, then read the
+  * (partition id, local row index) pair that `monotonically_increasing_id`
+  * encodes (pid in the high 31 bits, a counter in row order below).
+  * Per-partition counts (tiny: one row per partition, bounded by the
+  * cluster's partition count, not the data) become cumulative offsets on
+  * the driver, and `rn = offset(pid) + local + 1` is a pure projection.
+  * ONE shuffle total — no window, so no re-clustering exchange on the
+  * partition id and no single-task sort anywhere.
   *
   * `sortCols` must totally order the rows (a unique composite) — equal
   * keys could otherwise straddle a range boundary and take arbitrary
@@ -23,7 +24,9 @@ import org.apache.spark.sql.functions._
   * sample seed derives from the RDD id, so re-executing the shuffle in
   * the numbering pass could draw DIFFERENT boundaries — both passes must
   * read one materialization (on a long-lived cluster job: a persisted
-  * table or reliable checkpoint). */
+  * table or reliable checkpoint). Per-partition row counts are capped at
+  * 2^33 by the id encoding — 8.5 B rows per partition, far above any
+  * sane partition size. */
 object GlobalRowNumber {
 
   def withRowNumber(df: DataFrame, rnCol: String, sortCols: Seq[String],
@@ -33,17 +36,19 @@ object GlobalRowNumber {
       else spark.sessionState.conf.numShufflePartitions
     val cols = sortCols.map(col)
     val ranged = df.repartitionByRange(parts, cols: _*)
-      .withColumn("_gpid", spark_partition_id())
+      .sortWithinPartitions(cols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged.groupBy("_gpid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pid = shiftright(col("_mid"), 33)
+    val local = col("_mid").bitwiseAND((1L << 33) - 1)
+    val counts = ranged.groupBy(pid.as("_pid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p.toLong, 0L))
     val offsetOf = (0 until parts)
-      .foldLeft(lit(0L))((acc, p) => when(col("_gpid") === p, offsets(p)).otherwise(acc))
-    val w = Window.partitionBy(col("_gpid")).orderBy(cols: _*)
+      .foldLeft(lit(0L))((acc, p) => when(pid === p, offsets(p)).otherwise(acc))
     ranged
-      .withColumn(rnCol, (offsetOf + row_number().over(w)).cast("int"))
-      .drop("_gpid")
+      .withColumn(rnCol, (offsetOf + local + 1).cast("int"))
+      .drop("_mid")
   }
 }

@@ -477,7 +477,8 @@ object TaxiQueries {
       // (ops/GlobalRowNumber: range repartition → per-partition counts →
       // offset + partition-local window). No single-task sort — SURVEY
       // §7.4 hard-part 2 resolved rather than documented-around.
-      graft.ops.GlobalRowNumber.withRowNumber(trips(s, d), "rn",
+      graft.ops.GlobalRowNumber.withRowNumber(
+          trips(s, d).select("source_file_name", "loaded_at", "trip_src_id"), "rn",
           Seq("source_file_name", "loaded_at", "trip_src_id"))
         .select("rn", "trip_src_id", "source_file_name")
         .orderBy("rn")

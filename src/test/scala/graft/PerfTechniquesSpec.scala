@@ -67,9 +67,11 @@ class PerfTechniquesSpec extends SparkSpec {
       .over(org.apache.spark.sql.expressions.Window.orderBy("grp", "id")))
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
       "two-pass numbering must equal the single-partition window exactly")
-    val plan = got.queryExecution.optimizedPlan.toString
-    assert(plan.contains("windowspecdefinition(_gpid"),
-      s"the window is partitioned by the range-partition id, not global:\n${plan.take(1500)}")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"no window at all — numbering is a projection over the id encoding:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"one range shuffle only — no re-clustering exchange:\n${plan.take(1500)}")
   }
 
   test("round-4 ops keep their scale-critical plan shapes") {
