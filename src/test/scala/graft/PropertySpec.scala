@@ -103,4 +103,46 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(km / 1.609344 - mi) <= 0.0005 / 1.609344 + 1e-9)
     }
   }
+
+  test("int8 quantization: codes bounded, error within half a step, zero-safe") {
+    import spark.implicits._
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
+    val vecs = (0 until 60).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, Seed(7L + i))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val rows = (vecs :+ (999L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        graft.docs.EmbeddingOps.quantizeInt8(col("embedding")).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(c => c >= -127 && c <= 127), "codes in [-127, 127]")
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      if (mx == 0.0) assert(q.forall(_ == 0), "zero vector → zero codes")
+      else {
+        val scale = mx / 127.0
+        q.zip(v).foreach { case (c, x) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+            s"dequant error within half a step: c=$c x=$x scale=$scale") }
+      }
+    }
+  }
+
+  test("hash split: buckets in [0,100), assignment independent of corpus") {
+    import spark.implicits._
+    forAll(Gen.chooseNum(1L, 1000000L), n = 50) { (id: Long) =>
+      val one = Seq((id, "t")).toDF("doc_id", "text")
+      val b = graft.docs.DocPipeline.hashSplit(one, "doc_id", 80, 10)
+        .select("split_bucket").collect().head.getLong(0)
+      assert(b >= 0 && b < 100)
+      // the bucket is a pure function of the id — row context never matters
+      val b2 = graft.docs.DocPipeline.hashSplit(
+        Seq((id, "other"), (id + 1, "x")).toDF("doc_id", "text"), "doc_id", 80, 10)
+        .filter(col("doc_id") === id)
+        .select("split_bucket").collect().head.getLong(0)
+      assert(b2 == b)
+    }
+  }
 }
