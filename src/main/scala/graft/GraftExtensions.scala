@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FloatVecDot, Sha256Prefix64, VecDistSq}
+import graft.functions.{FloatVecDot, KmvDistinct, Sha256Prefix64, VecDistSq}
 
 /** Session-extension hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -18,7 +19,9 @@ import graft.functions.{FloatVecDot, Sha256Prefix64, VecDistSq}
   * search hot path).
   * `vec_dist_sq(v, c)` — codegen'd squared L2 distance between an
   * `array<float>` vector and an `array<double>` centroid (IVF/k-means
-  * assignment hot path). */
+  * assignment hot path).
+  * `kmv_distinct(s, k)` — deterministic K-Minimum-Values distinct-count
+  * sketch (k must be an INT literal). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
@@ -48,6 +51,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         requireArity("vec_dist_sq", 2, args)
         VecDistSq(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        requireArity("kmv_distinct", 2, args)
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE", // closest stock class: needs a literal
+            messageParameters = Map(
+              "seedExpr" -> other.sql, "exprWithSeed" -> "`kmv_distinct`"))
+        }
+        KmvDistinct(args.head, k).toAggregateExpression()
       }))
     e.injectFunction((
       new FunctionIdentifier("sha256_prefix64"),

@@ -421,6 +421,18 @@ object TaxiQueries {
         grouping(col("rate_code")).cast("int").as("g_rate"))
       .orderBy(col("g_vendor"), col("g_rate"), col("vendor_code"), col("rate_code"))),
 
+    // KMV distinct-count sketch vs the exact answer: the deterministic
+    // approx_count_distinct replacement (custom TypedImperativeAggregate,
+    // O(k) state, map-side partials) whose estimate the DuckDB oracle
+    // replays exactly — HLL/approx_count_distinct cannot be oracled.
+    "agg_distinct_sketch" -> ((s, d) => dedupedDf(s, d)
+      .agg(
+        graft.functions.KmvDistinct.of(col("trip_src_id").cast("string"), 256)
+          .as("kmv_estimate"),
+        countDistinct(col("trip_src_id")).as("exact"))
+      .select(col("kmv_estimate"), col("exact"),
+        (abs(col("kmv_estimate") - col("exact")) / col("exact")).as("rel_error"))),
+
     // Exact distinct-count KPI (README_modeling.md §7 "Trips =
     // COUNT(DISTINCT trip_id)"); approx_count_distinct is the documented
     // scale opt-in but is engine-specific, so the declared query is exact.
@@ -980,6 +992,25 @@ object TaxiQueries {
          |FROM deduped WHERE vendor_code IS NOT NULL
          |GROUP BY CUBE(vendor_code, rate_code)
          |ORDER BY g_vendor, g_rate, vendor_code, rate_code""".stripMargin),
+
+    "agg_distinct_sketch" -> taxiWith(
+      """kmv AS (
+        |  SELECT h FROM (
+        |    SELECT DISTINCT abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |        THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |        ELSE CAST(u AS BIGINT) END) AS h
+        |    FROM (SELECT ('0x' || substr(sha256(CAST(trip_src_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+        |          FROM deduped) y) z
+        |  ORDER BY h LIMIT 256),
+        |est AS (
+        |  SELECT CASE WHEN (SELECT count(*) FROM kmv) < 256
+        |    THEN (SELECT count(*) FROM kmv)::DOUBLE
+        |    ELSE 255.0 * 9223372036854775808.0 / (SELECT max(h) FROM kmv)::DOUBLE
+        |  END AS kmv_estimate)""".stripMargin,
+      """SELECT e.kmv_estimate, x.exact,
+        |  abs(e.kmv_estimate - x.exact) / x.exact AS rel_error
+        |FROM est e CROSS JOIN
+        |  (SELECT count(DISTINCT trip_src_id) AS exact FROM deduped) x""".stripMargin),
 
     "agg_count_distinct" -> taxi(
       """SELECT count(DISTINCT trip_id) AS distinct_trips, count(*) AS rows

@@ -156,6 +156,36 @@ class FunctionsSpec extends SparkSpec {
     assert(dist(1).contains(8.0))
   }
 
+  test("kmv_distinct: exact below k, ~1/sqrt(k) above, partition-invariant") {
+    val small = (1 to 100).map(i => s"v$i").toDF("s")
+    val exactBelow = small.select(
+      graft.functions.KmvDistinct.of(col("s"), 256)).collect().head.getDouble(0)
+    assert(exactBelow == 100.0, "below k the sketch is exact")
+
+    val big = (1 to 50000).map(i => s"key-$i").toDF("s")
+    val est = big.select(
+      graft.functions.KmvDistinct.of(col("s"), 256)).collect().head.getDouble(0)
+    assert(math.abs(est - 50000) / 50000 < 0.2,
+      s"k=256 estimate within ~3/sqrt(k): $est")
+    // merge correctness: the estimate is independent of partitioning
+    // (map-side partials + TreeSet-union merges)
+    val est2 = big.repartition(13).select(
+      graft.functions.KmvDistinct.of(col("s"), 256)).collect().head.getDouble(0)
+    assert(est2 == est, "partition layout never changes the sketch")
+
+    // SQL registration; k must be an INT literal
+    big.createOrReplaceTempView("kmv_in")
+    val sql = spark.sql("SELECT kmv_distinct(s, 256) FROM kmv_in")
+      .collect().head.getDouble(0)
+    assert(sql == est)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_distinct(s, length(s)) FROM kmv_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_distinct(s) FROM kmv_in").collect()
+    }
+  }
+
   test("safeDivide guards zero/negative denominators") {
     val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
       .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))
