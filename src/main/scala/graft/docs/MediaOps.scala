@@ -106,6 +106,26 @@ object MediaOps {
       array_max(bytes).as("max_byte"))
   }
 
+  /** Fixed-dimension feature vector from the payload head: the first
+    * `chunks`·4 bytes (zero-padded past EOF) reduced to `chunks` 4-byte
+    * means as `array<float>` — the deterministic stand-in for a real
+    * encoder's embedding, with the exact Spark plumbing (opaque binary
+    * column → fixed-dim float vector) a model UDF would use. Each
+    * component is a sum ≤ 1020 divided by 4 (≤ 2 fraction bits), so the
+    * float values are exact and cross-engine reproducible. */
+  def featureVector(media: DataFrame, chunks: Int = 16): DataFrame = {
+    val window = chunks * 4
+    val bytes = transform(sequence(lit(1), lit(window)),
+      i => when(i <= length(col("payload")),
+        ascii(substr(col("payload"), i, lit(1)).cast("string"))).otherwise(lit(0)))
+    media.select(col("media_id"), bytes.as("_b"))
+      .select(col("media_id"),
+        transform(sequence(lit(0), lit(chunks - 1)), c =>
+          ((element_at(col("_b"), c * 4 + 1) + element_at(col("_b"), c * 4 + 2) +
+            element_at(col("_b"), c * 4 + 3) + element_at(col("_b"), c * 4 + 4))
+            .cast("double") / 4.0).cast("float")).as("features"))
+  }
+
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
     * Dataset processed one partition-iterator at a time. */
   def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {

@@ -31,7 +31,19 @@ object MediaQueries {
       .orderBy("media_id")),
 
     "media_feature_extract" -> ((s, d) => MediaOps.extractFeatures(media(s, d), 64)
-      .orderBy("media_id")))
+      .orderBy("media_id")),
+
+    // multimodal retrieval end-to-end: opaque binary payload → fixed-dim
+    // feature vector (the encoder stand-in) → exact cosine top-3 over the
+    // media corpus — the decode→embed→search pipeline with a real binary
+    // column and the ANN operator unchanged from the embedding path
+    "media_ann" -> ((s, d) => {
+      val feats = MediaOps.featureVector(media(s, d))
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      graft.docs.EmbeddingOps.bruteForceTopK(
+          feats.filter(col("vec_id") % 40 === 0), feats, 3)
+        .orderBy("query_id", "rank")
+    }))
 
   val oracles: Map[String, String] = Map(
     "media_meta_extract" -> docs(
@@ -79,5 +91,38 @@ object MediaQueries {
         |  CAST(64 + length(text) % 512 AS INT) AS width,
         |  CAST(48 + (length(text) * 7) % 512 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS INT) AS channels
-        |FROM documents ORDER BY media_id""".stripMargin))
+        |FROM documents ORDER BY media_id""".stripMargin),
+
+    "media_ann" -> {
+      val dot = graft.oracle.DocsOracle.dotSql("q.e", "c.e")
+      docs(
+        s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    $dot / (q.n * c.n) AS cosine,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $dot / (q.n * c.n) DESC, c.vec_id) AS rank
+           |  FROM (
+           |    SELECT vec_id, e, sqrt(${graft.oracle.DocsOracle.dotSql("e", "e")}) AS n
+           |    FROM (
+           |      SELECT doc_id AS vec_id, list_transform(generate_series(0, 15),
+           |        c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0 AS FLOAT)) AS e
+           |      FROM (
+           |        SELECT doc_id, list_transform(generate_series(1, 64),
+           |          i -> CASE WHEN i <= length(text)
+           |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
+           |        FROM documents) fb) fv) c
+           |  CROSS JOIN (
+           |    SELECT vec_id, e, sqrt(${graft.oracle.DocsOracle.dotSql("e", "e")}) AS n
+           |    FROM (
+           |      SELECT doc_id AS vec_id, list_transform(generate_series(0, 15),
+           |        c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0 AS FLOAT)) AS e
+           |      FROM (
+           |        SELECT doc_id, list_transform(generate_series(1, 64),
+           |          i -> CASE WHEN i <= length(text)
+           |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
+           |        FROM documents) fb2) fv2
+           |    WHERE vec_id % 40 = 0) q
+           |  WHERE c.vec_id <> q.vec_id) x
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+    })
 }

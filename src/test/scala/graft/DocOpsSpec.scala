@@ -191,6 +191,18 @@ class DocOpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("media feature vector: 4-byte chunk means, zero-padded past EOF") {
+    import org.apache.spark.sql.functions.lit
+    val media = Seq((1L, "ABCDEFGH".getBytes("UTF-8")))  // 8 bytes < 64
+      .toDF("media_id", "payload").withColumn("kind", lit("image"))
+    val v = graft.docs.MediaOps.featureVector(media)
+      .select("features").collect().head.getSeq[Float](0)
+    assert(v.length == 16)
+    assert(v(0) == (65 + 66 + 67 + 68) / 4.0f, "chunk 0 = mean of ABCD")
+    assert(v(1) == (69 + 70 + 71 + 72) / 4.0f, "chunk 1 = mean of EFGH")
+    assert(v.drop(2).forall(_ == 0.0f), "chunks past EOF are zero")
+  }
+
   test("binary frame sampling hashes the expected byte ranges") {
     val media = Seq((1L, "image", ("abcd" * 40).getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
