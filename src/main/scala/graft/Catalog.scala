@@ -19,7 +19,8 @@ object Catalog {
     "dim_date", "dim_time",
     "fact_trip", "vw_fact_trip_bi",
     "stream_events", "stream_routed",
-    "documents", "embeddings", "vw_doc_quality", "vw_doc_dedup")
+    "documents", "embeddings", "vw_doc_quality", "vw_doc_dedup",
+    "vw_doc_splits", "vw_corpus_stats")
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -102,5 +103,13 @@ object Catalog {
       graft.docs.DocPipeline.nearDupComponents(
         graft.docs.DocPipeline.minhashLshPairs(docs, 0.5))
     }.createOrReplaceTempView("vw_doc_dedup")
+    // round-4 corpus-assembly surface
+    graft.docs.DocPipeline.hashSplit(docs, "doc_id", 80, 10)
+      .select("doc_id", "split_bucket", "split")
+      .createOrReplaceTempView("vw_doc_splits")
+    docs.join(graft.docs.DocPipeline.tokenCounts(docs), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+      .createOrReplaceTempView("vw_corpus_stats")
   }
 }
