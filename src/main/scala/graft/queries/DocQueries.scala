@@ -269,6 +269,21 @@ object DocQueries {
       .agg(count(lit(1)).as("docs"), sum(col("ws_tokens")).as("tokens"))
       .orderBy("bucket_lo")),
 
+    // training-shard packing: docs in doc_id order fill fixed 2000-token
+    // shards (shard = tokens-before div budget — the standard greedy
+    // packer). The global prefix sum uses the two-pass range-partitioned
+    // shape (ops/GlobalPrefixSum), never a single-task window.
+    "corpus_pack" -> ((s, dir) => {
+      val tc = DocPipeline.tokenCounts(d(s, dir)).select("doc_id", "ws_tokens")
+      graft.ops.GlobalPrefixSum
+        .withRunningTotal(tc, "ws_tokens", "cum_tokens", Seq("doc_id"))
+        .withColumn("shard_id", expr("(cum_tokens - ws_tokens) div 2000"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("docs"), sum(col("ws_tokens")).as("tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard_id")
+    }),
+
     // corpus report card: per-(lang, source) rollup of docs, tokens,
     // chars — the one-shuffle summary a curation run publishes
     "corpus_stats" -> ((s, dir) => d(s, dir)
@@ -775,6 +790,16 @@ object DocQueries {
       """SELECT (ws_tokens // 10) * 10 AS bucket_lo,
         |  count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens
         |FROM tc2 GROUP BY 1 ORDER BY bucket_lo""".stripMargin),
+
+    "corpus_pack" -> docsWith(
+      """packed AS (
+        |  SELECT doc_id, ws_tokens,
+        |    (sum(ws_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - ws_tokens) // 2000 AS shard_id
+        |  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens FROM toks) tc)""".stripMargin,
+      """SELECT shard_id, count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin),
 
     "corpus_stats" -> docsWith(
       """tc AS (

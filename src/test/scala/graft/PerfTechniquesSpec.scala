@@ -74,6 +74,17 @@ class PerfTechniquesSpec extends SparkSpec {
       s"one range shuffle only — no re-clustering exchange:\n${plan.take(1500)}")
   }
 
+  test("scalable prefix sum equals the naive running total") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, (i % 37 + 1).toLong)).toDF("id", "v")
+    val got = graft.ops.GlobalPrefixSum.withRunningTotal(df, "v", "cum", Seq("id"), 8)
+    val naive = df.withColumn("cum", org.apache.spark.sql.functions.sum("v")
+      .over(org.apache.spark.sql.expressions.Window.orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("round-4 ops keep their scale-critical plan shapes") {
     val d = sf()
     // split + C4 rules: narrow projections — join-free, no hash shuffle
