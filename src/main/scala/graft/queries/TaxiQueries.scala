@@ -433,6 +433,17 @@ object TaxiQueries {
       .select(col("kmv_estimate"), col("exact"),
         (abs(col("kmv_estimate") - col("exact")) / col("exact")).as("rel_error"))),
 
+    // Grouped KMV: one O(k) sketch per vendor (k=64 so the estimator
+    // path, not the exact-below-k path, is exercised per group).
+    "agg_sketch_grouped" -> ((s, d) => dedupedDf(s, d)
+      .filter(col("vendor_code").isNotNull)
+      .groupBy("vendor_code")
+      .agg(
+        graft.functions.KmvDistinct.of(col("trip_src_id").cast("string"), 64)
+          .as("kmv_estimate"),
+        countDistinct(col("trip_src_id")).as("exact"))
+      .orderBy("vendor_code")),
+
     // Exact distinct-count KPI (README_modeling.md §7 "Trips =
     // COUNT(DISTINCT trip_id)"); approx_count_distinct is the documented
     // scale opt-in but is engine-specific, so the declared query is exact.
@@ -1011,6 +1022,30 @@ object TaxiQueries {
         |  abs(e.kmv_estimate - x.exact) / x.exact AS rel_error
         |FROM est e CROSS JOIN
         |  (SELECT count(DISTINCT trip_src_id) AS exact FROM deduped) x""".stripMargin),
+
+    "agg_sketch_grouped" -> taxiWith(
+      """vh AS (
+        |  SELECT DISTINCT vendor_code,
+        |    abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |        THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |        ELSE CAST(u AS BIGINT) END) AS h
+        |  FROM (SELECT vendor_code,
+        |          ('0x' || substr(sha256(CAST(trip_src_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+        |        FROM deduped WHERE vendor_code IS NOT NULL) y),
+        |vk AS (
+        |  SELECT vendor_code, count(*) AS cnt, max(h) AS mx FROM (
+        |    SELECT vendor_code, h,
+        |      row_number() OVER (PARTITION BY vendor_code ORDER BY h) AS rn
+        |    FROM vh) r WHERE rn <= 64 GROUP BY vendor_code)""".stripMargin,
+      """SELECT k.vendor_code,
+        |  CASE WHEN k.cnt < 64 THEN k.cnt::DOUBLE
+        |       ELSE 63.0 * 9223372036854775808.0 / k.mx::DOUBLE END AS kmv_estimate,
+        |  x.exact
+        |FROM vk k JOIN (
+        |  SELECT vendor_code, count(DISTINCT trip_src_id) AS exact
+        |  FROM deduped WHERE vendor_code IS NOT NULL GROUP BY vendor_code) x
+        |  USING (vendor_code)
+        |ORDER BY vendor_code""".stripMargin),
 
     "agg_count_distinct" -> taxi(
       """SELECT count(DISTINCT trip_id) AS distinct_trips, count(*) AS rows
