@@ -107,9 +107,7 @@ object Catalog {
     graft.docs.DocPipeline.hashSplit(docs, "doc_id", 80, 10)
       .select("doc_id", "split_bucket", "split")
       .createOrReplaceTempView("vw_doc_splits")
-    docs.join(graft.docs.DocPipeline.tokenCounts(docs), "doc_id")
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+    graft.docs.DocPipeline.corpusStats(docs)
       .createOrReplaceTempView("vw_corpus_stats")
   }
 }

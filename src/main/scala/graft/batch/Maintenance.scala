@@ -64,11 +64,12 @@ object Maintenance {
     def isOld(v: Option[String]): Boolean = v.exists { s =>
       scala.util.Try(java.time.LocalDate.parse(s)).toOption.exists(_.isBefore(cutoff))
     }
-    // count and drop share ONE partition-selection predicate (isOld), so
+    // count and drop share ONE directory listing and ONE predicate (isOld):
     // a value Spark could cast but strict ISO parse rejects is counted for
-    // neither — rowsDeleted always equals the rows actually removed
-    val rows = if (table.exists) table.countPartitions(isOld) else 0L
-    val dropped = table.dropPartitions(isOld)
+    // neither, and a concurrent writer can't desync count from delete —
+    // rowsDeleted always equals the rows actually removed
+    val (rows, dropped) =
+      if (table.exists) table.purgePartitions(isOld) else (0L, Seq.empty[String])
     PurgeResult(rows, dropped, cutoff)
   }
 

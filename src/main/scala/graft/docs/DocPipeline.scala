@@ -405,7 +405,9 @@ object DocPipeline {
       .select(col("doc_id"),
         size(col("t")).cast("bigint").as("n_tokens"),
         (size(col("t")) >= minWords).as("r_min_words"),
-        col("txt").rlike("[.!?]$").as("r_terminal_punct"),
+        // \z = end of INPUT: Java's $ also matches before a trailing
+        // newline, RE2's (the oracle) does not — \z pins both engines
+        col("txt").rlike("[.!?]\\z").as("r_terminal_punct"),
         (!lower(col("txt")).contains("lorem ipsum")).as("r_no_lorem"),
         (!col("txt").contains("{")).as("r_no_brace"),
         (array_max(transform(col("t"), w => length(w))) <= maxWordLen).as("r_word_len"))
@@ -472,6 +474,10 @@ object DocPipeline {
     val newSigs = newSignatures.cache()
     val cand = minhashBands(newSigs).as("a")
       .join(minhashBands(existingSigs).as("b"), col("a.bk") === col("b.bk"))
+      // a replayed/retried batch can hold docs ALREADY in the persisted
+      // signatures; without this guard such a doc pairs with itself at
+      // est_jaccard 1.0 and downstream dedup deletes it as its own dup
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"))
       .distinct()
     val eq = (0 until MinhashK)
@@ -483,6 +489,18 @@ object DocPipeline {
       .select(col("new_doc_id"), col("existing_doc_id"), (eq / lit(16.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Per-(lang, source) corpus rollup — ONE definition shared by the
+    * declared `corpus_stats` query and the `vw_corpus_stats` catalog
+    * view, so the SQL surface can never drift from the oracle-checked
+    * result. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.join(tokenCounts(docs), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_tokens"),
+        sum(col("n_chars").cast("bigint")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
 
   /** URL canonicalization for crawl dedup: lowercase the scheme+host,
     * strip the query string (tracking params), the fragment, and any

@@ -115,9 +115,13 @@ object MediaOps {
     * float values are exact and cross-engine reproducible. */
   def featureVector(media: DataFrame, chunks: Int = 16): DataFrame = {
     val window = chunks * 4
+    // UNSIGNED byte via hex→decimal: ascii(cast-to-string) misreads bytes
+    // >= 0x80 (invalid UTF-8 yields the SIGNED first byte) — a truly
+    // binary payload must land in [0, 255]
     val bytes = transform(sequence(lit(1), lit(window)),
       i => when(i <= length(col("payload")),
-        ascii(substr(col("payload"), i, lit(1)).cast("string"))).otherwise(lit(0)))
+        conv(hex(substr(col("payload"), i, lit(1))), 16, 10).cast("int"))
+        .otherwise(lit(0)))
     media.select(col("media_id"), bytes.as("_b"))
       .select(col("media_id"),
         transform(sequence(lit(0), lit(chunks - 1)), c =>

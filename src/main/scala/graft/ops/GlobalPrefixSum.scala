@@ -34,8 +34,8 @@ object GlobalPrefixSum {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
       .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
-    val offsetOf = (0 until parts)
-      .foldLeft(lit(0L))((acc, p) => when(col("_gpid") === p, offsets(p)).otherwise(acc))
+    // O(1) array lookup, not an O(parts)-deep CaseWhen (see GlobalRowNumber)
+    val offsetOf = element_at(typedLit(offsets.take(parts)), col("_gpid") + 1)
     val w = Window.partitionBy(col("_gpid")).orderBy(cols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged

@@ -45,10 +45,12 @@ object GlobalRowNumber {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
       .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p.toLong, 0L))
-    val offsetOf = (0 until parts)
-      .foldLeft(lit(0L))((acc, p) => when(pid === p, offsets(p)).otherwise(acc))
+    // O(1) array lookup, not an O(parts)-deep CaseWhen: at production
+    // shuffle-partition counts (thousands) a nested when() tree risks
+    // codegen method-size limits and deep Catalyst transforms
+    val offsetOf = element_at(typedLit(offsets.take(parts)), (pid + 1).cast("int"))
     ranged
-      .withColumn(rnCol, (offsetOf + local + 1).cast("int"))
+      .withColumn(rnCol, offsetOf + local + 1) // LONG: > 2^31 rows must not wrap
       .drop("_mid")
   }
 }

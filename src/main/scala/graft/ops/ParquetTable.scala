@@ -135,9 +135,26 @@ final case class ParquetTable(spark: SparkSession, dir: String, schema: StructTy
     * selection with the drop, so count and delete can never disagree on
     * which partitions qualify (a Spark-castable but non-ISO value counts
     * for neither). Parquet-footer count, no data read. */
-  def countPartitions(drop: Option[String] => Boolean): Long = {
-    val paths = selectPartitions(drop).map(_._2.toString)
-    if (paths.isEmpty) 0L else spark.read.parquet(paths: _*).count()
+  def countPartitions(drop: Option[String] => Boolean): Long =
+    countPaths(selectPartitions(drop).map(_._2))
+
+  /** Footer row count of specific partition dirs. The explicit schema
+    * (partition column reads as null — irrelevant for counting) keeps an
+    * empty dir from throwing schema inference errors where the drop
+    * itself would succeed. */
+  private def countPaths(paths: Seq[Path]): Long =
+    if (paths.isEmpty) 0L
+    else spark.read.schema(schema).parquet(paths.map(_.toString): _*).count()
+
+  /** Count-then-drop over ONE directory listing: the returned rows count
+    * is exactly the rows removed even if a concurrent writer creates or
+    * fills qualifying partitions between the two steps. Returns
+    * (rowsDeleted, dropped raw partition values). */
+  def purgePartitions(drop: Option[String] => Boolean): (Long, Seq[String]) = {
+    val selected = selectPartitions(drop)
+    val rows = countPaths(selected.map(_._2))
+    selected.foreach { case (_, p) => fs.delete(p, true) }
+    (rows, selected.map(_._1))
   }
 
   /** Drop whole first-level partitions (metadata-only delete, no rewrite):

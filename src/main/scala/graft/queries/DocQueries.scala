@@ -286,13 +286,7 @@ object DocQueries {
 
     // corpus report card: per-(lang, source) rollup of docs, tokens,
     // chars — the one-shuffle summary a curation run publishes
-    "corpus_stats" -> ((s, dir) => d(s, dir)
-      .join(DocPipeline.tokenCounts(d(s, dir)), "doc_id")
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ws_tokens")).as("total_tokens"),
-        sum(col("n_chars").cast("bigint")).as("total_chars"),
-        min(col("doc_id")).as("min_doc_id"))
+    "corpus_stats" -> ((s, dir) => DocPipeline.corpusStats(d(s, dir))
       .orderBy("lang", "source")))
 
   private val h64w =
@@ -698,21 +692,21 @@ object DocQueries {
     "filter_c4_rules" -> docs(
       """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         |  len(t) >= 5 AS r_min_words,
-        |  regexp_matches(txt, '[.!?]$') AS r_terminal_punct,
+        |  regexp_matches(txt, '[.!?]\z') AS r_terminal_punct,
         |  NOT contains(lower(txt), 'lorem ipsum') AS r_no_lorem,
         |  NOT contains(txt, '{') AS r_no_brace,
         |  list_max(list_transform(t, w -> len(w))) <= 50 AS r_word_len,
         |  keep,
         |  CASE WHEN keep THEN NULL
         |       WHEN NOT len(t) >= 5 THEN 'min_words'
-        |       WHEN NOT regexp_matches(txt, '[.!?]$') THEN 'terminal_punct'
+        |       WHEN NOT regexp_matches(txt, '[.!?]\z') THEN 'terminal_punct'
         |       WHEN contains(lower(txt), 'lorem ipsum') THEN 'lorem_ipsum'
         |       WHEN contains(txt, '{') THEN 'code_brace'
         |       ELSE 'word_len' END AS reject_reason
         |FROM (
         |  SELECT doc_id, txt, string_split_regex(txt, '\s+') AS t,
         |    len(string_split_regex(txt, '\s+')) >= 5
-        |      AND regexp_matches(txt, '[.!?]$')
+        |      AND regexp_matches(txt, '[.!?]\z')
         |      AND NOT contains(lower(txt), 'lorem ipsum')
         |      AND NOT contains(txt, '{')
         |      AND list_max(list_transform(string_split_regex(txt, '\s+'), w -> len(w))) <= 50

@@ -1066,7 +1066,7 @@ object TaxiQueries {
 
     "win_global_rownum" -> taxi(
       """SELECT CAST(row_number() OVER (ORDER BY source_file_name, loaded_at, trip_src_id)
-        |    AS INT) AS rn, trip_src_id, source_file_name
+        |    AS BIGINT) AS rn, trip_src_id, source_file_name
         |FROM trips ORDER BY rn""".stripMargin),
 
     "win_join_pick" -> taxi(

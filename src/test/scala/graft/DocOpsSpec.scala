@@ -305,6 +305,17 @@ class DocOpsSpec extends SparkSpec {
     assert(inc.nonEmpty, "doc 2 is a near-dup of existing docs 1/4")
   }
 
+  test("incremental LSH never self-pairs a replayed doc") {
+    // doc 1 is in the persisted signatures AND the (retried) new batch —
+    // its identical signature must not pair with itself at est 1.0
+    val replayBatch = corpus.filter(col("doc_id").isin(1L, 2L))
+    val pairs = DocPipeline.incrementalLshPairs(
+      DocPipeline.minhashSignatures(corpus), replayBatch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (n, e) => n != e }, s"no self-pairs in $pairs")
+    assert(pairs.contains((1L, 4L)), "true cross-doc near-dups still surface")
+  }
+
   test("l2 normalize yields unit vectors; int8 quantization bounds the error") {
     val vecs = Seq(
       (1L, Array(3.0f, 4.0f)),

@@ -64,7 +64,8 @@ class PerfTechniquesSpec extends SparkSpec {
     val df = (1 to 5000).map(i => (s"g${i % 7}", i.toLong)).toDF("grp", "id")
     val got = graft.ops.GlobalRowNumber.withRowNumber(df, "rn", Seq("grp", "id"), 8)
     val naive = df.withColumn("rn", org.apache.spark.sql.functions.row_number()
-      .over(org.apache.spark.sql.expressions.Window.orderBy("grp", "id")))
+      .over(org.apache.spark.sql.expressions.Window.orderBy("grp", "id"))
+      .cast("long")) // the scalable op emits LONG so > 2^31 rows can't wrap
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
       "two-pass numbering must equal the single-partition window exactly")
     val plan = got.queryExecution.executedPlan.toString
