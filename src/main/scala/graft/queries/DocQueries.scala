@@ -287,7 +287,46 @@ object DocQueries {
     // corpus report card: per-(lang, source) rollup of docs, tokens,
     // chars — the one-shuffle summary a curation run publishes
     "corpus_stats" -> ((s, dir) => DocPipeline.corpusStats(d(s, dir))
-      .orderBy("lang", "source")))
+      .orderBy("lang", "source")),
+
+    // THE curation verdict, end-to-end in one query: C4 cleaning rules
+    // (on defect-injected text, as filter_c4_rules) AND quality >= 0.25
+    // AND not a near-dup loser (MinHash-LSH -> connected components) AND
+    // not benchmark-contaminated — with the first failing subsystem as
+    // the reject reason. Every subsystem reuses its oracle-checked op;
+    // the near-dup and shingle inputs come from the shared memos.
+    "corpus_curate" -> ((s, dir) => {
+      val base = d(s, dir)
+      val c4 = DocPipeline.c4Rules(
+        base.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(".")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" {code}")).otherwise(lit("")))
+            .as("text")))
+        .select(col("doc_id"), col("keep").as("c4_keep"))
+      val quality = DocPipeline.qualityScores(base).select("doc_id", "quality_score")
+      val losers = components(s, dir).filter(!col("is_keeper"))
+        .select(col("doc_id")).withColumn("dup_loser", lit(true))
+      val contam = DocPipeline.contaminationFromShingles(shingles(s, dir),
+          shingles(s, dir).filter(col("doc_id") % 40 === 0), 2)
+        .select(col("doc_id")).withColumn("contaminated", lit(true))
+      base.select("doc_id", "lang")
+        .join(c4, "doc_id").join(quality, "doc_id")
+        .join(losers, Seq("doc_id"), "left").join(contam, Seq("doc_id"), "left")
+        .withColumn("dup_loser", coalesce(col("dup_loser"), lit(false)))
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+        .withColumn("keep", col("c4_keep") && col("quality_score") >= 0.25 &&
+          !col("dup_loser") && !col("contaminated"))
+        .withColumn("reject_reason",
+          when(col("keep"), lit(null).cast("string"))
+            .when(!col("c4_keep"), "c4_rules")
+            .when(col("quality_score") < 0.25, "low_quality")
+            .when(col("dup_loser"), "near_dup")
+            .otherwise("contaminated"))
+        .select("doc_id", "lang", "keep", "reject_reason")
+        .orderBy("doc_id")
+    }))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -804,5 +843,64 @@ object DocQueries {
         |  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id
-        |FROM tc GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+        |FROM tc GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+
+    "corpus_curate" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r),
+         |losers AS (SELECT id FROM walk GROUP BY id HAVING min(r) <> id),
+         |q AS (
+         |  SELECT d.doc_id,
+         |    least(1.0, CAST(len(t.t) AS BIGINT) / 100.0) * 0.5
+         |      + (len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)}))::DOUBLE
+         |         / CAST(len(t.t) AS BIGINT)) * 0.5 AS quality_score
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+         |c4 AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(txt, '\\s+')) >= 5
+         |      AND regexp_matches(txt, '[.!?]\\z')
+         |      AND NOT contains(lower(txt), 'lorem ipsum')
+         |      AND NOT contains(txt, '{')
+         |      AND list_max(list_transform(string_split_regex(txt, '\\s+'), w -> len(w))) <= 50
+         |      AS c4_keep
+         |  FROM (
+         |    SELECT doc_id, trim(text
+         |      || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END) AS txt
+         |    FROM documents) raw),
+         |cont AS (
+         |  SELECT s.doc_id FROM shh s
+         |  JOIN (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 40 = 0) e
+         |    ON s.h = e.h AND s.doc_id <> e.eval_doc_id
+         |  GROUP BY s.doc_id HAVING count(DISTINCT s.h) >= 2)
+         |SELECT d.doc_id, d.lang,
+         |  c4.c4_keep AND q.quality_score >= 0.25
+         |    AND l.id IS NULL AND ct.doc_id IS NULL AS keep,
+         |  CASE WHEN c4.c4_keep AND q.quality_score >= 0.25
+         |            AND l.id IS NULL AND ct.doc_id IS NULL THEN NULL
+         |       WHEN NOT c4.c4_keep THEN 'c4_rules'
+         |       WHEN q.quality_score < 0.25 THEN 'low_quality'
+         |       WHEN l.id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'contaminated' END AS reject_reason
+         |FROM documents d
+         |JOIN c4 USING (doc_id) JOIN q USING (doc_id)
+         |LEFT JOIN losers l ON d.doc_id = l.id
+         |LEFT JOIN cont ct ON d.doc_id = ct.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }
