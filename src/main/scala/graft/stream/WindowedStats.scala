@@ -59,6 +59,22 @@ object WindowedStats {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("vendor_id"), col("events"))
 
+  /** Built-in watermarked streaming dedup — the engine-provided sibling
+    * of [[dedupeByTripId]]: `dropDuplicatesWithinWatermark` keeps a key's
+    * state only for the watermark delay, so replays inside the delay are
+    * dropped and state is bounded without custom
+    * flatMapGroupsWithState code. Trade-off vs the custom op: eviction
+    * timing is engine-managed (no per-key TTL policy), and a replay
+    * arriving after the delay re-emits — same contract the custom op's
+    * event-time TTL spec pins. */
+  def dedupeWithinWatermark(events: DataFrame, keyCol: String,
+                            delay: String): DataFrame =
+    events
+      .withColumn("_evt", col("arrival_ts").cast("timestamp"))
+      .withWatermark("_evt", delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+      .drop("_evt")
+
   /** Stream-stream interval join — the two-stream correlation ASA spells
     * `JOIN ... ON a.id = b.id AND DATEDIFF(minute, a, b) BETWEEN 0 AND n`:
     * a start event joins the matching end event arriving within

@@ -148,6 +148,26 @@ class WindowedStatsSpec extends SparkSpec {
     assert(!got.collect().map(_.getLong(0)).contains(7L), "200-min span exceeds the bound")
   }
 
+  test("dedupeWithinWatermark: built-in streaming dedup drops in-delay replays") {
+    import spark.implicits._
+    val base = tmpDir("graft_wmdedup")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    def plus(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // trips 1-20, each replayed once 5 minutes later (inside the 2h delay)
+    val rows = (1L to 20L).flatMap(i =>
+      Seq((i, plus(i), i * 1.0), (i, plus(i + 5), i * 1.0)))
+      .toDF("trip_id", "arrival_ts", "fare")
+    rows.write.mode("overwrite").parquet(s"$base/in")
+    val q = WindowedStats.dedupeWithinWatermark(
+        spark.readStream.schema(rows.schema).parquet(s"$base/in"), "trip_id", "2 hours")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+    val got = spark.table("wm_dedup")
+    assert(got.count() == 20, "each replayed trip emits exactly once")
+    assert(got.select("trip_id").distinct().count() == 20)
+  }
+
   test("dedupeByTripId: replays across micro-batches emit nothing") {
     val base = tmpDir("graft_statededupe")
     val input = s"$base/in"
