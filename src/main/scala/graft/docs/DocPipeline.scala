@@ -135,13 +135,18 @@ object DocPipeline {
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "jaccard")
+      // The capped-shingle cache serves the sizes pass + both sides of the
+      // self-join within this one action; the surviving pair list is small.
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    pairs
   }
 
   // ---- MinHash + LSH -----------------------------------------------------
@@ -187,11 +192,18 @@ object DocPipeline {
     val eq = (0 until MinhashK)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
+    val pairs = cand
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), (eq / lit(16.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // The sig cache exists so the band pass and both verify joins share
+      // one signature computation WITHIN this action; eagerly materialize
+      // the (small) pair list, then release it — a lazy return would pin
+      // the full signature table in the cache manager per call.
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    pairs
   }
 
   // ---- SimHash -----------------------------------------------------------
@@ -225,12 +237,17 @@ object DocPipeline {
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
       .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      // Same hygiene as minhashLshPairsFromSignatures: the simhash cache
+      // serves one action, the small pair list survives it.
+      .localCheckpoint(true)
+    sim.unpersist(false)
+    pairs
   }
 
   // ---- dedup clustering --------------------------------------------------
@@ -444,14 +461,18 @@ object DocPipeline {
     val ev = evalSh.select(col("doc_id").as("eval_doc_id"), col("h")).cache()
     val bloom = ev.stat.bloomFilter("h", expectedItems, fpp)
     val bloomB = c.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((h: Long) => bloomB.value.mightContain(h))
-    c.filter(might(col("h")))
+    val hits = c.filter(graft.functions.BloomMightContain.mightContain(bloomB, col("h")))
       .join(broadcast(ev), "h")
       .filter(col("doc_id") =!= col("eval_doc_id"))
       .groupBy("doc_id")
       .agg(countDistinct(col("eval_doc_id")).as("eval_docs_hit"),
         countDistinct(col("h")).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
+      // The eval cache covers the bloomFilter action + the confirm join;
+      // the contaminated-doc list it yields is small.
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    hits
   }
 
   /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch and
@@ -483,11 +504,16 @@ object DocPipeline {
     val eq = (0 until MinhashK)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
+    val pairs = cand
       .join(newSigs.as("a"), col("new_doc_id") === col("a.doc_id"))
       .join(existingSigs.as("b"), col("existing_doc_id") === col("b.doc_id"))
       .select(col("new_doc_id"), col("existing_doc_id"), (eq / lit(16.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // New-batch signature cache serves the band pass + the confirm join;
+      // release it once the (small) pair list is materialized.
+      .localCheckpoint(true)
+    newSigs.unpersist(false)
+    pairs
   }
 
   /** Per-(lang, source) corpus rollup — ONE definition shared by the

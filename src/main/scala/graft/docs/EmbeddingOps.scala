@@ -206,6 +206,10 @@ object EmbeddingOps {
       queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"), col("cell"))
+    // nearestCells collects the quantizer eagerly (both calls above), so
+    // the returned plan no longer references the centroid frame — release
+    // the cache that covered those two actions now.
+    centroids.unpersist(false)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qe"), col("ce_v")) / (col("qn") * col("cn")))

@@ -38,8 +38,14 @@ object GlobalPrefixSum {
     val offsetOf = element_at(typedLit(offsets.take(parts)), col("_gpid") + 1)
     val w = Window.partitionBy(col("_gpid")).orderBy(cols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    // Eager output materialization + unpersist: same hygiene rationale as
+    // GlobalRowNumber — the cache must cover both passes, but must not
+    // outlive the op.
+    val out = ranged
       .withColumn(outCol, offsetOf + sum(col(valueCol).cast("long")).over(w))
       .drop("_gpid")
+      .localCheckpoint(true)
+    ranged.unpersist(false)
+    out
   }
 }

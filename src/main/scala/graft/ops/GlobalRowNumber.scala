@@ -49,8 +49,16 @@ object GlobalRowNumber {
     // shuffle-partition counts (thousands) a nested when() tree risks
     // codegen method-size limits and deep Catalyst transforms
     val offsetOf = element_at(typedLit(offsets.take(parts)), (pid + 1).cast("int"))
-    ranged
+    // Eagerly materialize the numbered output (lineage cut, blocks are
+    // ContextCleaner-managed), then release the ranged cache — returning a
+    // lazy frame over `ranged` would pin it in the cache manager forever,
+    // and unpersisting earlier would let the output pass redraw
+    // RangePartitioner boundaries (see the cache note above).
+    val out = ranged
       .withColumn(rnCol, offsetOf + local + 1) // LONG: > 2^31 rows must not wrap
       .drop("_mid")
+      .localCheckpoint(true)
+    ranged.unpersist(false)
+    out
   }
 }

@@ -827,8 +827,8 @@ object DocQueries {
     "corpus_pack" -> docsWith(
       """packed AS (
         |  SELECT doc_id, ws_tokens,
-        |    (sum(ws_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |      - ws_tokens) // 2000 AS shard_id
+        |    CAST((sum(ws_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - ws_tokens) // 2000 AS BIGINT) AS shard_id
         |  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens FROM toks) tc)""".stripMargin,
       """SELECT shard_id, count(*) AS docs, CAST(sum(ws_tokens) AS BIGINT) AS tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -145,4 +145,23 @@ class PropertySpec extends SparkSpec {
       assert(b2 == b)
     }
   }
+
+  test("BloomMightContain matches the driver-side probe, no false negatives, null-safe") {
+    import spark.implicits._
+    val items = (1L to 500L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+    items.foreach(bloom.putLong)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probes = items ++ (1L to 1000L) // members + mostly-absent values
+    val got = probes.toDF("h")
+      .select(col("h"), graft.functions.BloomMightContain.mightContain(bc, col("h")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach(h => assert(got(h) == bloom.mightContainLong(h),
+      s"codegen probe diverges from driver probe at $h"))
+    items.foreach(h => assert(got(h), s"bloom false negative at $h"))
+    // NULL in → NULL out (UnaryExpression null-intolerance)
+    val n = Seq[Option[Long]](None).toDF("h")
+      .select(graft.functions.BloomMightContain.mightContain(bc, col("h"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
