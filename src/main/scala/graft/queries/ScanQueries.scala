@@ -147,6 +147,35 @@ object ScanQueries {
         .orderBy("payment_sk")
     }),
 
+    // Schema-drift-tolerant staging read (stg_trip.sql:38-111: one
+    // ALTER TABLE ADD IF NOT EXISTS per column = additive evolution; the
+    // staging table absorbs new upstream columns, old rows read NULL).
+    // Spark-first: a two-generation parquet dir read with mergeSchema —
+    // footer merge is a distributed job, so the union schema costs one
+    // metadata pass even at 100k files — then an explicit cast projection
+    // pins the canonical staging types no matter which file a row came
+    // from. Old-generation rows surface NULL for the late columns.
+    "scan_parquet_evolve" -> ((s, d) => {
+      val out = scratch("evolve")
+      val li = graft.Tables(s, d, "lineitem")
+      // generation 1: the original staging schema
+      li.filter(col("l_orderkey") % 4 =!= 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      // generation 2: upstream starts shipping two extra columns
+      li.filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_discount", "l_returnflag")
+        .write.mode(SaveMode.Append).parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("line_no"),
+          col("l_quantity").cast("double").as("qty"),
+          col("l_discount").cast("double").as("disc"),
+          col("l_returnflag").cast("string").as("flag"))
+        .orderBy("l_orderkey", "line_no")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -210,6 +239,12 @@ object ScanQueries {
         |  FROM (VALUES ('1'),('2'),('3'),('4'),('CRD'),('CSH'))
         |    AS pm(payment_type_src)) u
         |ORDER BY payment_sk""".stripMargin),
+
+    "scan_parquet_evolve" -> taxi(
+      """SELECT l_orderkey, l_linenumber AS line_no, l_quantity AS qty,
+        |  CASE WHEN l_orderkey % 4 = 0 THEN l_discount END AS disc,
+        |  CASE WHEN l_orderkey % 4 = 0 THEN l_returnflag END AS flag
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
 
     "sink_table_append" -> stream(
       """SELECT CASE WHEN day(arrival_ts) <= 15 THEN 'b1' ELSE 'b2' END AS batch_id,
