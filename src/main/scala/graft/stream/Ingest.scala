@@ -19,9 +19,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * partition-pruned downstream loads. Exactly-once lands on the
   * deterministic-id merge in [[HourLoad]], not sink transactions —
   * mirroring the reference's idempotency model (SURVEY §2.8 late_data).
-  * The three appends are additionally guarded by per-(sink, batchId)
-  * commit markers, so a foreachBatch retry after a mid-batch crash never
-  * double-lands rows in a sink that had already committed that batch.
+  * The three appends additionally run a stage-then-publish commit
+  * protocol per (sink, batchId): stage to a batch-scoped dir, publish by
+  * renaming each staged file to a DETERMINISTIC per-batch name in its
+  * final hourly dir, then drop a commit marker atomically (temp+rename).
+  * Because a replay republishes the SAME target names, the protocol
+  * converges to exactly-once no matter where a previous attempt died —
+  * including the append-to-marker window three plain appends would leave.
   */
 object Ingest {
 
@@ -33,25 +37,67 @@ object Ingest {
   private def markerPath(dir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/batch-$batchId")
 
-  /** Run `write` unless this (sink, batchId) already committed, then drop
-    * the marker. A foreachBatch retry re-runs ALL sinks of the batch; the
-    * markers make each sink's append idempotent, so a sink that committed
-    * before a mid-batch crash cannot double-land its rows on replay (the
-    * cross-sink atomicity gap of three sequential appends). Remaining
-    * window, stated honestly: a crash BETWEEN a sink's append and its
-    * marker write replays that one sink — closing it needs a
-    * transactional table format; downstream, the deterministic-id merge
-    * absorbs curated replays either way. `batchId < 0` (direct batch use,
-    * tests) bypasses the protocol. */
+  /** Move every staged data file into its final partition dir under a
+    * deterministic per-batch name (`batch-<id>-<i>.<ext>`). Deterministic
+    * names are what close the append-to-marker crash window: a replay
+    * REPLACES its own earlier files instead of appending beside them.
+    * Leftover `batch-<id>-*` files from a larger previous attempt are
+    * swept per directory before the renames, so the publish is a full
+    * overwrite of this batch's contribution and nothing else. */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+                            staging: org.apache.hadoop.fs.Path,
+                            targetRoot: org.apache.hadoop.fs.Path,
+                            batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    // listStatus returns scheme-qualified paths (file:/…); qualify the
+    // roots the same way or the prefix-strip below silently never matches
+    val stagingQ = fs.makeQualified(staging)
+    val targetQ = fs.makeQualified(targetRoot)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (s.isDirectory) walk(s.getPath) else Seq(s.getPath)
+    }
+    walk(stagingQ).groupBy(_.getParent).foreach { case (srcDir, files) =>
+      val rel = srcDir.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
+      require(!rel.contains(":"),
+        s"staged path $srcDir does not resolve under $stagingQ")
+      val outDir = if (rel.isEmpty) targetQ else new Path(targetQ, rel)
+      fs.mkdirs(outDir)
+      fs.globStatus(new Path(outDir, s"batch-$batchId-*"))
+        .foreach(old => fs.delete(old.getPath, false))
+      files.sortBy(_.getName).zipWithIndex.foreach { case (src, i) =>
+        val name = src.getName
+        val ext = name.lastIndexOf('.') match {
+          case -1 => ""
+          case d  => name.substring(d)
+        }
+        fs.rename(src, new Path(outDir, s"batch-$batchId-$i$ext"))
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Commit one sink's share of a batch exactly once. Skip if the marker
+    * exists; else stage (full overwrite of the batch-scoped staging dir —
+    * replay-safe), publish via deterministic renames, then write the
+    * marker by temp+rename so a half-created marker can never be read as
+    * committed. Every crash point replays into the same final state.
+    * `batchId < 0` (direct batch use, tests) bypasses the protocol and
+    * appends in place. */
   private def oncePerBatch(spark: SparkSession, dir: String, batchId: Long)
-                          (write: => Unit): Unit = {
-    if (batchId < 0) { write; return }
+                          (writeTo: (String, SaveMode) => Unit): Unit = {
+    if (batchId < 0) { writeTo(dir, SaveMode.Append); return }
     val m = markerPath(dir, batchId)
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(m)) return
-    write
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_graft_staging/batch-$batchId")
+    writeTo(staging.toString, SaveMode.Overwrite)
+    publishStaged(fs, staging, new org.apache.hadoop.fs.Path(dir), batchId)
     fs.mkdirs(m.getParent)
-    fs.create(m, true).close()
+    val tmp = new org.apache.hadoop.fs.Path(m.getParent, s".batch-$batchId.tmp")
+    fs.create(tmp, true).close()
+    fs.rename(tmp, m) // rename is atomic; a losing racer's rename just fails
   }
 
   /** Per-batch 3-way fan-out used by the streaming query (and directly
@@ -66,23 +112,23 @@ object Ingest {
       .cache()
     try {
       // raw passthrough (JSONL, hourly dirs)
-      oncePerBatch(spark, dirs.raw, batchId) {
+      oncePerBatch(spark, dirs.raw, batchId) { (out, mode) =>
         routed.select(col("json"), col("p_date"), col("p_hour"))
-          .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.raw)
+          .write.mode(mode).partitionBy("p_date", "p_hour").text(out)
       }
       // curated (CSV, positional, headerless — ds_curated_csv.json shape)
-      oncePerBatch(spark, dirs.curated, batchId) {
+      oncePerBatch(spark, dirs.curated, batchId) { (out, mode) =>
         routed.filter(col("sink") === "curated")
           .select(HourLoad.curatedCsvColumns: _*)
-          .write.mode(SaveMode.Append).option("header", "false")
-          .partitionBy("p_date", "p_hour").csv(dirs.curated)
+          .write.mode(mode).option("header", "false")
+          .partitionBy("p_date", "p_hour").csv(out)
       }
       // DLQ (JSONL + reason)
-      oncePerBatch(spark, dirs.dlq, batchId) {
+      oncePerBatch(spark, dirs.dlq, batchId) { (out, mode) =>
         routed.filter(col("sink") === "dlq")
           .select(to_json(struct(col("event_id"), col("reason"), col("json"))).as("value"),
             col("p_date"), col("p_hour"))
-          .write.mode(SaveMode.Append).partitionBy("p_date", "p_hour").text(dirs.dlq)
+          .write.mode(mode).partitionBy("p_date", "p_hour").text(out)
       }
     } finally routed.unpersist()
   }

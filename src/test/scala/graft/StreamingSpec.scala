@@ -113,6 +113,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.schema(HourLoad.curatedReadSchema)
       .option("header", "false").csv(dirs.curated).count() == cur1)
 
+    // crash BETWEEN publish and marker (the window plain appends leave):
+    // kill the curated marker as if the process died post-append — the
+    // replay must converge, not double-land, because it republishes the
+    // same deterministic batch-file names
+    val fs = new org.apache.hadoop.fs.Path(dirs.curated)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curMarker = new org.apache.hadoop.fs.Path(
+      s"${dirs.curated}/_graft_commits/batch-7")
+    assert(fs.exists(curMarker), "protocol drops a marker per sink")
+    fs.delete(curMarker, false)
+    Ingest.writeBatch(batch, dirs, batchId = 7L)
+    assert(fs.exists(curMarker), "replay re-commits the marker")
+    assert(spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count() == cur1,
+      "post-append pre-marker crash replays to exactly-once")
+    assert(spark.read.text(dirs.raw).count() == raw1, "other sinks untouched")
+
+    // crash MID-publish: one published file lost, marker never written —
+    // the replay restores the batch exactly
+    val published = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${dirs.curated}/*/*/batch-7-*"))
+    assert(published.nonEmpty, "published files carry the batch id")
+    fs.delete(published.head.getPath, false)
+    fs.delete(curMarker, false)
+    Ingest.writeBatch(batch, dirs, batchId = 7L)
+    assert(spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count() == cur1,
+      "mid-publish crash replays to exactly-once")
+
     // a NEW batch id appends as usual
     Ingest.writeBatch(batch, dirs, batchId = 8L)
     assert(spark.read.text(dirs.raw).count() == 2 * raw1)
