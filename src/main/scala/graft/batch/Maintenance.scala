@@ -73,6 +73,43 @@ object Maintenance {
     PurgeResult(rows, dropped, cutoff)
   }
 
+  /** The post-load statistics targets of `45_postload_stats.sql:7-28`:
+    * the six filter/join columns the reference creates one-time stats on.
+    * (The reference also refreshes `dim_location`; dims here are derived
+    * in-flight and joined with an explicit `broadcast()` hint, so the
+    * fact table is the one persisted stats consumer.) */
+  val StatsTargets: Map[String, Seq[String]] = Map(
+    "fact_trip" -> Seq("pickup_date_key", "vendor_sk", "payment_sk",
+      "pu_location_sk", "do_location_sk", "ingest_date"))
+
+  /** Post-load stats refresh (`45_postload_stats.sql:7-28`, "safe to run
+    * every slice; idempotent"). Spark analog: register each warehouse dir
+    * as an external parquet table in the session catalog, then `ANALYZE
+    * TABLE … COMPUTE STATISTICS` (rowcount/size) plus `… FOR COLUMNS` on
+    * the reference's six fact keys (NDV/min/max/null counts). Persisted
+    * column stats are what let the cost-based optimizer size joins and
+    * pick broadcast candidates BEFORE any shuffle materializes — AQE can
+    * only re-plan after runtime sizes appear. Each run re-points the
+    * external table and recomputes, mirroring UPDATE STATISTICS.
+    * Returns the catalog rowcount per analyzed table. */
+  def analyzeTables(spark: SparkSession, warehouseDir: String,
+                    targets: Map[String, Seq[String]] = StatsTargets): Map[String, Long] =
+    targets.flatMap { case (name, cols) =>
+      val dir = new Path(s"$warehouseDir/$name")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) None // partial warehouse: analyze what exists
+      else {
+        spark.sql(s"DROP TABLE IF EXISTS $name") // external: data untouched
+        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+        if (cols.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+        val stats = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name)).stats
+        Some(name -> stats.flatMap(_.rowCount).fold(-1L)(_.toLong))
+      }
+    }
+
   /** Insert-if-absent unknown member (`err/seed_unknowns.sql:5-47`): every
     * dim carries SK -1 / NK 'UNKNOWN' so fact FK resolution can COALESCE
     * to it without null keys. */

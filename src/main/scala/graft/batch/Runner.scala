@@ -95,6 +95,12 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
         uVendor = m.getLong(1), uPayment = m.getLong(2), uRate = m.getLong(3),
         uFlag = m.getLong(4), uPu = m.getLong(5), uDo = m.getLong(6)))
     log.logRun(runId, "core_to_mdl", "SUCCEEDED", rowsOut = factRows)
+
+    // ---- post-load stats refresh (45_postload_stats.sql) ----
+    log.logRun(runId, "postload_stats", "STARTED")
+    val analyzed = Maintenance.analyzeTables(spark, warehouseDir)
+    log.logRun(runId, "postload_stats", "SUCCEEDED",
+      rowsOut = analyzed.values.sum)
     (coreRows, factRows)
   }
 }

@@ -35,9 +35,29 @@ class RunnerSpec extends SparkSpec {
     // every fact FK resolved or the -1 unknown member
     assert(fact.filter(col("vendor_sk") < -1).count() == 0)
 
-    // ops surface persisted
+    // post-load stats refresh (45_postload_stats.sql analog): the catalog
+    // carries table- and column-level statistics for the six fact keys
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("fact_trip"))
+    assert(meta.stats.exists(_.rowCount.exists(_.toLong == factRows)),
+      s"catalog rowcount stat matches the load: ${meta.stats}")
+    val colStats = meta.stats.get.colStats
+    graft.batch.Maintenance.StatsTargets("fact_trip").foreach(c =>
+      assert(colStats.get(c).exists(_.distinctCount.isDefined),
+        s"column stat (NDV) present for $c"))
+    // broadcast planning survives the analyzed table: a small dim against
+    // the cataloged fact still plans a broadcast join
+    locally {
+      import spark.implicits._
+      val dim = Seq((1, "resolved"), (-1, "unknown")).toDF("vendor_sk", "vendor_label")
+      val jp = spark.table("fact_trip").join(dim, Seq("vendor_sk"))
+        .queryExecution.executedPlan.toString
+      assert(jp.contains("BroadcastHashJoin"), s"dim still broadcasts:\n${jp.take(1200)}")
+    }
+
+    // ops surface persisted (4 stages: raw→stg, stg→core, core→mdl, stats)
     val runLog = runner.log.runLog.read
-    assert(runLog.filter(col("status") === "SUCCEEDED").count() == 3)
+    assert(runLog.filter(col("status") === "SUCCEEDED").count() == 4)
     val dq = runner.log.dqResult.read
     assert(dq.filter(col("status") === "FAILED").count() == 0)
     assert(dq.count() >= 12)
