@@ -133,21 +133,19 @@ object Ingest {
     } finally routed.unpersist()
   }
 
-  /** Start the continuous ingest over `inputDir` (JSONL files). Arrival
-    * time = producer_ts when present (deterministic tests), else the
-    * processing-time stamp — ASA's System.Timestamp analog. */
-  def start(spark: SparkSession, inputDir: String, dirs: LakeDirs,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val lines = spark.readStream.text(inputDir)
-      .withColumnRenamed("value", "json")
-      .withColumn("arrival_ts",
-        coalesce(
-          get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"),
-          current_timestamp().cast("timestamp_ntz")))
-    lines.writeStream
+  /** Start the continuous ingest from any [[StreamSource]] — the source
+    * seam is where a deployment swaps the sandbox's file landing dir for
+    * a message bus (see [[StreamSource]] for the Kafka/Event Hubs swap). */
+  def start(spark: SparkSession, source: StreamSource, dirs: LakeDirs,
+            trigger: Trigger): StreamingQuery =
+    source.load(spark).writeStream
       .option("checkpointLocation", dirs.checkpoint)
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, batchId: Long) => writeBatch(batch, dirs, batchId))
       .start()
-  }
+
+  /** Convenience: continuous ingest over a JSONL landing dir. */
+  def start(spark: SparkSession, inputDir: String, dirs: LakeDirs,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    start(spark, FileJsonlSource(inputDir), dirs, trigger)
 }

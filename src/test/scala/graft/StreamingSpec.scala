@@ -70,7 +70,10 @@ class StreamingSpec extends SparkSpec {
     val input = s"$base/landing"
     val total = landEnvelopes(input)
 
-    val q = Ingest.start(spark, input, dirs)
+    // drive through the pluggable source seam (the Kafka-swap surface)
+    val src: graft.stream.StreamSource = graft.stream.FileJsonlSource(input)
+    val q = Ingest.start(spark, src, dirs,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
     awaitDone(q)
 
     val raw = spark.read.text(dirs.raw).count()
