@@ -616,4 +616,103 @@ object DocPipeline {
         transform(col("t"), w => hash64Id(w) % P),
         lit(0L),
         (acc, x) => (acc * FpBase + x) % P).as("fingerprint"))
+
+  /** The eight high-frequency function words the Gopher quality filter
+    * requires a document to contain (Rae et al. 2021 §A.1.1 — published
+    * method). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-level quality gate (Rae et al. 2021 §A.1.1),
+    * complementing [[c4Rules]]: word-count window, mean-word-length
+    * window, required stopword presence, symbol-word ratio cap ('#' or
+    * '...'), alphabetic-word ratio floor. Emits per-rule flags, the pass
+    * verdict, and the FIRST failing rule (fixed order) as the reject
+    * reason. Pure narrow projection — zero shuffle at any corpus size. */
+  def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 90,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStopHits: Int = 1, maxSymbolRatio: Double = 0.1,
+                  minAlphaRatio: Double = 0.8): DataFrame = {
+    val n = size(col("t"))
+    tokenized(docs)
+      .withColumn("n_words", n.cast("long"))
+      // total chars / word count; single double division → bit-identical
+      // to the oracle's len(array_to_string)/len
+      .withColumn("mean_word_len",
+        length(concat_ws("", col("t"))).cast("double") / n)
+      .withColumn("stop_hits",
+        size(array_intersect(col("t"), array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("symbol_ratio",
+        size(filter(col("t"), w => w.contains("#") || w.contains("...")))
+          .cast("double") / n)
+      .withColumn("alpha_ratio",
+        size(filter(col("t"), w => w.rlike("[A-Za-z]"))).cast("double") / n)
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_mean_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("ok_stops", col("stop_hits") >= minStopHits)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("pass", col("ok_words") && col("ok_mean_len") &&
+        col("ok_stops") && col("ok_symbols") && col("ok_alpha"))
+      .withColumn("fail_reason",
+        when(!col("ok_words"), "words")
+          .when(!col("ok_mean_len"), "mean_word_len")
+          .when(!col("ok_stops"), "stops")
+          .when(!col("ok_symbols"), "symbols")
+          .when(!col("ok_alpha"), "alpha"))
+      .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+        "symbol_ratio", "alpha_ratio", "ok_words", "ok_mean_len", "ok_stops",
+        "ok_symbols", "ok_alpha", "pass", "fail_reason")
+  }
+
+  /** Deterministic source-weighted mixing — the data-mixing step that
+    * turns a curated corpus into a training mix (upsample high-quality
+    * sources, downsample bulk ones). Weight w emits floor(w) full copies
+    * of every doc plus one fractional copy kept iff a sha256 bucket of
+    * (doc, copy) falls under the fraction — no rand(), so the mix is
+    * reproducible across runs, engines, and corpus growth (adding docs
+    * never flips an existing doc's membership; same property as
+    * [[hashSplit]]). Narrow explode + filter: zero shuffle, and the
+    * blow-up is exactly the mix ratio a trainer asked for. */
+  def weightedMix(docs: DataFrame, weightBySource: Map[String, Double],
+                  defaultWeight: Double = 1.0): DataFrame = {
+    require((weightBySource.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "mix weights must be non-negative")
+    val w = weightBySource.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col("source") === src, lit(wt)).otherwise(acc)
+    }
+    docs
+      .withColumn("_w", w)
+      // Spark's sequence(0, -1) DESCENDS instead of returning empty —
+      // zero-weight sources must drop before the explode
+      .filter(col("_w") > 0)
+      .withColumn("copy_id",
+        explode(sequence(lit(0L), ceil(col("_w")).cast("long") - 1)))
+      .withColumn("mix_bucket", pmod(hash64Id(
+        concat_ws(":", lit("mix"), col("doc_id"), col("copy_id"))), lit(10000L)))
+      .filter(col("copy_id") < floor(col("_w")).cast("long") ||
+        col("mix_bucket") < ((col("_w") - floor(col("_w"))) * 10000.0).cast("long"))
+      .drop("_w")
+  }
+
+  /** Fixed-size training-window chunking with overlap: chunk i covers
+    * tokens [i·stride+1, i·stride+chunkSize], the last chunk may run
+    * short, and every token is covered (stride ≤ chunkSize). The
+    * context-length packing primitive between curation ([[c4Rules]],
+    * dedup) and shard packing (corpus_pack). Narrow posexplode — the only
+    * data growth is the requested overlap ratio. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize so chunks cover every token")
+    val n = size(col("t"))
+    val nChunks = lit(1) + greatest(
+      ceil((n - chunkSize).cast("double") / stride).cast("int"), lit(0))
+    tokenized(docs)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("t"), i * stride + 1, lit(chunkSize)))).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+  }
 }

@@ -219,6 +219,37 @@ object EmbeddingOps {
       .select("query_id", "rank", "neighbor_id", "cosine", "cell")
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023 — published
+    * method): cluster the corpus with the coarse quantizer, score cosine
+    * only WITHIN a cell, and for each near-dup pair drop the member MORE
+    * similar to its cell centroid (smaller distance) — keeping the
+    * semantic outlier preserves diversity, per the paper. Ties (exact
+    * copies) drop the higher vec_id, keeping the earliest-ingested.
+    *
+    * Scale shape: candidates are an equi-join on the cell id, never
+    * corpus² — the inverted-file layout again (hash-partition by cell,
+    * pairs stay partition-local). A pathologically hot cell is bounded
+    * the way the paper does it: cap cluster size at training time (more
+    * cells), or sub-bucket inside the cell with [[signBucket]].
+    * Output: (cell, vec_a, vec_b, cosine, drop_vec_id). */
+  def semdedupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val v = nearestCells(
+      vecs.select(col("vec_id"), col("embedding")), ivfCentroids(vecs), 1)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cdist"),
+        norm(col("embedding")).as("n"))
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.n") * col("b.n")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), col("cosine"),
+        when(col("a.cdist") < col("b.cdist"), col("a.vec_id"))
+          .when(col("b.cdist") < col("a.cdist"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id")))
+          .as("drop_vec_id"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates from the
     * sign bucket (sign-preserving dups always collide). */
   def cosineDupPairs(vecs: DataFrame, threshold: Double, bucketBits: Int): DataFrame = {

@@ -326,7 +326,31 @@ object DocQueries {
             .otherwise("contaminated"))
         .select("doc_id", "lang", "keep", "reject_reason")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Gopher-style quality gate (Rae et al. 2021): per-rule flags + the
+    // first failing rule, over the raw corpus text
+    "filter_gopher_rules" -> ((s, dir) => DocPipeline.gopherRules(d(s, dir))
+      .orderBy("doc_id")),
+
+    // deterministic source-weighted training mix: src0 upsampled 2.5×,
+    // src1 kept at 25%, src2 at 1.5×, src3 dropped, everything else 1×
+    "sample_mix_weighted" -> ((s, dir) => DocPipeline.weightedMix(d(s, dir),
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.5, "src3" -> 0.0))
+      .select("doc_id", "source", "copy_id", "mix_bucket")
+      .orderBy("doc_id", "copy_id")),
+
+    // context-window chunking: 32-token windows, stride 24 (8-token
+    // overlap); every token covered, last chunk may run short
+    "chunk_fixed_tokens" -> ((s, dir) => DocPipeline.chunkTokens(d(s, dir), 32, 24)
+      .orderBy("doc_id", "chunk_id")),
+
+    // SemDeDup (Abbas et al. 2023): cell-scoped semantic near-dup pairs
+    // over the dup-injected embeddings; drop verdict keeps the member
+    // farther from its cell centroid
+    "dedup_semdedup" -> ((s, dir) => EmbeddingOps.semdedupPairs(
+        EmbeddingOps.embeddingsWithDups(s, dir), 0.99)
+      .orderBy("cell", "vec_a", "vec_b")))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -902,5 +926,106 @@ object DocQueries {
          |LEFT JOIN losers l ON d.doc_id = l.id
          |LEFT JOIN cont ct ON d.doc_id = ct.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    })
+    },
+
+    "filter_gopher_rules" -> docsWith(
+      """gb AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    len(array_to_string(t, ''))::DOUBLE / len(t) AS mean_word_len,
+        |    CAST(len(list_intersect(t,
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    len(list_filter(t, w -> contains(w, '#') OR contains(w, '...')))::DOUBLE
+        |      / len(t) AS symbol_ratio,
+        |    len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        |      / len(t) AS alpha_ratio
+        |  FROM toks),
+        |gf AS (
+        |  SELECT *,
+        |    n_words BETWEEN 30 AND 90 AS ok_words,
+        |    mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |    stop_hits >= 1 AS ok_stops,
+        |    symbol_ratio <= 0.1 AS ok_symbols,
+        |    alpha_ratio >= 0.8 AS ok_alpha
+        |  FROM gb)""".stripMargin,
+      """SELECT doc_id, n_words, mean_word_len, stop_hits, symbol_ratio,
+        |  alpha_ratio, ok_words, ok_mean_len, ok_stops, ok_symbols, ok_alpha,
+        |  (ok_words AND ok_mean_len AND ok_stops AND ok_symbols AND ok_alpha) AS pass,
+        |  CASE WHEN NOT ok_words THEN 'words'
+        |       WHEN NOT ok_mean_len THEN 'mean_word_len'
+        |       WHEN NOT ok_stops THEN 'stops'
+        |       WHEN NOT ok_symbols THEN 'symbols'
+        |       WHEN NOT ok_alpha THEN 'alpha' END AS fail_reason
+        |FROM gf ORDER BY doc_id""".stripMargin),
+
+    "sample_mix_weighted" -> docsWith(
+      s"""wts AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+         |                WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.0
+         |                ELSE 1.0 END AS w
+         |  FROM documents),
+         |copies AS (
+         |  SELECT doc_id, source, w, g.copy_id
+         |  FROM wts, unnest(generate_series(0, CAST(ceil(w) AS BIGINT) - 1)) AS g(copy_id)
+         |  WHERE w > 0),
+         |bucketed AS (
+         |  SELECT doc_id, source, w, copy_id, $h64w % 10000 AS mix_bucket
+         |  FROM (SELECT *, ('0x' || substr(sha256(
+         |          'mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy_id AS VARCHAR)),
+         |          1, 16))::UBIGINT AS u
+         |        FROM copies) y)""".stripMargin,
+      """SELECT doc_id, source, copy_id, mix_bucket FROM bucketed
+        |WHERE copy_id < CAST(floor(w) AS BIGINT)
+        |   OR mix_bucket < CAST((w - floor(w)) * 10000 AS BIGINT)
+        |ORDER BY doc_id, copy_id""".stripMargin),
+
+    "chunk_fixed_tokens" -> docsWith(
+      """chunks AS (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    list_slice(t, CAST(g.i AS INT) * 24 + 1,
+        |      least(CAST(g.i AS INT) * 24 + 32, len(t))) AS c
+        |  FROM toks, unnest(generate_series(0,
+        |    greatest(CAST(ceil((len(t) - 32)::DOUBLE / 24) AS BIGINT), 0))) AS g(i))""".stripMargin,
+      """SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(c) AS BIGINT) AS n_tokens,
+        |  array_to_string(c, ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin),
+
+    "dedup_semdedup" -> emb(
+      s"""${DocsOracle.embDup},
+         |pos AS (
+         |  SELECT label, vec_id, j, embedding[j] AS x FROM emb_dup,
+         |    unnest(generate_series(1, len(embedding))) AS g(j)
+         |), cent AS (
+         |  SELECT label AS cell, j,
+         |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM pos GROUP BY label, j
+         |), centarr AS (
+         |  SELECT cell, list(c ORDER BY j) AS ce FROM cent GROUP BY cell
+         |), en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${DocsOracle.dotSql("embedding", "embedding")}) AS n
+         |  FROM emb_dup
+         |), celldist AS (
+         |  SELECT en.vec_id, en.embedding, en.n, centarr.cell,
+         |    ${DocsOracle.dist2Sql("en.embedding", "centarr.ce")} AS cdist
+         |  FROM en CROSS JOIN centarr
+         |), assigned AS (
+         |  SELECT vec_id, embedding, n, cell, cdist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+         |    FROM celldist) r
+         |  WHERE rn = 1
+         |), sd_pairs AS (
+         |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${DocsOracle.dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cosine,
+         |    a.cdist AS ca, b.cdist AS cb
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin,
+      """SELECT cell, vec_a, vec_b, cosine,
+        |  CASE WHEN ca < cb THEN vec_a
+        |       WHEN cb < ca THEN vec_b
+        |       ELSE greatest(vec_a, vec_b) END AS drop_vec_id
+        |FROM sd_pairs WHERE cosine >= 0.99
+        |ORDER BY cell, vec_a, vec_b""".stripMargin))
 }

@@ -338,4 +338,86 @@ class DocOpsSpec extends SparkSpec {
     assert(q(3L).zip(Seq(-1.5, 0.25, 127.0)).forall { case (c, x) =>
       math.abs(c * scale - x) <= scale / 2 + 1e-9 })
   }
+
+  test("gopher rules: each rule trips on its own defect, prose passes") {
+    val docs = Seq(
+      (1L, ("the data pipeline reads and writes rows with care " * 4).trim), // 40 words, passes
+      (2L, "too short to have enough words in it at all"),                   // words
+      (3L, ("a b c d e f g h i j " * 4 + "the and of to be with x y z w ").trim), // mean len < 3
+      (4L, ("spark engine shuffle partition broadcast exchange codegen " * 6).trim), // no stopwords
+      (5L, ("the ### rows ### and ### more ### of ### them ### all ### day " * 4).trim)) // symbols
+      .toDF("doc_id", "text")
+    val got = DocPipeline.gopherRules(docs, minWords = 20, maxWords = 90)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("pass")), r.getString(r.fieldIndex("fail_reason")))).toMap
+    assert(got(1L) == (true, null), s"clean prose passes: ${got(1L)}")
+    assert(got(2L)._2 == "words")
+    assert(got(3L)._2 == "mean_word_len")
+    assert(got(4L)._2 == "stops")
+    assert(got(5L)._2 == "symbols")
+  }
+
+  test("weighted mix: copy counts follow the weights, membership is growth-stable") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val w = Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0) // src3 defaults to 1.0
+    val mix = DocPipeline.weightedMix(docs, w).cache()
+    val bySrc = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 200L, "integer weight 2.0 = exactly 2 copies each")
+    assert(bySrc.get("src2").isEmpty, "zero weight drops the source entirely")
+    assert(bySrc("src3") == 100L, "default weight keeps every doc once")
+    // fractional: ~50% of 100 docs, deterministic — exact count is pinned
+    // by the hash, not a distribution; just require it's strictly between
+    assert(bySrc("src1") > 20L && bySrc("src1") < 80L, s"src1=${bySrc("src1")}")
+    // growth stability: mixing HALF the corpus yields exactly the mix rows
+    // of those docs — membership of a doc never depends on the others
+    val half = DocPipeline.weightedMix(docs.filter(col("doc_id") <= 200), w)
+      .select("doc_id", "copy_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullHalf = mix.filter(col("doc_id") <= 200)
+      .select("doc_id", "copy_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(half == fullHalf)
+    mix.unpersist()
+  }
+
+  test("token chunks cover every token; consecutive chunks overlap by size-stride") {
+    val docs = Seq((1L, (1 to 99).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = DocPipeline.chunkTokens(docs, 32, 24)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = got.filter(_.getLong(0) == 1L).map(_.getString(3).split(" ").toSeq)
+    assert(d1.length == 4, "1 + ceil((99-32)/24) = 4 chunks")
+    assert(d1.head.length == 32 && d1.last.length == 99 - 3 * 24)
+    // stride-24 overlap: the last 8 tokens of chunk i = first 8 of chunk i+1
+    d1.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.drop(24) == b.take(32 - 24), "8-token overlap")
+      case _ => ()
+    }
+    // full coverage in order
+    assert(d1.head ++ d1.tail.flatMap(_.drop(8)) == (1 to 99).map(i => s"w$i"))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "a b c", "short doc = one chunk")
+  }
+
+  test("semdedup drops the member nearer its cell centroid; exact dups drop the replay") {
+    val base = Seq(
+      (1L, 0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0L, Array(0.98f, 0.02f, 0.0f, 0.0f)), // near 1, same cell
+      (3L, 1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, 1L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val dup = base.unionByName( // replay of vec 1 at a shifted id
+      base.filter(col("vec_id") === 1L).withColumn("vec_id", lit(100001L)))
+    val pairs = EmbeddingOps.semdedupPairs(dup, 0.99)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getLong(4))).toMap
+    // exact dup pair: same cdist → drop the higher id (the replay)
+    assert(pairs((1L, 100001L)) == 100001L, s"replay dropped: $pairs")
+    // the near pair (1, 2): cosine ≈ 0.9998 ≥ 0.99 — drop whichever sits
+    // nearer the cell centroid; with the replay pulling the centroid
+    // toward vec 1's direction, that is vec 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 100001L)),
+      s"near-dup pair found within the cell: $pairs")
+    // nothing pairs across cells
+    assert(!pairs.keySet.exists { case (x, y) => Set(x, y).intersect(Set(3L, 4L)).nonEmpty })
+  }
 }
