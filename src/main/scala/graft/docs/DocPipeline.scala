@@ -696,6 +696,35 @@ object DocPipeline {
       .drop("_w")
   }
 
+  /** Exact-substring duplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — published method; this
+    * is the distributed window-hash approximation of its suffix-array
+    * scan): every k-token window is hashed, a window seen in more than
+    * one doc marks a duplicated SPAN, and a doc's `dup_frac` is the share
+    * of its windows that are shared. Docs under k tokens contribute one
+    * whole-text window.
+    *
+    * Scale shape: two hash-keyed aggregations and one co-partitioned
+    * join — never a self-join — and the shuffle carries an 8-byte window
+    * hash, not the window text. At 100 TB, the shared-window set (nd>1)
+    * is the rare side: semi-join against it, or bloom-prefilter with
+    * [[graft.functions.BloomMightContain]] exactly as decontamination
+    * does. */
+  def substringSpans(docs: DataFrame, k: Int,
+                     dupDocThreshold: Double = 0.5): DataFrame = {
+    val n = size(col("t"))
+    val wins = tokenized(docs).select(col("doc_id"), explode(
+      transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+        i => hash64Id(concat_ws(" ", slice(col("t"), i, lit(k)))) % P)).as("h"))
+    val shared = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(shared, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_frac", col("dup_windows").cast("double") / col("n_windows"))
+      .withColumn("is_dup_doc", col("dup_frac") >= dupDocThreshold)
+  }
+
   /** Fixed-size training-window chunking with overlap: chunk i covers
     * tokens [i·stride+1, i·stride+chunkSize], the last chunk may run
     * short, and every token is covered (stride ≤ chunkSize). The

@@ -350,7 +350,14 @@ object DocQueries {
     // farther from its cell centroid
     "dedup_semdedup" -> ((s, dir) => EmbeddingOps.semdedupPairs(
         EmbeddingOps.embeddingsWithDups(s, dir), 0.99)
-      .orderBy("cell", "vec_a", "vec_b")))
+      .orderBy("cell", "vec_a", "vec_b")),
+
+    // exact-substring dup spans (Lee et al. 2022): share of each doc's
+    // 10-token windows that appear in another doc, over the dup-injected
+    // corpus (replays score 1.0; natural cross-doc spans score between)
+    "dedup_substring_spans" -> ((s, dir) =>
+      DocPipeline.substringSpans(DocPipeline.documentsWithDups(s, dir), 10)
+        .orderBy("doc_id")))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -1027,5 +1034,24 @@ object DocQueries {
         |       WHEN cb < ca THEN vec_b
         |       ELSE greatest(vec_a, vec_b) END AS drop_vec_id
         |FROM sd_pairs WHERE cosine >= 0.99
-        |ORDER BY cell, vec_a, vec_b""".stripMargin))
+        |ORDER BY cell, vec_a, vec_b""".stripMargin),
+
+    "dedup_substring_spans" -> docsWith(
+      s"""toksd AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t2 FROM docs_dup),
+         |win AS (
+         |  SELECT doc_id, $h64w % ${DocPipeline.P} AS h
+         |  FROM (SELECT doc_id, ('0x' || substr(sha256(
+         |          array_to_string(list_slice(t2, CAST(i AS INT), CAST(i AS INT) + 9), ' ')),
+         |          1, 16))::UBIGINT AS u
+         |        FROM toksd, unnest(generate_series(1, greatest(len(t2) - 9, 1))) AS g(i)) y),
+         |wd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+         |  FROM win JOIN wd USING (h) GROUP BY doc_id)""".stripMargin,
+      """SELECT doc_id, n_windows, dup_windows,
+        |  dup_windows::DOUBLE / n_windows AS dup_frac,
+        |  dup_windows::DOUBLE / n_windows >= 0.5 AS is_dup_doc
+        |FROM perdoc ORDER BY doc_id""".stripMargin))
 }

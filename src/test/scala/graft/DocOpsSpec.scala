@@ -399,6 +399,25 @@ class DocOpsSpec extends SparkSpec {
     assert(d2.length == 1 && d2.head.getString(3) == "a b c", "short doc = one chunk")
   }
 
+  test("substring spans: replays score 1.0, partial overlap counts exact windows") {
+    val ws = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ws),                                                 // 3 windows at k=10
+      (2L, ws),                                                 // exact replay of 1
+      (3L, (1 to 12).map(i => s"x$i").mkString(" ")),           // disjoint
+      (4L, "short doc"),                                        // < k → 1 window
+      (5L, (1 to 10).map(i => s"w$i").mkString(" ") + " z1 z2")) // shares window 1 only
+      .toDF("doc_id", "text")
+    val got = DocPipeline.substringSpans(docs, 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 3L, true)), s"full replay: ${got(1L)}")
+    assert(got(2L) == ((3L, 3L, true)))
+    assert(got(3L) == ((3L, 0L, false)), "disjoint text shares nothing")
+    assert(got(4L) == ((1L, 0L, false)), "sub-k doc = one whole-text window")
+    assert(got(5L) == ((3L, 1L, false)), "only the first window is shared")
+  }
+
   test("semdedup drops the member nearer its cell centroid; exact dups drop the replay") {
     val base = Seq(
       (1L, 0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
