@@ -219,6 +219,49 @@ object EmbeddingOps {
       .select("query_id", "rank", "neighbor_id", "cosine", "cell")
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search" — published method): split
+    * each vector into `m` equal subspaces and quantize every subspace
+    * against its own codebook; a 64-dim float32 vector becomes m small
+    * code ids — the compression step past [[quantizeInt8]]'s 4× (PQ at
+    * m=4 over a 4-entry codebook is effectively 32×, and ADC search
+    * reads code tables instead of vectors). Codebooks here are the
+    * per-label sub-centroids — the fixture's trained-quantizer stand-in,
+    * same convention as [[ivfCentroids]]; production swaps in per-subspace
+    * k-means ([[kmeansCentroids]] on slices) without changing the encode.
+    *
+    * Encoding is a PURE PROJECTION over driver-collected codebooks
+    * (m × k × dim/m doubles — tiny by design), zero shuffle at any corpus
+    * size. Ties break by (distance, cell), matching [[nearestCells]] and
+    * the DuckDB oracle. Output: vec_id, code_0..code_{m-1}, recon_err
+    * (sum of per-subspace squared quantization errors, fixed
+    * left-to-right order — reproducible within Spark; NOT oracle-exact,
+    * because DuckDB renders FLOAT→DECIMAL through the shortest decimal
+    * string while Spark expands the exact binary value, shifting
+    * centroid-derived doubles at ~1e-9 — the ivf_train boundary, so the
+    * declared query ships codes only and the spec pins recon_err). */
+  def pqEncode(vecs: DataFrame, m: Int): DataFrame = {
+    val cents = ivfCentroids(vecs).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "codebook requires at least one cell")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val best = (0 until m).map { i =>
+      val scored = array(cents.map { case (cell, ce) =>
+        struct(
+          graft.functions.VecDistSq.distSq(
+            slice(col("embedding"), i * sub + 1, sub),
+            typedLit(ce.slice(i * sub, (i + 1) * sub))).as("cdist"),
+          lit(cell).as("cell"))
+      }.toSeq: _*)
+      element_at(array_sort(scored), 1)
+    }
+    vecs.select(col("vec_id") +:
+      best.zipWithIndex.map { case (b, i) => b.getField("cell").as(s"code_$i") } :+
+      best.map(_.getField("cdist")).reduce(_ + _).as("recon_err"): _*)
+  }
+
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023 — published
     * method): cluster the corpus with the coarse quantizer, score cosine
     * only WITHIN a cell, and for each near-dup pair drop the member MORE

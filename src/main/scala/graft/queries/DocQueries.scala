@@ -357,7 +357,17 @@ object DocQueries {
     // corpus (replays score 1.0; natural cross-doc spans score between)
     "dedup_substring_spans" -> ((s, dir) =>
       DocPipeline.substringSpans(DocPipeline.documentsWithDups(s, dir), 10)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // product quantization (Jégou et al. 2011): 4 subspaces × label-mean
+    // codebooks. Declared output = the CODES (discrete, hash-exact);
+    // recon_err is spec-pinned instead, because centroid-derived doubles
+    // diverge between engines at ~1e-9 (DuckDB casts FLOAT→DECIMAL via
+    // the shortest decimal rendering, Spark via the exact binary
+    // expansion) — the same boundary ivf_train documents
+    "vec_pq_encode" -> ((s, dir) => EmbeddingOps.pqEncode(e(s, dir), 4)
+      .select("vec_id", "code_0", "code_1", "code_2", "code_3")
+      .orderBy("vec_id")))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -1053,5 +1063,37 @@ object DocQueries {
       """SELECT doc_id, n_windows, dup_windows,
         |  dup_windows::DOUBLE / n_windows AS dup_frac,
         |  dup_windows::DOUBLE / n_windows >= 0.5 AS is_dup_doc
-        |FROM perdoc ORDER BY doc_id""".stripMargin))
+        |FROM perdoc ORDER BY doc_id""".stripMargin),
+
+    "vec_pq_encode" -> {
+      val subV = "list_slice(e.embedding, s.i * 16 + 1, (s.i + 1) * 16)"
+      val subC = "list_slice(centarr.ce, s.i * 16 + 1, (s.i + 1) * 16)"
+      val codes = (0 until 4)
+        .map(i => s"max(CASE WHEN sub_i = $i THEN cell END) AS code_$i")
+        .mkString(",\n  ")
+      emb(
+        s"""pos AS (
+           |  SELECT label, vec_id, j, embedding[j] AS x FROM embeddings,
+           |    unnest(generate_series(1, len(embedding))) AS g(j)
+           |), cent AS (
+           |  SELECT label AS cell, j,
+           |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+           |  FROM pos GROUP BY label, j
+           |), centarr AS (
+           |  SELECT cell, list(c ORDER BY j) AS ce FROM cent GROUP BY cell
+           |), subd AS (
+           |  SELECT e.vec_id, s.i AS sub_i, centarr.cell,
+           |    ${DocsOracle.dist2Sql(subV, subC)} AS cdist
+           |  FROM embeddings e CROSS JOIN centarr,
+           |    unnest(generate_series(0, 3)) AS s(i)
+           |), best AS (
+           |  SELECT vec_id, sub_i, cell, cdist FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
+           |      ORDER BY cdist, cell) AS rn
+           |    FROM subd) r
+           |  WHERE rn = 1)""".stripMargin,
+        s"""SELECT vec_id,
+           |  $codes
+           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    })
 }

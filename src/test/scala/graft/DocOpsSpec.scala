@@ -399,6 +399,28 @@ class DocOpsSpec extends SparkSpec {
     assert(d2.length == 1 && d2.head.getString(3) == "a b c", "short doc = one chunk")
   }
 
+  test("pq encode: cluster members code to their own sub-centroids, centroid vecs hit zero error") {
+    // two well-separated clusters in 4 dims, m=2 subspaces of 2 dims
+    val vecs = Seq(
+      (1L, 0L, Array(1.0f, 1.0f, 5.0f, 5.0f)),
+      (2L, 0L, Array(1.0f, 1.0f, 5.0f, 5.0f)),   // = label-0 mean exactly
+      (3L, 1L, Array(-4.0f, -4.0f, -9.0f, -9.0f)),
+      (4L, 1L, Array(-4.0f, -4.0f, -9.0f, -9.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = EmbeddingOps.pqEncode(vecs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0L, 0L, 0.0)), s"label-0 member codes (0,0) exactly: ${got(1L)}")
+    assert(got(3L) == ((1L, 1L, 0.0)))
+    // a vector between the clusters but nearer label 0 in the first
+    // subspace and label 1 in the second codes MIXED — the PQ property
+    val mixed = Seq((5L, 0L, Array(0.0f, 0.0f, -8.0f, -8.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val m = EmbeddingOps.pqEncode(vecs.unionByName(mixed), 2)
+      .filter(col("vec_id") === 5L).collect()(0)
+    assert(m.getLong(1) == 0L && m.getLong(2) == 1L,
+      s"subspaces quantize independently: $m")
+  }
+
   test("substring spans: replays score 1.0, partial overlap counts exact windows") {
     val ws = (1 to 12).map(i => s"w$i").mkString(" ")
     val docs = Seq(
