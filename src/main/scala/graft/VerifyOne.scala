@@ -1,0 +1,34 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev-only: Verify for a subset of queries — same dump format, so
+  * `tools/oracle_check.py /tmp/verify_one` checks just the named ops. */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val names = args.toSet
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/tmp/verify_one")
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master("local[16]").config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -293,6 +293,86 @@ object EmbeddingOps {
           .as("drop_vec_id"))
   }
 
+  /** PQ asymmetric-distance (ADC) search (Jégou et al. 2011 §IV.A —
+    * published method): the corpus is reduced to `m` one-byte codes per
+    * vector, queries stay full precision, and the estimated distance is a
+    * sum of `m` table lookups — per query the distance table to every
+    * codebook entry is computed ONCE (m × k subspace distances), then
+    * every corpus vector costs m map probes instead of a d-dim scan.
+    * That is the whole point of PQ at 100 TB: the scan reads m bytes per
+    * vector, not 4·d, and the lookup is a branch-free map probe inside
+    * whole-stage codegen.
+    *
+    * Codebooks here are SEED codebooks — per cell, the subvectors of the
+    * cell's lowest-vec_id member (`min_by`, one partial-aggregated pass).
+    * Unlike the decimal-mean centroids of [[ivfCentroids]], seed entries
+    * are raw float data, so every ADC distance is float→double exact and
+    * the DuckDB oracle matches the ranking AND the distances bit-for-bit
+    * (the ivf_train float→decimal rendering boundary never enters).
+    * Production swaps per-subspace k-means codebooks in without changing
+    * the search shape.
+    *
+    * Output: ADC top-k per query with `in_exact` marking membership in
+    * the TRUE L2 top-k (full-precision), so recall@k is one aggregation
+    * away and the compression error is visible per row.
+    * Scale shape: codes are a pure projection (codebook is driver-side
+    * k × dim, tiny by design); the scan side never shuffles — the only
+    * wide op is the per-query top-k window, partitioned by query. */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int): DataFrame = {
+    val cb = corpus.groupBy(col("label").as("cell"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("ce"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1.toString)
+    require(cb.nonEmpty, "codebook requires at least one cell")
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    def subDist(i: Int, ce: Seq[Double]): Column =
+      graft.functions.VecDistSq.distSq(
+        slice(col("embedding"), i * sub + 1, sub),
+        typedLit(ce.slice(i * sub, (i + 1) * sub)))
+    // corpus → m codes: nearest seed per subspace, ties by (dist, cell)
+    val codeCols = (0 until m).map { i =>
+      val scored = array(cb.map { case (cell, ce) =>
+        struct(subDist(i, ce).as("cdist"), lit(cell).as("cell"))
+      }.toSeq: _*)
+      element_at(array_sort(scored), 1).getField("cell").as(s"code_$i")
+    }
+    val codes = corpus.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    // query → m distance tables: cell → d²(query subvector, codebook entry)
+    val qTabs = (0 until m).map { i =>
+      map_from_entries(array(cb.map { case (cell, ce) =>
+        struct(lit(cell), subDist(i, ce))
+      }.toSeq: _*)).as(s"dtab_$i")
+    }
+    val q = queries.select(col("vec_id").as("query_id") +: qTabs: _*)
+    val adc = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(i => element_at(col(s"dtab_$i"), col(s"code_$i")))
+          .reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+    // full-precision truth set: exact L2 top-k over the same pairs
+    val qf = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qe"))
+    val exact = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(qf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", graft.functions.VecDistSq.distSq(col("ce"), col("qe")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
+    top.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates from the
     * sign bucket (sign-preserving dups always collide). */
   def cosineDupPairs(vecs: DataFrame, threshold: Double, bucketBits: Int): DataFrame = {

@@ -367,7 +367,17 @@ object DocQueries {
     // expansion) — the same boundary ivf_train documents
     "vec_pq_encode" -> ((s, dir) => EmbeddingOps.pqEncode(e(s, dir), 4)
       .select("vec_id", "code_0", "code_1", "code_2", "code_3")
-      .orderBy("vec_id")))
+      .orderBy("vec_id")),
+
+    // PQ asymmetric-distance search: corpus = 4 codes/vector (seed
+    // codebooks — raw float data, so unlike vec_pq_encode the DISTANCES
+    // are oracle-exact too), queries full-precision, distance = 4 table
+    // lookups; in_exact marks the true L2 top-10 members
+    "ann_pq_adc" -> ((s, dir) => {
+      val all = e(s, dir)
+      EmbeddingOps.adcTopK(all.filter(col("vec_id") % 50 === 0), all, 4, 10)
+        .orderBy("query_id", "rank")
+    }))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -1095,5 +1105,52 @@ object DocQueries {
         s"""SELECT vec_id,
            |  $codes
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    },
+
+    "ann_pq_adc" -> {
+      def sl(v: String) = s"list_slice($v, s.i * 16 + 1, (s.i + 1) * 16)"
+      emb(
+        s"""cb AS (
+           |  SELECT label AS cell, min_by(embedding, vec_id) AS ce
+           |  FROM embeddings GROUP BY label
+           |), codes AS (
+           |  SELECT vec_id AS neighbor_id, sub_i, cell FROM (
+           |    SELECT e.vec_id, s.i AS sub_i, cb.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id, s.i ORDER BY
+           |        ${DocsOracle.dist2Sql(sl("e.embedding"), sl("cb.ce"))},
+           |        cb.cell) AS rn
+           |    FROM embeddings e CROSS JOIN cb,
+           |      unnest(generate_series(0, 3)) AS s(i)) r
+           |  WHERE rn = 1
+           |), qd AS (
+           |  SELECT q.vec_id AS query_id, s.i AS sub_i, cb.cell,
+           |    ${DocsOracle.dist2Sql(sl("q.embedding"), sl("cb.ce"))} AS qdist
+           |  FROM embeddings q CROSS JOIN cb,
+           |    unnest(generate_series(0, 3)) AS s(i)
+           |  WHERE q.vec_id % 50 = 0
+           |), adc AS (
+           |  SELECT qd.query_id, c.neighbor_id,
+           |    list_reduce(list(qd.qdist ORDER BY qd.sub_i), (x, y) -> x + y)
+           |      AS adc_dist
+           |  FROM codes c JOIN qd ON c.sub_i = qd.sub_i AND c.cell = qd.cell
+           |  WHERE c.neighbor_id <> qd.query_id
+           |  GROUP BY qd.query_id, c.neighbor_id
+           |), ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank FROM adc
+           |), exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${DocsOracle.dist2Sql("e.embedding", "q.embedding")},
+           |        e.vec_id) AS xr
+           |    FROM embeddings e CROSS JOIN embeddings q
+           |    WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id) t
+           |  WHERE xr <= 10)""".stripMargin,
+        """SELECT r.query_id, r.rank, r.neighbor_id, r.adc_dist,
+          |  (x.neighbor_id IS NOT NULL) AS in_exact
+          |FROM ranked r LEFT JOIN exact x
+          |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+          |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin)
     })
 }

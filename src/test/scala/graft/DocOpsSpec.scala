@@ -440,6 +440,30 @@ class DocOpsSpec extends SparkSpec {
     assert(got(5L) == ((3L, 1L, false)), "only the first window is shared")
   }
 
+  test("adc top-k: lookup distance equals the code-reconstruction distance, exact recall on seeds") {
+    // two clusters; seeds (lowest vec_id per label) BECOME the codebook
+    val vecs = Seq(
+      (1L, 0L, Array(1.0f, 1.0f, 5.0f, 5.0f)),    // seed of cell 0
+      (2L, 0L, Array(1.0f, 1.0f, 5.0f, 5.0f)),    // = seed → adc_dist 0 to q1
+      (3L, 1L, Array(-4.0f, -4.0f, -9.0f, -9.0f)), // seed of cell 1
+      (4L, 1L, Array(-4.1f, -4.1f, -9.1f, -9.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = EmbeddingOps.adcTopK(vecs.filter(col("vec_id") === 1L), vecs, 2, 3)
+      .collect().map(r => (r.getLong(2), (r.getInt(1), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // vec 2 codes to (0,0): its reconstruction IS the query's cell seed →
+    // adc distance exactly 0, rank 1, and it is the true nearest
+    assert(got(2L) == ((1, 0.0, true)), s"replay of the seed: ${got(2L)}")
+    // vecs 3 and 4 both code to cell 1 → identical codes → identical ADC
+    // distance (the PQ collapse), tie broken by id; both in the true top-3
+    assert(got(3L)._2 == got(4L)._2, s"same codes → same adc dist: $got")
+    assert(got(3L)._1 == 2 && got(4L)._1 == 3 && got(3L)._3 && got(4L)._3)
+    // the ADC estimate for cell-1 members = d²(q1, seed3) exactly
+    val expect = (1 to 2).map(_ => math.pow(1.0 + 4.0, 2)).sum +
+      (1 to 2).map(_ => math.pow(5.0 + 9.0, 2)).sum
+    assert(math.abs(got(3L)._2 - expect) < 1e-12, s"${got(3L)._2} vs $expect")
+  }
+
   test("semdedup drops the member nearer its cell centroid; exact dups drop the replay") {
     val base = Seq(
       (1L, 0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
