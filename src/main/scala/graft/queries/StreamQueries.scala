@@ -138,6 +138,18 @@ object StreamQueries {
       graft.stream.WindowedStats.vendorSessions(routed(s, d), 10)
         .orderBy("session_start", "vendor_id")),
 
+    // event-level sessionization (the assignment mirror of
+    // stream_session_window's rollup): every event stamped with its
+    // per-user 30-minute-gap session ordinal — ops/Sessionize, one
+    // exchange + one sort (lag + running count share the window spec)
+    "win_sessionize" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.ops.Sessionize.assign(ev, Seq("user_id"), "ts_us",
+          Seq("event_id"), 30L * 60 * 1000000)
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "late_data" -> ((s, d) => {
       // Replays of hour-H events arriving at H+1 are absorbed by the
       // deterministic-id dedupe: slice cardinality is unchanged.
@@ -275,6 +287,22 @@ object StreamQueries {
         |    FROM ev_routed WHERE vendor_id IS NOT NULL) m) s
         |GROUP BY vendor_id, sid
         |ORDER BY session_start, vendor_id""".stripMargin),
+
+    "win_sessionize" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+        |  brk = 1 AS is_session_start
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |) m
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed
