@@ -224,20 +224,27 @@ object DocPipeline {
     grouped.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Near-dup pairs: banded candidates (any 16-bit chunk equal) filtered
-    * to Hamming distance ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sim = simhashes(docs).cache()
+  /** Banded candidate pairs over a (cached) simhash frame: any equal
+    * 16-bit chunk makes a pair a candidate. Shared by [[simhashPairs]]
+    * and [[editDistPairs]] — an equi-join on the band key, never
+    * corpus². */
+  private def simhashCandidates(sim: DataFrame): DataFrame = {
     val bandCols = (0 until SimhashBits / SimhashBandBits).map { b =>
       concat_ws(":", lit(s"b$b"),
         shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask))
     }
     val bands = sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val pairs = cand
+  }
+
+  /** Near-dup pairs: banded candidates (any 16-bit chunk equal) filtered
+    * to Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sim = simhashes(docs).cache()
+    val pairs = simhashCandidates(sim)
       .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
       .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -245,6 +252,37 @@ object DocPipeline {
       .select("doc_a", "doc_b", "hamming")
       // Same hygiene as minhashLshPairsFromSignatures: the simhash cache
       // serves one action, the small pair list survives it.
+      .localCheckpoint(true)
+    sim.unpersist(false)
+    pairs
+  }
+
+  /** Edit-distance near-dup confirm: simhash-banded candidates checked
+    * with `levenshtein(text_a, text_b) ≤ maxDist` — the confirm that
+    * catches small IN-PLACE edits (typo fixes, number swaps) which
+    * MinHash's bag-of-shingles view under-weights and Hamming-on-simhash
+    * only approximates.
+    *
+    * Scale shape: candidates come from the banded equi-join (never
+    * all-pairs), and the O(len²) levenshtein only runs on pairs that
+    * survive a length prefilter (|len_a − len_b| ≤ maxDist is a lower
+    * bound on edit distance — a plain codegen'd filter that prunes most
+    * candidates for free), and the DP itself is the THRESHOLDED
+    * levenshtein (banded to the ±maxDist diagonal, O(maxDist·len) not
+    * O(len²), early exit at -1). Shipping candidate texts through the
+    * join is the real cost at 100 TB — run it after cheaper dedup passes
+    * have shrunk the candidate set, or over length-capped normalized
+    * text. */
+  def editDistPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sim = simhashes(docs).cache()
+    val txt = docs.select(col("doc_id"), col("text"))
+    val pairs = simhashCandidates(sim)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select("doc_a", "doc_b", "dist")
       .localCheckpoint(true)
     sim.unpersist(false)
     pairs
@@ -577,6 +615,33 @@ object DocPipeline {
       .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
         "digit_ratio", "quality_score")
 
+  /** Fixed-weight logistic quality classifier — the deterministic
+    * stand-in for a trained fasttext/logreg quality model (weights are
+    * DATA swapped at deploy time, not code): z = b + w·features over the
+    * [[qualityScores]] projection, keep-probability σ(z). Pure
+    * projection, zero shuffle.
+    *
+    * Determinism: z is exact IEEE arithmetic (fixed multiply-add order,
+    * both engines identical), so `keep` is decided on z ≥ 0 — the exact
+    * form of p ≥ 0.5 that never touches exp(); keep_prob rounds to 12
+    * decimals because exp() is the one libm call that may differ at the
+    * last ulp between engines. */
+  def logregQuality(docs: DataFrame,
+                    bias: Double = -2.0, wLen: Double = 2.5,
+                    wStop: Double = 6.0, wDigit: Double = -8.0,
+                    wTokLen: Double = -0.4): DataFrame =
+    qualityScores(docs)
+      .withColumn("logit",
+        lit(bias) +
+          lit(wLen) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+          lit(wStop) * col("stopword_ratio") +
+          lit(wDigit) * col("digit_ratio") +
+          lit(wTokLen) * abs(col("avg_token_len") - lit(5.0)))
+      .withColumn("keep_prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 12))
+      .withColumn("keep", col("logit") >= 0)
+      .select("doc_id", "logit", "keep_prob", "keep")
+
   /** Repetition signals (the Gopher-style repetition filters): type-token
     * ratio (distinct/total tokens) and the fraction of word-bigrams taken
     * by the single most frequent bigram — high values of the latter mark
@@ -607,6 +672,54 @@ object DocPipeline {
       size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
+
+  /** Fluency scoring without a model artifact: an add-one-smoothed
+    * bigram LM trained on the scored corpus ITSELF (the standard
+    * KenLM-perplexity-filter stand-in when no external LM ships with the
+    * engine): per doc, mean over its bigrams of
+    * ln((c(w1,w2) + 1) / (c(w1) + V)). Repetitive/templated docs score
+    * high, token salad scores low — the ordering a perplexity filter
+    * ranks by, with every count derived from one corpus pass.
+    *
+    * Scale shape: the LM "model" is two count tables (bigram, unigram —
+    * Zipf-bounded, far smaller than the corpus), built map-side-combined;
+    * scoring re-joins exploded bigrams to the tables on token keys (hot
+    * function words are the skew axis — salt or AQE-skew them at real
+    * scale). No UDFs, no driver state.
+    *
+    * Determinism: ln() is the one op here that libm/JVM may round
+    * differently at the last ulp, so each logp is rounded to 12 decimals
+    * and summed as DECIMAL (order-independent, exact) before the final
+    * double division — the same decimal-sum pattern the money aggregates
+    * use. Output: (doc_id, n_bigrams, mean_logprob — NULL when the doc
+    * has < 2 tokens). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = tokenized(docs)
+    val words = toks.select(col("doc_id"), explode(col("t")).as("w"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uniCnt = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val biCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = uniCnt.agg(count(lit(1)).as("vocab"))
+    val perDoc = bigrams
+      .join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        round(log((col("c12") + 1).cast("double") / (col("c1") + col("vocab"))), 12)
+          .cast("decimal(30,15)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp")).cast("double") / count(lit(1))).as("mean_logprob"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
 
   /** Rolling polynomial fingerprint (Rabin-Karp) over token hashes:
     * h := (h * FpBase + tokenHash) mod P, left-to-right. */

@@ -60,6 +60,11 @@ object DocQueries {
     "text_quality_score" -> ((s, dir) => DocPipeline.qualityScores(d(s, dir))
       .orderBy("doc_id")),
 
+    // fixed-weight logistic keep-probability; keep decided on logit >= 0
+    // (the exact form of p >= 0.5 — no libm call in the verdict)
+    "quality_logreg_score" -> ((s, dir) => DocPipeline.logregQuality(d(s, dir))
+      .orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, dir) => DocPipeline.fingerprints(d(s, dir))
       .orderBy("doc_id")),
 
@@ -81,11 +86,23 @@ object DocQueries {
     "dedup_simhash" -> ((s, dir) => DocPipeline.simhashPairs(d(s, dir), 6)
       .orderBy("doc_a", "doc_b")),
 
+    // levenshtein confirm over the same banded candidates: 16 ≈ 5% of a
+    // typical doc — the "small in-place edit" regime; the length
+    // prefilter + banded DP keep the confirm linear in text length
+    "dedup_editdist" -> ((s, dir) => DocPipeline.editDistPairs(d(s, dir), 16)
+      .orderBy("doc_a", "doc_b")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       EmbeddingOps.cosineDupPairs(EmbeddingOps.embeddingsWithDups(s, dir), 0.999, 16)
         .orderBy("vec_a", "vec_b")),
 
     "text_repetition" -> ((s, dir) => DocPipeline.repetitionStats(d(s, dir))
+      .orderBy("doc_id")),
+
+    // corpus-trained add-one bigram LM — the perplexity-filter analog;
+    // logp rounded to 12 decimals then DECIMAL-summed (order-independent)
+    // so the one libm-sensitive op (ln) can't shift the hash
+    "text_bigram_logprob" -> ((s, dir) => DocPipeline.bigramLogprob(d(s, dir))
       .orderBy("doc_id")),
 
     // ---- corpus hygiene / dedup clustering ----
@@ -431,6 +448,28 @@ object DocQueries {
         |    + (stop_hits::DOUBLE / n_tokens) * 0.5 AS quality_score
         |FROM q ORDER BY doc_id""".stripMargin),
 
+    "quality_logreg_score" -> docsWith(
+      s"""q AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT)
+        |      AS n_chars_nospace,
+        |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS stop_hits,
+        |    CAST(len(regexp_extract_all(d.text, '[0-9]')) AS BIGINT) AS digits,
+        |    CAST(len(d.text) AS BIGINT) AS n_chars
+        |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+        |lz AS (
+        |  SELECT doc_id,
+        |    -2.0 + 2.5 * least(1.0, n_tokens / 100.0)
+        |      + 6.0 * (stop_hits::DOUBLE / n_tokens)
+        |      + (-8.0) * (digits::DOUBLE / n_chars)
+        |      + (-0.4) * abs(n_chars_nospace::DOUBLE / n_tokens - 5.0) AS logit
+        |  FROM q)""".stripMargin,
+      """SELECT doc_id, logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 12) AS keep_prob,
+        |  logit >= 0 AS keep
+        |FROM lz ORDER BY doc_id""".stripMargin),
+
     "text_fingerprint" -> docsWith(
       s"""fph AS (
          |  SELECT doc_id, list_transform(t,
@@ -478,6 +517,15 @@ object DocQueries {
         |FROM scand c JOIN sim a ON c.doc_a = a.doc_id JOIN sim b ON c.doc_b = b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+
+    "dedup_editdist" -> docs(
+      """SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS dist
+        |FROM scand c
+        |JOIN documents da ON c.doc_a = da.doc_id
+        |JOIN documents db ON c.doc_b = db.doc_id
+        |WHERE abs(len(da.text) - len(db.text)) <= 16
+        |  AND levenshtein(da.text, db.text) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_embedding_cosine" -> emb(
       s"""${DocsOracle.embDup},
@@ -557,6 +605,29 @@ object DocQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "text_bigram_logprob" -> docsWith(
+      """big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |), uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks) u GROUP BY w1
+        |), voc AS (SELECT count(*) AS vocab FROM uni),
+        |bic AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |lm AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(ln((bic.c12 + 1)::DOUBLE / (uni.c1 + voc.vocab)), 12)
+        |      AS DECIMAL(30,15)) AS logp
+        |  FROM big b JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+        |), lmper AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(logp) AS DOUBLE) / count(*) AS mean_logprob
+        |  FROM lm GROUP BY doc_id)""".stripMargin,
+      """SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.mean_logprob
+        |FROM documents d LEFT JOIN lmper p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "text_repetition" -> docsWith(
       """bg AS (

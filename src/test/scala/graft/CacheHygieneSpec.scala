@@ -71,6 +71,14 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("editDistPairs releases the simhash cache, keeps the confirmed pair") {
+    assertNoResidue {
+      val pairs = DocPipeline.editDistPairs(docs, 3)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 4L)), s"exact dup must survive: $pairs")
+    }
+  }
+
   test("jaccardPairs releases the capped-shingle cache") {
     assertNoResidue {
       val pairs = DocPipeline.jaccardPairs(docs, 0.5)

@@ -440,6 +440,59 @@ class DocOpsSpec extends SparkSpec {
     assert(got(5L) == ((3L, 1L, false)), "only the first window is shared")
   }
 
+  test("editdist pairs: small in-place edits confirm, the length prefilter is a true lower bound") {
+    // heavy token redundancy keeps the simhash bit-sums far from zero, so
+    // a single in-place edit cannot flip a band — the pair stays a
+    // candidate (the regime banded LSH is built for)
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // replay → dist 0
+      (3L, base.replaceFirst("brown", "braun")),    // 2 substitutions
+      (4L, base + (" pad" * 10)),                   // 40 insertions
+      (5L, ("nothing shared here at all with that text " * 20).trim))
+      .toDF("doc_id", "text")
+    val got = DocPipeline.editDistPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0 && got((1L, 3L)) == 2 && got((2L, 3L)) == 2,
+      s"replay + single-edit pairs confirm: $got")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "a 40-char insertion fails maxDist 3 (len prefilter alone rejects it)")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("logreg quality: keep flips exactly at logit 0, prob is the sigmoid") {
+    // stopword-rich prose vs digit noise — opposite sides of the boundary
+    val docs = Seq(
+      (1L, ("the data moves to the lake and that is fine with " * 10).trim),
+      (2L, "9 8 7 123 456 789 0 1 2 3 4 5 6 7 8 9 00 11 22 33"))
+      .toDF("doc_id", "text")
+    val got = DocPipeline.logregQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val (z1, p1, k1) = got(1L)
+    val (z2, p2, k2) = got(2L)
+    assert(k1 && z1 >= 0 && p1 > 0.5, s"prose keeps: $z1 $p1")
+    assert(!k2 && z2 < 0 && p2 < 0.5, s"digit noise drops: $z2 $p2")
+    assert(math.abs(p1 - 1.0 / (1.0 + math.exp(-z1))) < 1e-9, "prob = sigmoid(logit)")
+  }
+
+  test("bigram logprob: add-one LM math on a countable corpus, sub-2-token docs go NULL") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // unigrams a:3 b:3 z:1 → V=3; bigrams (a,b):3 (b,a):1
+    val lab = math.log(4.0 / 6.0) // ln((3+1)/(3+3))
+    val lba = math.log(2.0 / 6.0)
+    val got = DocPipeline.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2.get.asInstanceOf[Double] - (2 * lab + lba) / 3) < 1e-9)
+    assert(math.abs(got(2L)._2.get.asInstanceOf[Double] - lab) < 1e-9)
+    assert(got(3L) == ((0L, None)), "a 1-token doc has no bigrams → NULL score")
+    // the repetitive doc (templated) outscores the rarer transition mix
+    assert(got(2L)._2.get.asInstanceOf[Double] > got(1L)._2.get.asInstanceOf[Double])
+  }
+
   test("adc top-k: lookup distance equals the code-reconstruction distance, exact recall on seeds") {
     // two clusters; seeds (lowest vec_id per label) BECOME the codebook
     val vecs = Seq(
