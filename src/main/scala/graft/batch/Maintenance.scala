@@ -46,6 +46,59 @@ object Maintenance {
     (finalName, md5)
   }
 
+  final case class CompactResult(filesBefore: Int, filesAfter: Int,
+                                 bytes: Long, compacted: Boolean)
+
+  /** Small-file compaction for one data directory (typically one hourly
+    * partition of the streaming sink, whose micro-batches each leave a
+    * part file): rewrite the dir's part files down to
+    * ceil(bytes / targetFileBytes) files, rows unchanged.
+    *
+    * Small files are the silent killer of a 100 TB lake — every reader
+    * pays one open/footer-parse per file and the driver pays listing, so
+    * a sink that drips 50 KB files needs a compactor running behind it.
+    * Already-compact dirs return untouched (compacted = false) so a
+    * scheduled sweep is idempotent and cheap.
+    *
+    * Publish protocol: stage the rewrite to a sibling tmp dir, then
+    * swap via two renames (live → ._old, tmp → live) and drop the old
+    * dir — the same rename discipline as [[publishSingleFile]]. On a
+    * posix-rename lake readers can observe a brief gap between the two
+    * renames; a transactional table format closes it, which is exactly
+    * why compaction in production rides Delta/Iceberg commits — the
+    * REWRITE shape (read dir → coalesce(n) → write) is identical there. */
+  def compactDir(spark: SparkSession, dir: String,
+                 targetFileBytes: Long): CompactResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (parts.length <= nOut)
+      return CompactResult(parts.length, parts.length, bytes, compacted = false)
+    val tmp = new Path(dir + "._compact_tmp")
+    val old = new Path(dir + "._compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    // coalesce, not repartition: a narrow merge of input splits — the
+    // rewrite never shuffles
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .parquet(tmp.toString)
+    val after = fs.listStatus(tmp)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact swap failed: $dir -> $old")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back to the original data
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $dir")
+    }
+    fs.delete(old, true)
+    CompactResult(parts.length, after, bytes, compacted = true)
+  }
+
   final case class PurgeResult(rowsDeleted: Long, partitionsDropped: Seq[String],
                                cutoffDate: java.time.LocalDate)
 

@@ -8,6 +8,28 @@ import graft.batch.Maintenance
   * unknown-member seeding. */
 class MaintenanceSpec extends SparkSpec {
 
+  test("compactDir: many part files collapse, rows byte-identical, idempotent") {
+    import spark.implicits._
+    val dir = tmpDir("graft_compact") + "/p_date=2024-01-01"
+    val df = (1 to 5000).map(i => (i.toLong, s"payload$i")).toDF("id", "s")
+    df.repartition(16).write.parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(partFiles == 16)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val r = Maintenance.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(r.compacted && r.filesBefore == 16 && r.filesAfter == 1, s"$r")
+    assert(partFiles == 1, "one data file after compaction")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "rows survive the rewrite unchanged")
+    // second sweep is a no-op — the scheduled-compactor contract
+    val r2 = Maintenance.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(!r2.compacted && r2.filesBefore == 1 && r2.filesAfter == 1)
+    // no staging residue
+    val names = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!names.exists(_.contains("_compact")), s"staging dirs cleaned: ${names.toSeq}")
+  }
+
   test("publishSingleFile: one snappy part + matching md5 manifest") {
     import spark.implicits._
     val out = tmpDir("graft_publish") + "/pub"
