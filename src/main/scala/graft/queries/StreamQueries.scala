@@ -166,6 +166,29 @@ object StreamQueries {
           (col("orig_rows") === col("after_replay_rows")).as("absorbed"))
     }),
 
+    // CDC change-feed apply: snapshot = each user's last pre-Jan-15
+    // state, feed = later events as a change log ('error' → D, else U),
+    // last-writer-wins by (ts, event_id) — ops/CdcApply, one shuffle
+    // (union + per-key winner window, no join)
+    "source_cdc_apply" -> ((s, d) => {
+      val cut = 1705276800000000L // 2024-01-15T00:00:00Z epoch micros
+      val ev = graft.Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("ts_us"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      val snapshot = ev.filter(col("ts_us") < cut)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select("user_id", "event_type", "value")
+      val changes = ev.filter(col("ts_us") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .select("user_id", "op", "event_type", "value", "ts_us", "event_id")
+      graft.ops.CdcApply(snapshot, changes, Seq("user_id"),
+          Seq("ts_us", "event_id"))
+        .orderBy("user_id")
+    }),
+
     // SCD2 dimension history assembled from the event change log: per
     // user, one row per event_type VERSION with [from, to) validity in
     // epoch-micros and an is_current flag — the dimension-history op the
@@ -307,6 +330,34 @@ object StreamQueries {
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed
         |FROM (SELECT count(*) AS c FROM ev_slice) t""".stripMargin),
+
+    "source_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |), snap AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts_us < 1705276800000000) s
+        |  WHERE rn = 1
+        |), chg AS (
+        |  SELECT user_id, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+        |    AS op, event_type, value, ts_us, event_id
+        |  FROM ev WHERE ts_us >= 1705276800000000
+        |), merged AS (
+        |  SELECT user_id, event_type, value, op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY pri DESC, ts_us DESC, event_id DESC) AS rn
+        |  FROM (
+        |    SELECT user_id, event_type, value, 'S' AS op, 0 AS pri,
+        |      NULL::BIGINT AS ts_us, NULL::BIGINT AS event_id FROM snap
+        |    UNION ALL
+        |    SELECT user_id, event_type, value, op, 1, ts_us, event_id FROM chg) u
+        |)
+        |SELECT user_id, event_type, value FROM merged
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "scd2_history" ->
       """WITH ordered AS (
