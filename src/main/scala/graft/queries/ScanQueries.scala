@@ -23,6 +23,20 @@ object ScanQueries {
     Paths.get(sys.props("java.io.tmpdir"), "graft_scan", name).toString
 
   val queries: Map[String, QFn] = Map(
+    // deterministic salted join (perf/Skew): the explicit skew fallback
+    // when AQE can't save a hot key and the dim is too big to broadcast;
+    // result must equal — and here is oracle-checked against — the plain
+    // equi-join
+    "join_skew_salted" -> ((s, d) => {
+      val li = graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("int").as("line_no"),
+          col("l_partkey"))
+      val p = graft.Tables(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      graft.perf.Skew.saltedJoinDeterministic(li, p, "l_partkey", "l_orderkey", 8)
+        .orderBy("l_orderkey", "line_no")
+    }),
+
     // Explicit-schema projected read with the reference's copy-time type
     // map (pl_raw_to_stg_nyctaxi.json translator): Int32→Int16,
     // Double→Decimal, ts→Date.
@@ -194,6 +208,13 @@ object ScanQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the salted join's contract IS the plain join
+    "join_skew_salted" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS line_no,
+        |  l.l_partkey, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, line_no""".stripMargin,
+
     "scan_parquet" -> taxi(
       """SELECT l_orderkey,
         |  CAST(l_linenumber AS SMALLINT) AS line_no,
