@@ -130,6 +130,25 @@ object MediaOps {
             .cast("double") / 4.0).cast("float")).as("features"))
   }
 
+  /** Content-addressed media dedup: identical payload BYTES collapse to
+    * the lowest media_id regardless of kind/metadata (re-uploads,
+    * re-crawls, renamed copies). Near-dup (perceptual) matching is the
+    * embedding path's job — [[featureVector]] → cosine, already covered
+    * by `media_ann`/`dedup_embedding_cosine`; this op is the exact tier
+    * that runs first and is never wrong.
+    *
+    * Scale shape: the payload is hashed in place (narrow projection) and
+    * only (id, kind, 32-byte sha) enters the keeper window — terabytes of
+    * media never shuffle, the hash column does. */
+  def dedupByContent(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    media.select(col("media_id"), col("kind"),
+        sha2(col("payload"), 256).as("payload_sha"))
+      .withColumn("keeper_id",
+        min(col("media_id")).over(Window.partitionBy(col("payload_sha"))))
+      .withColumn("is_dup", col("media_id") =!= col("keeper_id"))
+  }
+
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
     * Dataset processed one partition-iterator at a time. */
   def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {

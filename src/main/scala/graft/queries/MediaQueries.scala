@@ -33,6 +33,14 @@ object MediaQueries {
     "media_feature_extract" -> ((s, d) => MediaOps.extractFeatures(media(s, d), 64)
       .orderBy("media_id")),
 
+    // content-addressed exact dedup over the dup-replay fixture: byte-
+    // identical payloads collapse to the lowest id; only the 32-byte
+    // hash shuffles
+    "media_dedup" -> ((s, d) =>
+      MediaOps.dedupByContent(
+          MediaOps.mediaFromDocuments(DocPipeline.documentsWithDups(s, d)))
+        .orderBy("media_id")),
+
     // multimodal retrieval end-to-end: opaque binary payload → fixed-dim
     // feature vector (the encoder stand-in) → exact cosine top-3 over the
     // media corpus — the decode→embed→search pipeline with a real binary
@@ -92,6 +100,18 @@ object MediaQueries {
         |  CAST(48 + (length(text) * 7) % 512 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS INT) AS channels
         |FROM documents ORDER BY media_id""".stripMargin),
+
+    "media_dedup" -> docs(
+      """SELECT media_id, kind, payload_sha,
+        |  min(media_id) OVER (PARTITION BY payload_sha) AS keeper_id,
+        |  media_id <> min(media_id) OVER (PARTITION BY payload_sha) AS is_dup
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    sha256(text) AS payload_sha
+        |  FROM docs_dup) m
+        |ORDER BY media_id""".stripMargin),
 
     "media_ann" -> {
       val dot = graft.oracle.DocsOracle.dotSql("q.e", "c.e")

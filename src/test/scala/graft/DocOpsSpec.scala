@@ -203,6 +203,20 @@ class DocOpsSpec extends SparkSpec {
     assert(v.drop(2).forall(_ == 0.0f), "chunks past EOF are zero")
   }
 
+  test("media content dedup: byte-identical payloads collapse across kinds, bytes decide") {
+    val media = Seq(
+      (1L, "image", "same bytes".getBytes("UTF-8")),
+      (2L, "video", "same bytes".getBytes("UTF-8")), // re-upload, other kind
+      (3L, "image", "same bytes ".getBytes("UTF-8")), // trailing space → distinct
+      (4L, "audio", "other".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val got = MediaOps.dedupByContent(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((1L, false)) && got(2L) == ((1L, true)),
+      s"identical bytes collapse regardless of kind: $got")
+    assert(got(3L) == ((3L, false)) && got(4L) == ((4L, false)))
+  }
+
   test("binary frame sampling hashes the expected byte ranges") {
     val media = Seq((1L, "image", ("abcd" * 40).getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
