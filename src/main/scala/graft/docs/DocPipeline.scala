@@ -343,6 +343,45 @@ object DocPipeline {
       (col("id") === col("comp")).as("is_keeper"))
   }
 
+  /** Fixed-iteration PageRank over an undirected pair graph (here: the
+    * near-dup graph, where a high rank marks a HUB — the template/
+    * boilerplate a whole family of docs near-duplicates, worth human
+    * eyes before bulk-dropping its cluster). Unnormalized form, damping
+    * 0.85, r₀ = 1: rₜ₊₁(v) = 0.15 + 0.85·Σ_{u∼v} rₜ(u)/deg(u).
+    *
+    * Determinism (the property that lets a DuckDB oracle check an
+    * iterative float computation): each contribution is rounded to 12
+    * decimals and summed as DECIMAL — order-independent and exact — and
+    * the damping step runs in plain IEEE double (one multiply, one add,
+    * identical in any engine). Per iteration the error floor is 1e-12,
+    * never compounding ulp-order noise.
+    *
+    * Scale shape: classic Spark PageRank — one equi-join
+    * (edges ⋈ ranks on src, both hash-partitioned on the SAME key, so
+    * every round reuses the partitioning) + one groupBy(dst) per
+    * iteration; degrees precomputed once. Iterations are FIXED (data-
+    * independent), so the plan is a static 3-deep chain — no driver
+    * convergence loop, no lineage blowup at 3 rounds. */
+  def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12).cast("decimal(30,15)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(0.15) + lit(0.85) * col("s").cast("double")).as("rank"))
+    }
+    ranks.join(deg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("rank"))
+  }
+
   // ---- corpus hygiene ----------------------------------------------------
 
   /** PII scrub: redact emails, North-American phone shapes, and IPv4

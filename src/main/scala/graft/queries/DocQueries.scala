@@ -25,12 +25,18 @@ object DocQueries {
     DocPipeline.shingleHashes(d(s, dir))
   }
 
+  /** The near-dup pair graph (MinHash-LSH at 0.5), memoized: components
+    * and PageRank both read one materialization. */
+  private def dupPairs(s: SparkSession, dir: String) = Memo.of(s, s"$dir/dup_pairs") {
+    DocPipeline.minhashLshPairsFromSignatures(
+      DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5)
+  }
+
   /** Near-dup component labels, memoized: the iterative propagation runs
     * once per session; `dedup_components` and `dedup_apply` both read the
     * final labels frame. */
   private def components(s: SparkSession, dir: String) = Memo.of(s, s"$dir/dup_components") {
-    DocPipeline.nearDupComponents(DocPipeline.minhashLshPairsFromSignatures(
-      DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5))
+    DocPipeline.nearDupComponents(dupPairs(s, dir))
   }
 
   /** Materialize the shingle index + near-dup graph memos (shingles →
@@ -136,6 +142,13 @@ object DocQueries {
     // connected components over the MinHash-LSH near-dup graph: component
     // id = min reachable doc_id, keeper = the doc that IS its component
     "dedup_components" -> ((s, dir) => components(s, dir).orderBy("doc_id")),
+
+    // 3-iteration PageRank over the same graph: high rank = the hub a
+    // whole doc family near-duplicates (review before bulk-dropping its
+    // cluster); round-12 + decimal-sum contributions keep the iterative
+    // float computation engine-exact
+    "graph_pagerank" -> ((s, dir) =>
+      DocPipeline.pageRank(dupPairs(s, dir), 3).orderBy("doc_id")),
 
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -966,6 +979,33 @@ object DocQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id
         |FROM tc GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+
+    "graph_pagerank" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.dst AS id,
+           |    0.15 + 0.85 * CAST(sum(CAST(round(r.rank / d.deg, 12)
+           |      AS DECIMAL(30,15))) AS DOUBLE) AS rank
+           |  FROM pre e JOIN $prev r ON e.src = r.id JOIN predeg d ON e.src = d.src
+           |  GROUP BY e.dst)""".stripMargin
+      docsWith(
+        s"""prp AS (
+           |  SELECT c.doc_a, c.doc_b FROM mcand c
+           |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+           |  WHERE ($eq) / 16.0 >= 0.5),
+           |pre AS (SELECT doc_a AS src, doc_b AS dst FROM prp
+           |        UNION SELECT doc_b, doc_a FROM prp),
+           |predeg AS (SELECT src, count(*) AS deg FROM pre GROUP BY src),
+           |pr0 AS (SELECT src AS id, 1.0::DOUBLE AS rank FROM predeg),
+           |${iter("pr0", "pr1")},
+           |${iter("pr1", "pr2")},
+           |${iter("pr2", "pr3")}""".stripMargin,
+        """SELECT pr3.id AS doc_id, d.deg, pr3.rank
+          |FROM pr3 JOIN predeg d ON pr3.id = d.src
+          |ORDER BY doc_id""".stripMargin)
+    },
 
     "corpus_curate" -> {
       val eq = (0 until DocPipeline.MinhashK)

@@ -100,6 +100,21 @@ class DocOpsSpec extends SparkSpec {
     assert(comps.size == 5)
   }
 
+  test("pagerank: hand-computed path graph, mass conserved, hub ranks highest") {
+    // path 1—2—3: deg 1/2/1. r0=1 →
+    // r1 = (.575, 1.85, .575), r2 = (.93625, 1.1275, .93625)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = DocPipeline.pageRank(pairs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 1 && got(2L)._1 == 2 && got(3L)._1 == 1, "degrees")
+    assert(math.abs(got(1L)._2 - 0.93625) < 1e-9, s"${got(1L)}")
+    assert(math.abs(got(2L)._2 - 1.1275) < 1e-9, s"${got(2L)}")
+    assert(math.abs(got(3L)._2 - 0.93625) < 1e-9)
+    assert(got(2L)._2 > got(1L)._2, "the hub outranks the leaves")
+    // undirected + damping conserves total mass: 0.15·n + 0.85·n = n
+    assert(math.abs(got.values.map(_._2).sum - 3.0) < 1e-9)
+  }
+
   test("PII scrub redacts emails, phones, IPs and leaves prose alone") {
     val doc = Seq((1L, "reach me at jane.doe+x@corp.example.org or 555-867-5309, host 192.168.1.10 thanks"))
       .toDF("doc_id", "text")
