@@ -166,6 +166,21 @@ object StreamQueries {
           (col("orig_rows") === col("after_replay_rows")).as("absorbed"))
     }),
 
+    // deterministic mergeable quantile sketch (ops/QuantileSketch):
+    // 50 bins over [0, 500) estimate the per-type median with error
+    // bounded by the bin width; compared in-row against the exact
+    // percentile (which needs the full value shuffle the sketch avoids)
+    "agg_quantile_sketch" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events").select(col("event_type"), col("value"))
+      val sk = graft.ops.QuantileSketch.estimate(
+        ev, Seq("event_type"), "value", 0.0, 500.0, 50, 0.5)
+      val exact = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"))
+      sk.join(exact, "event_type")
+        .withColumn("abs_err", abs(col("est") - col("exact_p50")))
+        .orderBy("event_type")
+    }),
+
     // CDC change-feed apply: snapshot = each user's last pre-Jan-15
     // state, feed = later events as a change log ('error' → D, else U),
     // last-writer-wins by (ts, event_id) — ops/CdcApply, one shuffle
@@ -330,6 +345,33 @@ object StreamQueries {
     "late_data" -> stream(
       """SELECT c AS orig_rows, c AS after_replay_rows, true AS absorbed
         |FROM (SELECT count(*) AS c FROM ev_slice) t""".stripMargin),
+
+    "agg_quantile_sketch" ->
+      """WITH hist AS (
+        |  SELECT event_type,
+        |    least(49, greatest(0, CAST(floor((value - 0.0) / 10.0) AS INT)))
+        |      AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), cumed AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM hist
+        |), picked AS (
+        |  SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    0.0::DOUBLE + 10.0::DOUBLE * bin
+        |      + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c AS est,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+        |  FROM cumed WHERE cum >= 0.5::DOUBLE * n
+        |), exact AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS exact_p50
+        |  FROM events GROUP BY 1)
+        |SELECT p.event_type, p.n, p.est, x.exact_p50,
+        |  abs(p.est - x.exact_p50) AS abs_err
+        |FROM picked p JOIN exact x USING (event_type)
+        |WHERE p.rn = 1 ORDER BY p.event_type""".stripMargin,
 
     "source_cdc_apply" ->
       """WITH ev AS (
