@@ -896,4 +896,153 @@ object DocPipeline {
         size(col("c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("c")).as("chunk_text"))
   }
+
+  // ---- lexical retrieval (BM25 / TF-IDF) --------------------------------
+
+  /** BM25 keyword search (Robertson/Spärck Jones, the Okapi BM25 form with
+    * the +1 idf floor): for each (query_id, terms) pair, the top-k docs by
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). The quality-filter /
+    * retrieval primitive a curation stack needs for "find docs about X"
+    * sweeps without an embedding model.
+    *
+    * Scale shape: doc lengths come from a NARROW projection (size of the
+    * token split — the corpus text is never exploded for dl); only tokens
+    * matching the broadcast query-term list survive the explode into the
+    * tf groupBy, so the one shuffle carries O(matches), not O(corpus
+    * tokens). N/avgdl are a 2-value agg. No UDFs, no driver loops.
+    *
+    * Determinism: ln is libm-sensitive → idf is rounded to 12 decimals;
+    * the per-term score (deterministic IEEE mul/div on top of the rounded
+    * idf) is rounded again and DECIMAL-summed per doc (order-independent)
+    * — the [[bigramLogprob]] pattern. */
+  def bm25Search(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+                 topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = tokenized(docs).select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "w")
+    val tf = tokenized(docs)
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .join(broadcast(qterms), "w")
+      .groupBy("query_id", "doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("query_id", "w")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("query_id", "w"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(
+        lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)), 12))
+      .withColumn("s", round(
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("dl") / (col("total").cast("double") / col("n")))), 12)
+        .cast("decimal(30,15)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).cast("double").as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Count-min sketch over corpus token frequencies (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows × `width` counters; every
+    * counter is a SUM, so the sketch is mergeable and order-independent —
+    * unlike Misra-Gries/SpaceSaving (whose state depends on arrival
+    * order), a fixed-hash CMS is deterministic for a given dataset and
+    * therefore oracle-checkable. Emits the exact top-k words with their
+    * CMS estimate and the (provably ≥ 0) overestimate — the heavy-hitters
+    * report a mixture audit runs before weighting sources.
+    *
+    * Scale shape: counters are built FROM the word-count table, not the
+    * raw occurrence stream (the sums are identical, and the word table is
+    * Zipf-bounded ≪ corpus tokens); the sketch itself is depth × width
+    * rows (256 here). The global top-k window runs over that same
+    * Zipf-bounded word table — at 100 TB swap it for
+    * [[graft.ops.GlobalRowNumber]] if the vocabulary ever stops fitting a
+    * task. Hashes are sha256-prefix ([[graft.functions.Sha256Prefix64]],
+    * codegen'd) with a per-row salt. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 64,
+                      topK: Int = 10): DataFrame = {
+    val exact = tokenized(docs)
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    def bucket(j: Int): Column =
+      hash64Id(concat(lit(s"cms$j:"), col("w"))) % width
+    val hashed = (0 until depth).map { j =>
+      exact.select(lit(j).as("row_j"), bucket(j).as("bucket"),
+        col("w"), col("exact_cnt"))
+    }.reduce(_ unionByName _)
+    val counters = hashed.groupBy("row_j", "bucket")
+      .agg(sum(col("exact_cnt")).as("counter"))
+    val top = exact.withColumn("rank", row_number().over(
+        Window.orderBy(col("exact_cnt").desc, col("w"))))
+      .filter(col("rank") <= topK)
+    hashed.join(broadcast(top.select("w", "rank")), "w")
+      .join(counters, Seq("row_j", "bucket"))
+      .groupBy("w", "exact_cnt", "rank")
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("rank").cast("long").as("rank"), col("w").as("word"),
+        col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+  }
+
+  /** k-anonymity suppression over the quasi-identifier tuple
+    * (lang, source, n_chars÷100): any combination shared by fewer than k
+    * docs is generalized away (lang/source → "*", length bucket → −1) —
+    * the release-hygiene gate a training-data pipeline runs before
+    * publishing per-doc metadata (Sweeney 2002; membership below k makes
+    * a row re-identifiable by its quasi-identifiers alone).
+    *
+    * Scale shape: the quasi-identifier census is bounded by the combo
+    * cardinality (langs × sources × buckets ≪ corpus), so it broadcasts
+    * back onto the corpus — one map-side-combined groupBy plus a narrow
+    * projection; the text column never moves. */
+  def kAnonymize(docs: DataFrame, k: Int = 5): DataFrame = {
+    val qi = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("len_bucket"))
+    val census = qi.groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("qi_count"))
+    val keep = col("qi_count") >= k
+    qi.join(broadcast(census), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"),
+        when(keep, col("lang")).otherwise(lit("*")).as("lang_anon"),
+        when(keep, col("source")).otherwise(lit("*")).as("source_anon"),
+        when(keep, col("len_bucket")).otherwise(lit(-1L)).as("len_bucket_anon"),
+        col("qi_count"), (!keep).as("suppressed"))
+  }
+
+  /** Per-doc TF-IDF top terms: the k highest-weight terms of each doc
+    * under tfidf = tf · ln((N + 1)/(df + 1)) (add-one-smoothed idf — no
+    * divide-by-zero, boilerplate terms damp toward 0). The "what is this
+    * doc about" keyword extractor (topic labeling, mixture audits).
+    *
+    * Scale shape: ONE corpus-wide shuffle on (doc_id, term) builds tf;
+    * the document-frequency table is Zipf-bounded (≪ corpus) and
+    * broadcast back; ranking reuses the tf partitioning key prefix.
+    * Determinism: idf rounded to 12 decimals; tf · idf is one IEEE mul
+    * (exact given both inputs), so no decimal re-sum is needed — there is
+    * no float aggregation here at all. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val words = tokenized(docs).select(col("doc_id"), explode(col("t")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * round(log((col("n") + 1.0) / (col("df") + 1.0)), 12))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("tfidf"))
+  }
 }

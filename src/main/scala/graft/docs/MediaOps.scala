@@ -149,6 +149,46 @@ object MediaOps {
       .withColumn("is_dup", col("media_id") =!= col("keeper_id"))
   }
 
+  /** Perceptual average-hash (aHash) near-dup tier for media: bit c of
+    * the 16-bit hash is set iff feature component c exceeds the vector's
+    * own mean — the classic downscale-and-threshold perceptual hash with
+    * [[featureVector]] standing in for the decoder's downscaled grid.
+    * Sits between [[dedupByContent]] (exact bytes) and the embedding
+    * cosine path: catches re-encodes/minor edits that change bytes but
+    * not the coarse luminance layout. Candidate pairs come from 4-bit
+    * band buckets WITHIN kind (the SimHash banding shape — never
+    * all-pairs), confirmed at hamming ≤ `maxHamming`.
+    *
+    * Scale shape: hash + bands are narrow projections (the payload never
+    * shuffles — only the 8-byte hash and band keys); the pair join is a
+    * bucket equi-join on (kind, band, value). A production 64-bit pHash
+    * raises bits-per-band; the plan shape is unchanged. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val ph = media.select(col("media_id"), col("kind"))
+      .join(featureVector(media, 16), "media_id")
+      .withColumn("_mean",
+        aggregate(col("features"), lit(0.0), (a, x) => a + x) / 16.0)
+      .withColumn("phash", (0 until 16).map(c =>
+        when(element_at(col("features"), c + 1) > col("_mean"), lit(1L << c))
+          .otherwise(lit(0L))).reduce(_ + _))
+      .select("media_id", "kind", "phash")
+    val bands = ph.select(col("media_id"), col("kind"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 4).bitwiseAND(lit(15L)).as("bval"))): _*)).as("bb"))
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.kind").as("kind"), col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
     * Dataset processed one partition-iterator at a time. */
   def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {

@@ -116,6 +116,100 @@ object DocsOracle {
 
   def stopList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** BM25 oracle, mirroring [[graft.docs.DocPipeline.bm25Search]]. The
+    * floating-point constants (k1+1, 1−b) are computed in SCALA and
+    * interpolated via `Double.toString` (shortest round-trip repr) —
+    * `1.2 + 1` in IEEE doubles is NOT the double the SQL literal `2.2`
+    * parses to (they differ in the last ulp), so embedding the literal
+    * would shift scores. Everything else follows the round(ln,12) +
+    * DECIMAL-sum pattern of the bigram LM. */
+  def bm25Sql(queries: Seq[(Int, Seq[String])], topK: Int,
+              k1: Double, b: Double): String = {
+    val vals = queries.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, '$t')")
+    }.mkString(", ")
+    val k1p1 = (k1 + 1).toString
+    val oneMinusB = (1 - b).toString
+    docsWith(
+      s"""qt AS (SELECT * FROM (VALUES $vals) AS v(query_id, w)),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+         |wd AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (
+         |  SELECT qt.query_id, wd.doc_id, qt.w, count(*) AS tf
+         |  FROM wd JOIN qt ON wd.w = qt.w GROUP BY 1, 2, 3),
+         |dft AS (
+         |  SELECT query_id, w, count(DISTINCT doc_id) AS df
+         |  FROM tf GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT tf.query_id, tf.doc_id,
+         |    CAST(round(round(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)), 12)
+         |      * (tf.tf * $k1p1)
+         |      / (tf.tf + $k1 * ($oneMinusB + $b * dl.dl
+         |          / (st.total::DOUBLE / st.n))), 12) AS DECIMAL(30,15)) AS s
+         |  FROM tf JOIN dft USING (query_id, w) JOIN dl USING (doc_id)
+         |  CROSS JOIN st),
+         |ag AS (
+         |  SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+         |  FROM sc GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM ag)""".stripMargin,
+      s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         |FROM rk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** TF-IDF top-terms oracle, mirroring
+    * [[graft.docs.DocPipeline.tfidfTopTerms]]. No float aggregation — the
+    * only libm op (ln) is rounded to 12 decimals before the single IEEE
+    * multiply. */
+  def tfidfSql(topK: Int): String = docsWith(
+    s"""wd AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM wd GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+       |nq AS (SELECT count(*) AS n FROM documents),
+       |ti AS (
+       |  SELECT doc_id, term, tf,
+       |    tf * round(ln((n + 1.0) / (df + 1.0)), 12) AS tfidf
+       |  FROM tfq JOIN dfq USING (term) CROSS JOIN nq),
+       |rk AS (
+       |  SELECT doc_id, term, tf, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS rank
+       |  FROM ti)""".stripMargin,
+    s"""SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+       |FROM rk WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin)
+
+  /** Count-min heavy-hitters oracle, mirroring
+    * [[graft.docs.DocPipeline.cmsHeavyHitters]]. Integer-only — counters
+    * are sums, estimates are mins, nothing floats. */
+  def cmsSql(depth: Int, width: Int, topK: Int): String = docsWith(
+    s"""wd AS (SELECT unnest(t) AS w FROM toks),
+       |ex AS (SELECT w, count(*) AS exact_cnt FROM wd GROUP BY w),
+       |hx AS (
+       |  SELECT j, w, exact_cnt, $signedAbs % $width AS bucket
+       |  FROM (SELECT j, w, exact_cnt,
+       |          ('0x' || substr(sha256('cms' || CAST(j AS VARCHAR) || ':' || w),
+       |            1, 16))::UBIGINT AS u
+       |        FROM ex, unnest(generate_series(0, ${depth - 1})) AS g(j)) y),
+       |ct AS (
+       |  SELECT j, bucket, CAST(sum(exact_cnt) AS BIGINT) AS counter
+       |  FROM hx GROUP BY 1, 2),
+       |topw AS (
+       |  SELECT w, exact_cnt,
+       |    row_number() OVER (ORDER BY exact_cnt DESC, w) AS rank
+       |  FROM ex),
+       |est AS (
+       |  SELECT t.w, t.exact_cnt, t.rank, min(ct.counter) AS cms_est
+       |  FROM topw t JOIN hx ON hx.w = t.w
+       |  JOIN ct ON ct.j = hx.j AND ct.bucket = hx.bucket
+       |  WHERE t.rank <= $topK GROUP BY 1, 2, 3)""".stripMargin,
+    s"""SELECT CAST(rank AS BIGINT) AS rank, w AS word, exact_cnt, cms_est,
+       |  cms_est - exact_cnt AS overestimate
+       |FROM est ORDER BY rank""".stripMargin)
+
   /** Wrap a SELECT with the doc CTE chain. */
   def docs(select: String): String =
     s"WITH $docsDup, $toks, $shingleHashes, $tokenHashes,\n$minhash,\n$simhash\n$select"

@@ -407,7 +407,46 @@ object DocQueries {
       val all = e(s, dir)
       EmbeddingOps.adcTopK(all.filter(col("vec_id") % 50 === 0), all, 4, 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- lexical retrieval ----
+    // BM25 top-10 for two fixed keyword queries over the corpus
+    "search_bm25" -> ((s, dir) => DocPipeline.bm25Search(d(s, dir), Bm25Queries)
+      .orderBy("query_id", "rank")),
+
+    // top-3 TF-IDF terms per doc (keyword extraction / topic audit)
+    "text_tfidf" -> ((s, dir) => DocPipeline.tfidfTopTerms(d(s, dir))
+      .orderBy("doc_id", "rank")),
+
+    // deterministic count-min heavy hitters: exact top-10 words with the
+    // sketch estimate + overestimate (counters are sums → mergeable AND
+    // order-independent, so the sketch itself is oracle-checkable)
+    "agg_heavyhitters_cms" -> ((s, dir) => DocPipeline.cmsHeavyHitters(d(s, dir))
+      .orderBy("rank")),
+
+    // k-anonymity release gate: quasi-identifier combos below k generalize
+    // to "*" / -1 (metadata-publication hygiene)
+    "anonymize_k" -> ((s, dir) => DocPipeline.kAnonymize(d(s, dir))
+      .orderBy("doc_id")),
+
+    // deterministic training-order shuffle: position = rank of
+    // sha256-prefix(seed:doc_id) — reproducible across runs/engines (no
+    // rand()), stable to re-execution, and the global numbering is the
+    // scalable two-pass GlobalRowNumber, never a single-task sort
+    "corpus_shuffle" -> ((s, dir) => {
+      val keyed = d(s, dir).select(col("doc_id"),
+        graft.functions.TaxiFunctions.hash64Id(
+          concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("skey"))
+      graft.ops.GlobalRowNumber
+        .withRowNumber(keyed, "shuffle_pos", Seq("skey", "doc_id"), 8)
+        .select("shuffle_pos", "doc_id", "skey")
+        .orderBy("shuffle_pos")
     }))
+
+  /** The fixed keyword queries `search_bm25` is declared over (terms are
+    * drawn from the fixture vocabulary; one 3-term, one 2-term). */
+  private val Bm25Queries: Seq[(Int, Seq[String])] =
+    Seq(1 -> Seq("spark", "join", "merge"), 2 -> Seq("vector", "stream"))
 
   private val h64w =
     """abs(CASE WHEN u >= 9223372036854775808::UBIGINT
@@ -1263,5 +1302,38 @@ object DocQueries {
           |FROM ranked r LEFT JOIN exact x
           |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
           |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin)
-    })
+    },
+
+    "search_bm25" -> DocsOracle.bm25Sql(Bm25Queries, 10, 1.2, 0.75),
+
+    "text_tfidf" -> DocsOracle.tfidfSql(3),
+
+    "agg_heavyhitters_cms" -> DocsOracle.cmsSql(4, 64, 10),
+
+    "corpus_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, $h64w AS skey
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(sha256('shuf:42:' || CAST(doc_id AS VARCHAR)),
+         |        1, 16))::UBIGINT AS u
+         |    FROM documents) y)
+         |SELECT row_number() OVER (ORDER BY skey, doc_id) AS shuffle_pos,
+         |  doc_id, skey
+         |FROM k ORDER BY shuffle_pos""".stripMargin,
+
+    "anonymize_k" ->
+      """WITH qi AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 100 AS BIGINT) AS len_bucket
+        |  FROM documents
+        |), census AS (
+        |  SELECT lang, source, len_bucket, count(*) AS qi_count
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  CASE WHEN qi_count >= 5 THEN lang ELSE '*' END AS lang_anon,
+        |  CASE WHEN qi_count >= 5 THEN source ELSE '*' END AS source_anon,
+        |  CASE WHEN qi_count >= 5 THEN len_bucket ELSE -1 END AS len_bucket_anon,
+        |  qi_count, qi_count < 5 AS suppressed
+        |FROM qi JOIN census USING (lang, source, len_bucket)
+        |ORDER BY doc_id""".stripMargin)
 }

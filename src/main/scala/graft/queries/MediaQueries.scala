@@ -41,6 +41,12 @@ object MediaQueries {
           MediaOps.mediaFromDocuments(DocPipeline.documentsWithDups(s, d)))
         .orderBy("media_id")),
 
+    // perceptual-hash near-dup tier: aHash over the decoded grid stand-in,
+    // banded candidates within kind, hamming <= 2 confirm — the layer
+    // between exact byte dedup and embedding cosine
+    "media_phash" -> ((s, d) => MediaOps.phashPairs(media(s, d))
+      .orderBy("media_a", "media_b")),
+
     // multimodal retrieval end-to-end: opaque binary payload → fixed-dim
     // feature vector (the encoder stand-in) → exact cosine top-3 over the
     // media corpus — the decode→embed→search pipeline with a real binary
@@ -112,6 +118,43 @@ object MediaQueries {
         |    sha256(text) AS payload_sha
         |  FROM docs_dup) m
         |ORDER BY media_id""".stripMargin),
+
+    "media_phash" -> {
+      val bits = (0 until 16)
+        .map(c => s"CASE WHEN e[${c + 1}] > m THEN ${1L << c} ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      graft.oracle.DocsOracle.docsWith(
+        s"""mp AS (
+           |  SELECT doc_id AS media_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           |    e,
+           |    list_reduce(list_transform(e, x -> x::DOUBLE), (a, b) -> a + b)
+           |      / 16.0 AS m
+           |  FROM (
+           |    SELECT doc_id, list_transform(generate_series(0, 15),
+           |      c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0
+           |             AS FLOAT)) AS e
+           |    FROM (
+           |      SELECT doc_id, list_transform(generate_series(1, 64),
+           |        i -> CASE WHEN i <= length(text)
+           |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
+           |      FROM documents) xb) xe),
+           |phh AS (SELECT media_id, kind, $bits AS phash FROM mp),
+           |phb AS (
+           |  SELECT media_id, kind, phash, bb AS band,
+           |    (phash >> (bb * 4)) & 15 AS bval
+           |  FROM phh, unnest(generate_series(0, 3)) AS g(bb)),
+           |phc AS (
+           |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+           |    a.kind AS kind, a.phash AS ph_a, b.phash AS ph_b
+           |  FROM phb a JOIN phb b ON a.kind = b.kind AND a.band = b.band
+           |    AND a.bval = b.bval AND a.media_id < b.media_id)""".stripMargin,
+        """SELECT media_a, media_b, kind, ph_a, ph_b,
+          |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+          |FROM phc WHERE bit_count(xor(ph_a, ph_b)) <= 2
+          |ORDER BY media_a, media_b""".stripMargin)
+    },
 
     "media_ann" -> {
       val dot = graft.oracle.DocsOracle.dotSql("q.e", "c.e")

@@ -190,6 +190,108 @@ object ScanQueries {
         .orderBy("l_orderkey", "line_no")
     }),
 
+    // ORC round trip: the second columnar lake format (built into Spark's
+    // datasource layer — same pushdown/pruning machinery as parquet), for
+    // estates whose upstream writers emit ORC. Write typed columns, read
+    // back through the ORC scan, return the values — the oracle computes
+    // them straight from the parquet fixtures, so a match proves the
+    // format conversion is value-preserving.
+    "scan_orc" -> ((s, d) => {
+      val out = scratch("orc_roundtrip")
+      graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("int").as("line_no"),
+          col("l_quantity").cast("double").as("qty"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date"),
+          col("l_returnflag").as("flag"))
+        .write.mode(SaveMode.Overwrite).orc(out)
+      s.read.orc(out).orderBy("l_orderkey", "line_no")
+    }),
+
+    // Bucketed co-located join (the lake analog of the reference DW's
+    // hash-DISTRIBUTION; CREATE TABLE ... DISTRIBUTION = HASH(key)):
+    // both sides written bucketBy(8, join-key) → the join reads bucket i
+    // against bucket i and needs NO shuffle on either side
+    // (PerfTechniquesSpec asserts the plan has no Exchange under the
+    // join). At 100 TB this converts the nightly fact⋈orders shuffle —
+    // the single widest stage — into a zip of pre-hashed files.
+    "sink_bucketed" -> ((s, d) => {
+      val wh = scratch("bucketed_wh")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      graft.Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem").saveAsTable("graft_bkt_lineitem")
+      graft.Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders").saveAsTable("graft_bkt_orders")
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("lines"),
+          // decimal sum: exact + order-independent, rendered to string
+          // for the driver's pandas compare (same rationale as scan_parquet)
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("string").as("qty_sum"))
+        .orderBy("o_custkey")
+    }),
+
+    // Z-order (Morton) clustering for two-dimensional data skipping: rows
+    // sorted by the bit-interleaved z-value stay close in BOTH dims, so
+    // every chunk (= file at scale) has tight min/max on each axis and
+    // scans filtered on EITHER prune. The declared result is the per-chunk
+    // stats report (min/max/area per 16-quantile chunk) — exactly what a
+    // layout job would write to the table's file-skipping index. The
+    // global ntile here stands in for repartitionByRange(zval): fine at
+    // fixture scale, range-partition at 100 TB (GlobalRowNumber pattern).
+    "cluster_zorder" -> ((s, d) => {
+      val z = graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("int").as("line_no"),
+          pmod(col("l_partkey"), lit(256)).cast("int").as("x"),
+          pmod(col("l_suppkey"), lit(256)).cast("int").as("y"))
+        .withColumn("zval", graft.perf.ZOrder.zValue(col("x"), col("y")))
+      z.withColumn("chunk", ntile(16).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("zval"), col("l_orderkey"), col("line_no"))))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("rows_in_chunk"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("xy_area",
+          ((col("max_x") - col("min_x") + 1) *
+            (col("max_y") - col("min_y") + 1)).cast("long"))
+        .select(col("chunk").cast("long").as("chunk"), col("rows_in_chunk"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"), col("xy_area"))
+        .orderBy("chunk")
+    }),
+
+    // Dynamic-partition-pruned join: fact written partitioned by month,
+    // dim side filtered at runtime — Spark inserts a dynamicpruning
+    // subquery so the fact scan reads ONLY the dim's surviving months
+    // (PerfTechniquesSpec asserts the pruning expression is in the plan).
+    // At 100 TB this is the difference between scanning 3 months and 84.
+    "join_dpp_prune" -> ((s, d) => {
+      val out = scratch("dpp_fact")
+      graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("int").as("line_no"),
+          col("l_quantity"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date"))
+        .withColumn("ship_month", substring(col("ship_date"), 1, 7))
+        .write.mode(SaveMode.Overwrite).partitionBy("ship_month").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = fact.select("ship_month").distinct()
+        .filter(col("ship_month") < "1995-07")
+      fact.join(broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("rows_in_month"),
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("string").as("qty_sum"))
+        .orderBy("ship_month")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -270,5 +372,48 @@ object ScanQueries {
     "sink_table_append" -> stream(
       """SELECT CASE WHEN day(arrival_ts) <= 15 THEN 'b1' ELSE 'b2' END AS batch_id,
         |  count(*) AS events
-        |FROM ev_routed GROUP BY 1 ORDER BY batch_id""".stripMargin))
+        |FROM ev_routed GROUP BY 1 ORDER BY batch_id""".stripMargin),
+
+    "join_dpp_prune" -> graft.oracle.OracleCte.taxiWith(
+      """dppf AS (
+        |  SELECT l_orderkey, l_quantity,
+        |    substr(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), 1, 7) AS ship_month
+        |  FROM lineitem
+        |), dppm AS (
+        |  SELECT DISTINCT ship_month FROM dppf WHERE ship_month < '1995-07')""".stripMargin,
+      """SELECT dppf.ship_month, count(*) AS rows_in_month,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS qty_sum
+        |FROM dppf JOIN dppm USING (ship_month)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "scan_orc" -> taxi(
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS line_no,
+        |  CAST(l_quantity AS DOUBLE) AS qty,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+        |  l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
+
+    // the bucketed layout's contract IS the plain join + agg
+    "sink_bucketed" -> taxi(
+      """SELECT o_custkey, count(*) AS lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin),
+
+    "cluster_zorder" -> graft.oracle.OracleCte.taxiWith({
+      val zv = graft.perf.ZOrder.zValueSql("l_partkey % 256", "l_suppkey % 256")
+      s"""zo AS (
+         |  SELECT l_orderkey, CAST(l_linenumber AS INT) AS line_no,
+         |    CAST(l_partkey % 256 AS INT) AS x,
+         |    CAST(l_suppkey % 256 AS INT) AS y,
+         |    $zv AS zval
+         |  FROM lineitem
+         |), zc AS (
+         |  SELECT *, ntile(16) OVER (ORDER BY zval, l_orderkey, line_no) AS chunk
+         |  FROM zo)""".stripMargin
+    },
+      """SELECT CAST(chunk AS BIGINT) AS chunk, count(*) AS rows_in_chunk,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+        |  CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS xy_area
+        |FROM zc GROUP BY chunk ORDER BY chunk""".stripMargin))
 }

@@ -421,6 +421,37 @@ object TaxiQueries {
         grouping(col("rate_code")).cast("int").as("g_rate"))
       .orderBy(col("g_vendor"), col("g_rate"), col("vendor_code"), col("rate_code"))),
 
+    // Explicit GROUPING SETS (the lattice family's third member next to
+    // ROLLUP/CUBE): exactly the (vendor), (rate), () subtotal rows — a
+    // BI report that wants two independent breakdowns WITHOUT the
+    // (vendor, rate) cross detail pays one shuffle for all three sets.
+    "agg_grouping_sets" -> ((s, d) => dedupedDf(s, d)
+      .filter(col("vendor_code").isNotNull)
+      .groupingSets(
+        Seq(Seq(col("vendor_code")), Seq(col("rate_code")), Seq()),
+        col("vendor_code"), col("rate_code"))
+      .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"),
+        grouping(col("vendor_code")).cast("int").as("g_vendor"),
+        grouping(col("rate_code")).cast("int").as("g_rate"))
+      .orderBy(col("g_vendor"), col("g_rate"), col("vendor_code"), col("rate_code"))),
+
+    // Distribution windows: per-vendor fare quartile (ntile) + exact
+    // cumulative distribution — the percentile-bucket assignment BI uses
+    // for "which quartile is this trip in". One shuffle on vendor_code;
+    // ties broken by trip_src_id so both engines rank identically.
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("vendor_code"))
+        .orderBy(col("fare_amount"), col("trip_src_id"))
+      dedupedDf(s, d)
+        .filter(col("vendor_code").isNotNull && col("fare_amount").isNotNull)
+        .select(col("trip_src_id"), col("vendor_code"), col("fare_amount"),
+          ntile(4).over(w).cast("int").as("fare_quartile"),
+          cume_dist().over(w).as("cume"))
+        // trip_src_id alone is not total here (deduped keeps replays that
+        // differ on the compound key) — add fare for a total output order
+        .orderBy("vendor_code", "trip_src_id", "fare_amount")
+    }),
+
     // KMV distinct-count sketch vs the exact answer: the deterministic
     // approx_count_distinct replacement (custom TypedImperativeAggregate,
     // O(k) state, map-side partials) whose estimate the DuckDB oracle
@@ -1003,6 +1034,24 @@ object TaxiQueries {
          |FROM deduped WHERE vendor_code IS NOT NULL
          |GROUP BY CUBE(vendor_code, rate_code)
          |ORDER BY g_vendor, g_rate, vendor_code, rate_code""".stripMargin),
+
+    "agg_grouping_sets" -> taxi(
+      s"""SELECT vendor_code, rate_code, count(*) AS trips,
+         |  ${dsumSql("fare_amount")} AS total_fare,
+         |  CAST(GROUPING(vendor_code) AS INT) AS g_vendor,
+         |  CAST(GROUPING(rate_code) AS INT) AS g_rate
+         |FROM deduped WHERE vendor_code IS NOT NULL
+         |GROUP BY GROUPING SETS ((vendor_code), (rate_code), ())
+         |ORDER BY g_vendor, g_rate, vendor_code, rate_code""".stripMargin),
+
+    "win_ntile" -> taxi(
+      """SELECT trip_src_id, vendor_code, fare_amount,
+        |  CAST(ntile(4) OVER w AS INT) AS fare_quartile,
+        |  cume_dist() OVER w AS cume
+        |FROM deduped
+        |WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
+        |WINDOW w AS (PARTITION BY vendor_code ORDER BY fare_amount, trip_src_id)
+        |ORDER BY vendor_code, trip_src_id, fare_amount""".stripMargin),
 
     "agg_distinct_sketch" -> taxiWith(
       """kmv AS (

@@ -567,4 +567,64 @@ class DocOpsSpec extends SparkSpec {
     // nothing pairs across cells
     assert(!pairs.keySet.exists { case (x, y) => Set(x, y).intersect(Set(3L, 4L)).nonEmpty })
   }
+
+  test("BM25 ranks by term density; docs without any query term are absent") {
+    val c = Seq(
+      (1L, "fox fox fox den"),               // highest tf, short doc
+      (2L, "fox and the hound walk the long road home tonight again slowly"), // 1 hit, long doc
+      (3L, "no relevant animal words here at all"),
+      (4L, "fox fox den den")).toDF("doc_id", "text")
+    val got = DocPipeline.bm25Search(c, Seq(7 -> Seq("fox")), topK = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    assert(!got.exists(_._1 == 3L), "doc without the term never scores")
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    assert(byDoc(1L) > byDoc(4L) && byDoc(4L) > byDoc(2L),
+      s"tf density ordering (3 hits > 2 hits > 1 hit in a longer doc): $got")
+    assert(got.find(_._2 == 1L).get._1 == 1L, "rank 1 = densest doc")
+    assert(got.forall(_._3 > 0), "the +1 idf floor keeps scores positive")
+  }
+
+  test("TF-IDF surfaces the doc-specific term above corpus-wide boilerplate") {
+    val c = Seq(
+      (1L, "the the the zebra the the"),
+      (2L, "the the the the the giraffe"),
+      (3L, "the the the the the the")).toDF("doc_id", "text")
+    val top1 = DocPipeline.tfidfTopTerms(c, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1(1L) == "zebra" && top1(2L) == "giraffe",
+      s"rare term beats 'the' despite 5x the tf: $top1")
+    // 'the' appears in every doc: idf = ln(4/4) = 0 → tfidf exactly 0
+    val theW = DocPipeline.tfidfTopTerms(c, topK = 10)
+      .filter(col("term") === "the").select("tfidf").collect()
+    assert(theW.forall(_.getDouble(0) == 0.0), "ubiquitous term weighs 0")
+  }
+
+  test("count-min estimates never undercount and find the true heavy hitter") {
+    val c = Seq(
+      (1L, "apple apple apple apple banana"),
+      (2L, "apple apple apple cherry banana"),
+      (3L, "apple cherry date elder fig")).toDF("doc_id", "text")
+    val got = DocPipeline.cmsHeavyHitters(c, depth = 4, width = 64, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._2 == "apple" && got.head._3 == 8L, s"true top word: $got")
+    assert(got.forall(g => g._4 >= g._3), s"CMS never underestimates: $got")
+    // depth*width = 256 counters over 7 words: no collisions → exact
+    assert(got.forall(g => g._4 == g._3),
+      s"sketch wide enough for the vocab → estimates exact: $got")
+  }
+
+  test("k-anonymity suppresses quasi-identifier groups below k, keeps the rest") {
+    val rows = (1 to 6).map(i => (i.toLong, "en", "srcA", 150)) :+ // group of 6
+      (7L, "de", "srcB", 150) :+                                   // singleton
+      (8L, "en", "srcA", 950)                                      // singleton
+    val c = rows.toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit("x"))
+    val got = DocPipeline.kAnonymize(c, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(got(1L) == (("en", "srcA", 1L, false)), s"big group survives: $got")
+    assert(got(7L) == (("*", "*", -1L, true)), "singleton fully generalized")
+    assert(got(8L) == (("*", "*", -1L, true)),
+      "same (lang, source) but a different length bucket is its own group")
+  }
 }

@@ -42,6 +42,46 @@ class PerfTechniquesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("z-order bounds BOTH dimensions per chunk; a single-column sort does not") {
+    import graft.perf.ZOrder
+    // the full 64×64 grid: z codes are a permutation of 0..4095, so each
+    // 256-row chunk is an aligned 16×16 tile
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+      .withColumn("zval", ZOrder.zValue(col("x"), col("y"), 6))
+    assert(grid.select("zval").distinct().count() == 4096,
+      "6-bit interleave is a bijection on the 64×64 grid")
+
+    def maxSpan(ordered: org.apache.spark.sql.DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ord", "x", "y")
+      ordered.withColumn("chunk", ntile(16).over(w))
+        .groupBy("chunk")
+        .agg(greatest(max("x") - min("x"), max("y") - min("y"))
+          .cast("long").as("span"))
+        .agg(max("span")).head().getLong(0)
+    }
+    val zSpan = maxSpan(grid.withColumn("ord", col("zval")))
+    val xSpan = maxSpan(grid.withColumn("ord", col("x").cast("long")))
+    assert(zSpan == 15, s"z chunks are 16x16 tiles: worst dim span $zSpan")
+    assert(xSpan == 63, s"x-sorted chunks leave y unbounded: $xSpan")
+  }
+
+  test("dynamic partition pruning puts a runtime filter on the partitioned scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    (1 to 1000).map(i => (i.toLong, f"2024-${i % 12 + 1}%02d"))
+      .toDF("id", "month")
+      .write.mode("overwrite").partitionBy("month").parquet(s"$base/fact")
+    (1 to 12).map(i => (f"2024-$i%02d", i)).toDF("month", "mno")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("mno") <= 2)
+    val j = fact.join(broadcast(dim), "month")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition filter:\n${plan.take(2000)}")
+    assert(j.count() == 167, "months 01+02 = 83 + 84 rows")
+  }
+
   test("salted join equals the plain join on a skewed key") {
     // hot key 0 holds 90% of rows
     val left = ((1 to 9000).map(_ => 0L) ++ (1 to 1000).map(_.toLong))
