@@ -92,6 +92,42 @@ object DocPipeline {
   def shingleHashes(docs: DataFrame): DataFrame =
     shingles(docs).select(col("doc_id"), (hash64Id(col("s")) % P).as("h"))
 
+  /** Asymmetric containment near-dup pairs: containment = |A∩B| /
+    * min(|A|, |B|) over shingle sets — catches QUOTES and subsets (a doc
+    * embedded inside a longer one), which symmetric Jaccard structurally
+    * misses (a 12-token quote of a 60-token doc has Jaccard ≈ 0.2 but
+    * containment 1.0). `contained_doc` is the smaller-set member (ties →
+    * the higher id, i.e. the later/replayed doc).
+    *
+    * Same inverted-index + df-cap shape as [[jaccardPairsFromShingles]]:
+    * candidates come only from shared shingles, the hot-shingle cap kills
+    * the quadratic bucket, and the cached capped index serves both sides
+    * of the one self-join before being released. */
+  def containmentPairs(all: DataFrame, threshold: Double,
+                       dfCap: Int = JaccardDfCap): DataFrame = {
+    val rare = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("h")
+    val sh = all.join(rare, "h").cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_doc",
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))))
+      .select("doc_a", "doc_b", "shared", "na", "nb", "containment", "contained_doc")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    pairs
+  }
+
   // ---- exact dedup -------------------------------------------------------
 
   /** Exact dedup groups: SHA-256 of the normalized text; keeper = lowest

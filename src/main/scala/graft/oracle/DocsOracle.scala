@@ -210,6 +210,52 @@ object DocsOracle {
        |  cms_est - exact_cnt AS overestimate
        |FROM est ORDER BY rank""".stripMargin)
 
+  /** Containment-dedup oracle, mirroring
+    * [[graft.docs.DocPipeline.containmentPairs]] over documents plus the
+    * derived quote docs (12-token prefixes at id+200000). Standalone CTE
+    * chain — the shared `toks`/`shh` CTEs are pinned to `documents` and
+    * this op shingles an augmented corpus. */
+  def containmentSql(threshold: Double, dfCap: Int): String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), quotes AS (
+       |  SELECT doc_id + 200000 AS doc_id, array_to_string(t[1:12], ' ') AS text
+       |  FROM toks0 WHERE len(t) >= 15 AND doc_id % 23 = 0
+       |), allv AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM quotes
+       |), tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM allv
+       |), sg AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(generate_series(1, len(t) - 2),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [array_to_string(t, ' ')] END) AS s
+       |    FROM tk) x
+       |), sgh AS (
+       |  SELECT doc_id, $signedAbs % $P AS h
+       |  FROM (SELECT doc_id, ('0x' || substr(sha256(s),1,16))::UBIGINT AS u
+       |        FROM sg) y
+       |), shc AS (
+       |  SELECT s.doc_id, s.h FROM sgh s
+       |  JOIN (SELECT h FROM sgh GROUP BY h HAVING count(*) <= $dfCap) r USING (h)
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+       |    shared::DOUBLE / least(sa.n, sb.n) AS containment
+       |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, shared, na, nb, containment,
+       |  CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+       |       ELSE greatest(doc_a, doc_b) END AS contained_doc
+       |FROM sc WHERE containment >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Wrap a SELECT with the doc CTE chain. */
   def docs(select: String): String =
     s"WITH $docsDup, $toks, $shingleHashes, $tokenHashes,\n$minhash,\n$simhash\n$select"

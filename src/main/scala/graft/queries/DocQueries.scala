@@ -429,6 +429,20 @@ object DocQueries {
     "anonymize_k" -> ((s, dir) => DocPipeline.kAnonymize(d(s, dir))
       .orderBy("doc_id")),
 
+    // asymmetric containment dedup: |A∩B| / min(|A|,|B|) over shingles —
+    // catches quotes/subsets Jaccard misses (a 12-token quote of a long
+    // doc: containment 1.0, Jaccard ~0.2); fixture injects quote docs
+    "dedup_containment" -> ((s, dir) => {
+      val base = d(s, dir)
+      val quotes = DocPipeline.tokenized(base)
+        .filter(size(col("t")) >= 15 && col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(col("t"), 1, 12)).as("text"))
+      val all = base.select("doc_id", "text").unionByName(quotes)
+      DocPipeline.containmentPairs(DocPipeline.shingleHashes(all), 0.9, 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // deterministic training-order shuffle: position = rank of
     // sha256-prefix(seed:doc_id) — reproducible across runs/engines (no
     // rand()), stable to re-execution, and the global numbering is the
@@ -1309,6 +1323,8 @@ object DocQueries {
     "text_tfidf" -> DocsOracle.tfidfSql(3),
 
     "agg_heavyhitters_cms" -> DocsOracle.cmsSql(4, 64, 10),
+
+    "dedup_containment" -> DocsOracle.containmentSql(0.9, 100),
 
     "corpus_shuffle" ->
       s"""WITH k AS (

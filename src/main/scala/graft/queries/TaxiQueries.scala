@@ -452,6 +452,22 @@ object TaxiQueries {
         .orderBy("vendor_code", "trip_src_id", "fare_amount")
     }),
 
+    // Statistical mode with a deterministic tie-break: the most frequent
+    // payment type per vendor (count desc, value asc). Two map-side-
+    // combined aggregations — the winner pick runs over the tiny
+    // (vendor × payment) census, never the fact rows.
+    "agg_mode" -> ((s, d) => {
+      val counts = dedupedDf(s, d)
+        .filter(col("vendor_code").isNotNull && col("payment_type").isNotNull)
+        .groupBy("vendor_code", "payment_type").agg(count(lit(1)).as("cnt"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy("vendor_code")
+            .orderBy(col("cnt").desc, col("payment_type"))))
+        .filter(col("rk") === 1)
+        .select(col("vendor_code"), col("payment_type").as("mode_payment"), col("cnt"))
+        .orderBy("vendor_code")
+    }),
+
     // KMV distinct-count sketch vs the exact answer: the deterministic
     // approx_count_distinct replacement (custom TypedImperativeAggregate,
     // O(k) state, map-side partials) whose estimate the DuckDB oracle
@@ -1052,6 +1068,16 @@ object TaxiQueries {
         |WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
         |WINDOW w AS (PARTITION BY vendor_code ORDER BY fare_amount, trip_src_id)
         |ORDER BY vendor_code, trip_src_id, fare_amount""".stripMargin),
+
+    "agg_mode" -> taxiWith(
+      """pcounts AS (
+        |  SELECT vendor_code, payment_type, count(*) AS cnt FROM deduped
+        |  WHERE vendor_code IS NOT NULL AND payment_type IS NOT NULL
+        |  GROUP BY 1, 2)""".stripMargin,
+      """SELECT vendor_code, payment_type AS mode_payment, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vendor_code
+        |    ORDER BY cnt DESC, payment_type) AS rk FROM pcounts) x
+        |WHERE rk = 1 ORDER BY vendor_code""".stripMargin),
 
     "agg_distinct_sketch" -> taxiWith(
       """kmv AS (

@@ -116,4 +116,12 @@ class CacheHygieneSpec extends SparkSpec {
       assert(got.count() > 0)
     }
   }
+
+  test("containmentPairs releases the capped shingle cache") {
+    assertNoResidue {
+      val pairs = DocPipeline.containmentPairs(DocPipeline.shingleHashes(docs), 0.9)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 4L)), s"exact dup pair fully contained: $pairs")
+    }
+  }
 }

@@ -568,6 +568,24 @@ class DocOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (x, y) => Set(x, y).intersect(Set(3L, 4L)).nonEmpty })
   }
 
+  test("containment catches a quote that Jaccard misses; contained doc is the smaller set") {
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon"), // 12-token doc's opening quote
+      (3L, "totally unrelated words about nothing shared here at all now"))
+      .toDF("doc_id", "text")
+    val sh = DocPipeline.shingleHashes(c)
+    val cont = DocPipeline.containmentPairs(sh, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(5), r.getLong(6))))
+      .toMap
+    // doc 2's three 3-gram shingles are all inside doc 1 → containment 1.0
+    assert(cont.keySet == Set((1L, 2L)), s"only the quote pair: $cont")
+    assert(cont((1L, 2L)) == ((1.0, 2L)), "full containment; smaller set is contained")
+    // symmetric Jaccard on the same pair: 3 shared of 10 ∪ 3 → 0.3, missed at 0.9
+    val jac = DocPipeline.jaccardPairsFromShingles(sh, 0.9).count()
+    assert(jac == 0, "Jaccard at the same threshold misses the quote")
+  }
+
   test("BM25 ranks by term density; docs without any query term are absent") {
     val c = Seq(
       (1L, "fox fox fox den"),               // highest tf, short doc
