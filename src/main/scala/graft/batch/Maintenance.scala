@@ -99,6 +99,39 @@ object Maintenance {
     CompactResult(parts.length, after, bytes, compacted = true)
   }
 
+  final case class VacuumResult(kept: Seq[String], removed: Seq[String],
+                                dryRun: Boolean)
+
+  /** Orphan-file vacuum: delete data files in `dir` that a failed or
+    * killed writer left behind but that no manifest references — the
+    * non-transactional lake's VACUUM. The referenced set is the single
+    * source of truth (a `manifest.md5` from [[publishSingleFile]], a
+    * Delta/Iceberg snapshot in production); anything else matching
+    * `part-*` or the writers' staging prefixes is an orphan. `_SUCCESS`,
+    * manifests, and unknown non-data files are never touched, and
+    * `dryRun = true` only reports — run the sweep in report mode first,
+    * exactly like `VACUUM ... DRY RUN`.
+    *
+    * Driver-side FS listing of ONE directory (same bound as
+    * [[compactDir]]): hour-granular dirs keep the listing tiny; a
+    * whole-lake sweep iterates dirs, it never lists the lake in one
+    * call. */
+  def vacuumOrphans(spark: SparkSession, dir: String,
+                    referenced: Set[String],
+                    dryRun: Boolean = false): VacuumResult = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataLike = fs.listStatus(path).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") || n.startsWith(".part-") ||
+        n.startsWith("_temporary") || n.endsWith(".tmp"))
+    val (kept, orphans) = dataLike.partition(referenced)
+    if (!dryRun) orphans.foreach { n =>
+      if (!fs.delete(new Path(path, n), false))
+        throw new java.io.IOException(s"vacuum failed to delete $dir/$n")
+    }
+    VacuumResult(kept.sorted.toSeq, orphans.sorted.toSeq, dryRun)
+  }
+
   final case class PurgeResult(rowsDeleted: Long, partitionsDropped: Seq[String],
                                cutoffDate: java.time.LocalDate)
 

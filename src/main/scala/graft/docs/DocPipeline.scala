@@ -1055,6 +1055,32 @@ object DocPipeline {
         col("qi_count"), (!keep).as("suppressed"))
   }
 
+  /** BPE merge-candidate statistics (Sennrich et al. 2016 step 1): counts
+    * of adjacent character pairs WITHIN whitespace tokens, corpus-wide —
+    * the argmax pair is exactly the next merge a byte-pair-encoding
+    * tokenizer trainer would add to its vocabulary. Emits the top-k pairs
+    * with a deterministic (count desc, pair asc) tie-break, so the merge
+    * choice is reproducible across engines.
+    *
+    * Scale shape: the char-pair explode is narrow; the ONE shuffle
+    * aggregates a census bounded by |alphabet|² (≤ ~4k for ASCII text) —
+    * map-side combine collapses corpus-scale input to that census per
+    * task. The top-k window runs over the census only. A full BPE train
+    * iterates this op against a re-segmented corpus; each round keeps the
+    * same one-shuffle shape. */
+  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame =
+    tokenized(docs)
+      .select(explode(col("t")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"), col("pair"), col("cnt"))
+
   /** Per-doc TF-IDF top terms: the k highest-weight terms of each doc
     * under tfidf = tf · ln((N + 1)/(df + 1)) (add-one-smoothed idf — no
     * divide-by-zero, boilerplate terms damp toward 0). The "what is this

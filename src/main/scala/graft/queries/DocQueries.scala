@@ -443,6 +443,11 @@ object DocQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // BPE merge-candidate stats: top adjacent char pairs within tokens —
+    // rank 1 is the next merge a BPE tokenizer trainer would learn
+    "tokenizer_pair_stats" -> ((s, dir) => DocPipeline.bpePairStats(d(s, dir))
+      .orderBy("rank")),
+
     // deterministic training-order shuffle: position = rank of
     // sha256-prefix(seed:doc_id) — reproducible across runs/engines (no
     // rand()), stable to re-execution, and the global numbering is the
@@ -1325,6 +1330,21 @@ object DocQueries {
     "agg_heavyhitters_cms" -> DocsOracle.cmsSql(4, 64, 10),
 
     "dedup_containment" -> DocsOracle.containmentSql(0.9, 100),
+
+    "tokenizer_pair_stats" -> docsWith(
+      """bpw AS (
+        |  SELECT unnest(t) AS w FROM toks
+        |), bpp AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM bpw, unnest(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), bpc AS (SELECT pair, count(*) AS cnt FROM bpp GROUP BY pair),
+        |bpr AS (
+        |  SELECT pair, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        |  FROM bpc)""".stripMargin,
+      """SELECT CAST(rank AS BIGINT) AS rank, pair, cnt
+        |FROM bpr WHERE rank <= 20 ORDER BY rank""".stripMargin),
 
     "corpus_shuffle" ->
       s"""WITH k AS (

@@ -468,6 +468,33 @@ object TaxiQueries {
         .orderBy("vendor_code")
     }),
 
+    // Pearson correlation fare↔distance per vendor, computed from exact
+    // decimal power sums — NOT the built-in corr(), whose streaming
+    // (Welford) update accumulates doubles in partition order and is
+    // therefore not reproducible run-to-run. Power sums are map-side-
+    // combined decimals (order-independent); the closed form runs on the
+    // tiny per-vendor census; sqrt is IEEE-correctly-rounded, so the
+    // final doubles match across engines bit-for-bit.
+    "agg_corr" -> ((s, d) => {
+      val v = dedupedDf(s, d).filter(col("vendor_code").isNotNull &&
+          col("fare_amount").isNotNull && col("trip_distance_km").isNotNull)
+        .select(col("vendor_code"), col("fare_amount").as("x"),
+          col("trip_distance_km").as("y"))
+      v.groupBy("vendor_code").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(30,12)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(30,12)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double").as("sxy"))
+        .select(col("vendor_code"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_fare_km"))
+        .orderBy("vendor_code")
+    }),
+
     // KMV distinct-count sketch vs the exact answer: the deterministic
     // approx_count_distinct replacement (custom TypedImperativeAggregate,
     // O(k) state, map-side partials) whose estimate the DuckDB oracle
@@ -1078,6 +1105,23 @@ object TaxiQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vendor_code
         |    ORDER BY cnt DESC, payment_type) AS rk FROM pcounts) x
         |WHERE rk = 1 ORDER BY vendor_code""".stripMargin),
+
+    "agg_corr" -> taxiWith(
+      """cagg AS (
+        |  SELECT vendor_code, count(*) AS n,
+        |    CAST(SUM(CAST(fare_amount AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(trip_distance_km AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(fare_amount * fare_amount AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(trip_distance_km * trip_distance_km AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(fare_amount * trip_distance_km AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+        |  FROM deduped
+        |  WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
+        |    AND trip_distance_km IS NOT NULL
+        |  GROUP BY 1)""".stripMargin,
+      """SELECT vendor_code, n,
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_fare_km
+        |FROM cagg ORDER BY vendor_code""".stripMargin),
 
     "agg_distinct_sketch" -> taxiWith(
       """kmv AS (

@@ -90,6 +90,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.read.count() == 2, "non-ISO partition kept, and not counted as deleted")
   }
 
+  test("vacuumOrphans: dry run reports, real run deletes only unreferenced data files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    // a killed writer's leftovers + a stray tmp; _SUCCESS/manifest untouchable
+    Seq("part-99999-dead-writer.snappy.parquet", "stage.tmp").foreach { n =>
+      fs.create(new org.apache.hadoop.fs.Path(dir, n)).close()
+    }
+    val dry = Maintenance.vacuumOrphans(spark, dir, real, dryRun = true)
+    assert(dry.removed.toSet == Set("part-99999-dead-writer.snappy.parquet", "stage.tmp"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "stage.tmp")),
+      "dry run deletes nothing")
+    val res = Maintenance.vacuumOrphans(spark, dir, real)
+    assert(res.removed == dry.removed && res.kept.toSet == real)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "stage.tmp")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")),
+      "non-data bookkeeping files survive the sweep")
+    assert(spark.read.parquet(dir).count() == 100, "table intact after vacuum")
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")
