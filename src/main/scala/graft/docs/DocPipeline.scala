@@ -1022,7 +1022,8 @@ object DocPipeline {
         Window.orderBy(col("exact_cnt").desc, col("w"))))
       .filter(col("rank") <= topK)
     hashed.join(broadcast(top.select("w", "rank")), "w")
-      .join(counters, Seq("row_j", "bucket"))
+      // counters ≤ depth × width rows by construction — always broadcast
+      .join(broadcast(counters), Seq("row_j", "bucket"))
       .groupBy("w", "exact_cnt", "rank")
       .agg(min(col("counter")).as("cms_est"))
       .select(col("rank").cast("long").as("rank"), col("w").as("word"),

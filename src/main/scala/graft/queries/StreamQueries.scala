@@ -73,6 +73,33 @@ object StreamQueries {
       .select("event_id", "hour_path", "sink")
       .orderBy("event_id")),
 
+    // Rolling z-score anomaly detection on hourly ingest volume per sink
+    // (24-hour trailing window): the monitoring op that pages before a
+    // quality gate fails downstream. Every windowed sum is an INTEGER sum
+    // (exact, order-free); mean/variance/z derive from those ints in
+    // fixed double expressions, so both engines agree bit-for-bit. One
+    // shuffle on sink; the window is rows-bounded → O(1) state per row.
+    "win_anomaly_zscore" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = routed(s, d)
+        .groupBy("sink", "hour_path").agg(count(lit(1)).as("events"))
+      val w = Window.partitionBy("sink").orderBy("hour_path").rowsBetween(-23, 0)
+      hourly
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("sum_win", sum(col("events")).over(w))
+        .withColumn("sumsq_win", sum(col("events") * col("events")).over(w))
+        .withColumn("mean", col("sum_win").cast("double") / col("n_win"))
+        .withColumn("varr", when(col("n_win") > 1,
+          (col("sumsq_win").cast("double") -
+            col("sum_win").cast("double") * col("sum_win") / col("n_win")) /
+            (col("n_win") - 1)))
+        .withColumn("z", when(col("varr") > 0,
+          (col("events") - col("mean")) / sqrt(col("varr"))))
+        .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
+        .select("sink", "hour_path", "events", "n_win", "mean", "z", "is_anomaly")
+        .orderBy("sink", "hour_path")
+    }),
+
     "win_dedupe_stream" -> ((s, d) => slice(s, d)
       .select("trip_id", "event_id", "producer_ts")
       .orderBy("trip_id")),
@@ -254,6 +281,32 @@ object StreamQueries {
     "microbatch_hour" -> stream(
       """SELECT event_id, hour_path, sink FROM ev_routed
         |WHERE hour_path LIKE 'date=2024/01/01/%' ORDER BY event_id""".stripMargin),
+
+    "win_anomaly_zscore" -> streamWith(
+      """hrz AS (
+        |  SELECT sink, hour_path, count(*) AS events
+        |  FROM ev_routed GROUP BY 1, 2
+        |), wz AS (
+        |  SELECT sink, hour_path, events,
+        |    count(*) OVER w AS n_win,
+        |    sum(events) OVER w AS sum_win,
+        |    sum(events * events) OVER w AS sumsq_win
+        |  FROM hrz
+        |  WINDOW w AS (PARTITION BY sink ORDER BY hour_path
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |), mz AS (
+        |  SELECT sink, hour_path, events, CAST(n_win AS BIGINT) AS n_win,
+        |    CAST(sum_win AS DOUBLE) / n_win AS mean,
+        |    CASE WHEN n_win > 1 THEN
+        |      (CAST(sumsq_win AS DOUBLE)
+        |        - CAST(sum_win AS DOUBLE) * sum_win / n_win) / (n_win - 1)
+        |    END AS varr
+        |  FROM wz)""".stripMargin,
+      """SELECT sink, hour_path, events, n_win, mean,
+        |  CASE WHEN varr > 0 THEN (events - mean) / sqrt(varr) END AS z,
+        |  coalesce(CASE WHEN varr > 0
+        |    THEN abs((events - mean) / sqrt(varr)) > 3.0 END, false) AS is_anomaly
+        |FROM mz ORDER BY sink, hour_path""".stripMargin),
 
     "win_dedupe_stream" -> stream(
       """SELECT trip_id, event_id, producer_ts FROM ev_slice ORDER BY trip_id""".stripMargin),

@@ -126,6 +126,30 @@ class PerfTechniquesSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("round-5 ops keep their scale-critical plan shapes") {
+    val d = sf()
+    // retrieval + sketch + privacy: the corpus side may shuffle on its
+    // aggregation keys, but no query may ever plan a CartesianProduct,
+    // and the small side (query terms, df table, census, top-k probes)
+    // must broadcast — a SortMergeJoin would mean the Zipf-bounded side
+    // got shuffled like a fact table
+    Seq("search_bm25", "text_tfidf", "agg_heavyhitters_cms", "anonymize_k")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$q must not plan a cartesian product:\n${plan.take(1500)}")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q joins its bounded sides broadcast, never sort-merge:\n${plan.take(1500)}")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q must broadcast its small side:\n${plan.take(1500)}")
+      }
+    // the z-value projection and chunk stats never pair-explode
+    val zo = SparkEntry.queries("cluster_zorder")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!zo.contains("CartesianProduct") && !zo.contains("BroadcastNestedLoopJoin"),
+      s"z-order stats never pair-explode:\n${zo.take(1500)}")
+  }
+
   test("round-4 ops keep their scale-critical plan shapes") {
     val d = sf()
     // split + C4 rules: narrow projections — join-free, no hash shuffle
