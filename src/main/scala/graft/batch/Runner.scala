@@ -1,7 +1,7 @@
 package graft.batch
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 import graft.model.TaxiModel
 import graft.ops.{ParquetTable, RunLog}
@@ -24,18 +24,29 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
   private def table(name: String, df: DataFrame): ParquetTable =
     ParquetTable(spark, s"$warehouseDir/$name", df.schema)
 
+  /** Conditional row count usable inside `observe`/single-pass aggs
+    * (null-safe on an empty frame, unlike a bare `sum`). */
+  private def obsCount(cond: Column): Column =
+    coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+
   /** Full daily run over the fixture lake. Returns (core, fact) counts. */
   def runDaily(sfDir: String, runId: String): (Long, Long) = {
     // ---- raw → stg (pl_raw_to_stg_nyctaxi) ----
     log.logRun(runId, "raw_to_stg", "STARTED")
     val stgDf = TaxiModel.tripsWithDups(spark, sfDir)
     val stg = table("stg_trip", stgDf)
-    stg.overwrite(stgDf) // idempotent slice replace (DeleteStagingPartition)
-    val stgRows = stg.read.count()
+    // StagingDQ metrics ride the write action itself (Dataset.observe):
+    // the gate costs ZERO extra scans — at 100 TB a post-write re-count
+    // is a second full pass over the table.
+    val stgObs = Observation()
+    stg.overwrite(stgDf.observe(stgObs, // idempotent slice replace
+      org.apache.spark.sql.functions.count(lit(1)).as("rows"),
+      obsCount(col("fare_amount") < 0).as("neg_fare")))
+    val stgM = stgObs.get
+    val stgRows = stgM("rows").asInstanceOf[Long]
     Checks.gate(log, runId, "raw_to_stg", code = 51000, Seq(
       failIfEmpty("rowcount_stg_gt_0", stgRows),
-      warnIfAny("negative_fare_stg",
-        stg.read.filter(col("fare_amount") < 0).count())))
+      warnIfAny("negative_fare_stg", stgM("neg_fare").asInstanceOf[Long])))
     log.logRun(runId, "raw_to_stg", "SUCCEEDED", rowsOut = stgRows)
 
     // ---- stg → core (pl_stg_to_core_nyctaxi) ----
@@ -44,25 +55,37 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
     val rejects = stg.read.filter(!TaxiModel.domainFilter)
       .withColumn("reject_reason", TaxiModel.rejectReason)
     val err = table("err_trip", rejects)
-    err.overwrite(rejects) // idempotent delete-first quarantine
+    val errObs = Observation()
+    err.overwrite(rejects.observe(errObs, // idempotent delete-first quarantine
+      org.apache.spark.sql.functions.count(lit(1)).as("rows")))
     val deduped = TaxiModel.deduped(cleaned)
     val core = table("core_trip_clean", deduped)
-    core.overwrite(deduped)
-    val (coreRows, errRows) = (core.read.count(), err.read.count())
+    val coreObs = Observation()
+    core.overwrite(deduped.observe(coreObs, org.apache.spark.sql.functions.count(lit(1)).as("rows")))
+    val coreRows = coreObs.get.apply("rows").asInstanceOf[Long]
+    val errRows = errObs.get.apply("rows").asInstanceOf[Long]
     log.logMetrics(runId, "full", stgRows, coreRows, errRows)
-    val c = core.read
+    // ONE partial-aggregated pass computes every CoreDQ observation — the
+    // reference runs these as six separate scalar queries, and a re-scan
+    // per check multiplies the table read by the check count at 100 TB.
+    // count(DISTINCT struct(nk)) folds the duplicate check into the same
+    // scan: surplus rows = rows − distinct keys (0 ⟺ no duplicated key).
+    val nk = struct(TaxiModel.naturalKey.map(col): _*)
+    val cm = core.read.agg(
+      obsCount(col("pickup_ts_utc") > col("dropoff_ts_utc")).as("bad_order"),
+      obsCount(col("fare_amount") < 0).as("neg_fare"),
+      obsCount(col("trip_distance_km") < 0).as("neg_dist"),
+      obsCount(col("pickup_ts_utc").isNull).as("null_pu"),
+      obsCount(col("dropoff_ts_utc").isNull).as("null_do"),
+      countDistinct(nk).as("nk_distinct")).collect()(0)
     Checks.gate(log, runId, "stg_to_core", code = 53000, Seq(
       failIfEmpty("rowcount_core_gt_0", coreRows),
-      failIfAny("no_bad_time_order",
-        c.filter(col("pickup_ts_utc") > col("dropoff_ts_utc")).count()),
-      failIfAny("no_negative_fare", c.filter(col("fare_amount") < 0).count()),
-      failIfAny("no_negative_distance",
-        c.filter(col("trip_distance_km") < 0).count()),
-      failIfAny("no_null_pickup_ts", c.filter(col("pickup_ts_utc").isNull).count()),
-      failIfAny("no_null_dropoff_ts", c.filter(col("dropoff_ts_utc").isNull).count()),
-      failIfAny("no_duplicate_core_rows",
-        c.groupBy(TaxiModel.naturalKey.map(col): _*).count()
-          .filter(col("count") > 1).count()),
+      failIfAny("no_bad_time_order", cm.getLong(0)),
+      failIfAny("no_negative_fare", cm.getLong(1)),
+      failIfAny("no_negative_distance", cm.getLong(2)),
+      failIfAny("no_null_pickup_ts", cm.getLong(3)),
+      failIfAny("no_null_dropoff_ts", cm.getLong(4)),
+      failIfAny("no_duplicate_core_rows", coreRows - cm.getLong(5)),
       failUnless("core_plus_err_le_stg", coreRows + errRows, _ <= stgRows)))
     log.logRun(runId, "stg_to_core", "SUCCEEDED", rowsIn = stgRows,
       rowsOut = coreRows, rowsErr = errRows)

@@ -89,6 +89,31 @@ object DocQueries {
         DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5)
       .orderBy("doc_a", "doc_b")),
 
+    // LSH parameter-tuning report: precision/recall of the deployed
+    // MinHash-LSH detector against exact n-gram Jaccard ground truth at
+    // the same 0.5 threshold, plus the mean |est − exact| estimation
+    // error over the agreed pairs — the one-row audit a curation team
+    // reads before trusting (or re-banding) the sketch. Both inputs are
+    // the ALREADY-MEMOIZED pair frames (shingle index → signatures →
+    // pairs), so the report costs two pair-list joins, not a corpus
+    // rescan; all counts are exact integers, the ratios fixed IEEE
+    // divisions, and the error sum is DECIMAL (order-free).
+    "dedup_lsh_eval" -> ((s, dir) => {
+      val truth = DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val det = dupPairs(s, dir).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      val hit = det.join(truth, Seq("doc_a", "doc_b"))
+        .select(abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit"),
+          sum(col("abs_err").cast("decimal(30,15)")).as("sum_err")))
+        .select(col("n_truth"), col("n_detected"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_detected")).as("prec"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+          (col("sum_err").cast("double") / col("n_hit")).as("mean_abs_err"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => DocPipeline.simhashPairs(d(s, dir), 6)
       .orderBy("doc_a", "doc_b")),
 
@@ -448,6 +473,71 @@ object DocQueries {
     "tokenizer_pair_stats" -> ((s, dir) => DocPipeline.bpePairStats(d(s, dir))
       .orderBy("rank")),
 
+    // training-mix balance report: per-(lang, source) share + Shannon
+    // entropy contribution −p·ln p — the audit sample_mix_weighted's
+    // weights are tuned against; a collapsed mix shows up as entropy
+    // loss before any model does. Census-sized group count; ln rounded
+    // to 12 decimals (the libm-determinism pattern).
+    "corpus_mix_entropy" -> ((s, dir) => {
+      val counts = d(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("docs"))
+      val total = d(s, dir).agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", col("docs").cast("double") / col("total"))
+        .withColumn("h_contrib", round(-(col("share") * log(col("share"))), 12))
+        .select("lang", "source", "docs", "share", "h_contrib")
+        .orderBy("lang", "source")
+    }),
+
+    // Hashing-trick featurization: token → sha-prefix hash → one of 64
+    // buckets, per-doc bucket counts — the fixed-width feature map that
+    // feeds a linear quality model (see quality_logreg_score) without a
+    // vocabulary build. Long format (doc, bucket, cnt) rather than an
+    // array column: it shuffles once, prunes to touched buckets, and is
+    // the join-friendly shape a 100 TB feature store keeps anyway. One
+    // map-side-combined groupBy; all values exact integers.
+    "featurize_hashing" -> ((s, dir) =>
+      DocPipeline.tokenized(d(s, dir))
+        .select(col("doc_id"), explode(col("t")).as("w"))
+        .select(col("doc_id"),
+          (graft.functions.TaxiFunctions.hash64Id(col("w")) % 64).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")),
+
+    // Mergeable-moments rollup: per-(lang, source) partial stats
+    // (n, Σx, Σx², min, max over n_chars) merged to per-lang finals —
+    // the algebraic pattern behind incremental stats maintenance: a new
+    // source's partial row is computed from its batch alone and merged
+    // into the standing per-lang stats WITHOUT rescanning the corpus.
+    // The DuckDB oracle computes the per-lang stats directly in one
+    // pass, so a hash match proves merge(partials) ≡ direct — the
+    // property that makes the incremental path safe to deploy.
+    //
+    // Determinism: every sum is an exact integer/decimal sum (n_chars is
+    // integral); mean and variance are fixed IEEE expressions over those
+    // exact values, identical in both engines. Σx² is DECIMAL(38,0) so
+    // the partial stays exact at 100 TB where a BIGINT would overflow.
+    "agg_merge_moments" -> ((s, dir) => {
+      val base = d(s, dir).select(col("lang"), col("source"),
+        col("n_chars").cast("long").as("x"))
+      val partials = base.groupBy("lang", "source").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      partials.groupBy("lang").agg(
+          sum(col("n")).as("n_docs"),
+          sum(col("sx")).as("sum_chars"),
+          sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
+          min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars"))
+        .withColumn("mean_chars", col("sum_chars").cast("double") / col("n_docs"))
+        .withColumn("var_chars",
+          col("sxx").cast("double") / col("n_docs") -
+            col("mean_chars") * col("mean_chars"))
+        .select("lang", "n_docs", "sum_chars", "min_chars", "max_chars",
+          "mean_chars", "var_chars")
+        .orderBy("lang")
+    }),
+
     // deterministic training-order shuffle: position = rank of
     // sha256-prefix(seed:doc_id) — reproducible across runs/engines (no
     // rand()), stable to re-execution, and the global numbering is the
@@ -580,6 +670,45 @@ object DocQueries {
            |FROM mcand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
            |WHERE ($eq) / 16.0 >= 0.5
            |ORDER BY c.doc_a, c.doc_b""".stripMargin)
+    },
+
+    "dedup_lsh_eval" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      docsWith(
+        s"""lshc AS (
+           |  SELECT s.doc_id, s.h FROM shh s
+           |  JOIN (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100) r USING (h)),
+           |lsizes AS (SELECT doc_id, count(*) AS n FROM lshc GROUP BY 1),
+           |lshared AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+           |  FROM lshc a JOIN lshc b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |ltruth AS (
+           |  SELECT doc_a, doc_b,
+           |    shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
+           |  FROM lshared JOIN lsizes sa ON doc_a = sa.doc_id
+           |  JOIN lsizes sb ON doc_b = sb.doc_id
+           |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+           |ldet AS (
+           |  SELECT c.doc_a, c.doc_b, ($eq) / 16.0 AS est_jaccard
+           |  FROM mcand c JOIN mh a ON c.doc_a = a.doc_id
+           |  JOIN mh b ON c.doc_b = b.doc_id
+           |  WHERE ($eq) / 16.0 >= 0.5),
+           |lhit AS (
+           |  SELECT abs(d.est_jaccard - t.jaccard) AS abs_err
+           |  FROM ldet d JOIN ltruth t
+           |    ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b)""".stripMargin,
+        """SELECT
+          |  (SELECT count(*) FROM ltruth) AS n_truth,
+          |  (SELECT count(*) FROM ldet) AS n_detected,
+          |  (SELECT count(*) FROM lhit) AS n_hit,
+          |  (SELECT count(*) FROM lhit)::DOUBLE
+          |    / (SELECT count(*) FROM ldet) AS prec,
+          |  (SELECT count(*) FROM lhit)::DOUBLE
+          |    / (SELECT count(*) FROM ltruth) AS recall,
+          |  CAST((SELECT SUM(CAST(abs_err AS DECIMAL(30,15))) FROM lhit) AS DOUBLE)
+          |    / (SELECT count(*) FROM lhit) AS mean_abs_err""".stripMargin)
     },
 
     "dedup_simhash" -> docs(
@@ -1345,6 +1474,39 @@ object DocQueries {
         |  FROM bpc)""".stripMargin,
       """SELECT CAST(rank AS BIGINT) AS rank, pair, cnt
         |FROM bpr WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    "corpus_mix_entropy" -> docsWith(
+      """mixc AS (
+        |  SELECT lang, source, count(*) AS docs
+        |  FROM documents GROUP BY 1, 2
+        |), mixt AS (SELECT count(*) AS total FROM documents)""".stripMargin,
+      """SELECT lang, source, docs,
+        |  CAST(docs AS DOUBLE) / total AS share,
+        |  round(-(CAST(docs AS DOUBLE) / total
+        |    * ln(CAST(docs AS DOUBLE) / total)), 12) AS h_contrib
+        |FROM mixc CROSS JOIN mixt ORDER BY lang, source""".stripMargin),
+
+    "featurize_hashing" -> docsWith(
+      """fh AS (SELECT doc_id, h % 64 AS bucket FROM tokh)""".stripMargin,
+      """SELECT doc_id, bucket, count(*) AS cnt
+        |FROM fh GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+
+    // Direct one-pass per-lang stats: a hash match against the engine's
+    // two-level partial/merge plan proves merge(partials) ≡ direct.
+    "agg_merge_moments" -> docsWith(
+      """mstats AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    sum(n_chars * n_chars) AS sxx,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY 1)""".stripMargin,
+      """SELECT lang, n_docs, sum_chars, min_chars, max_chars,
+        |  CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
+        |  CAST(sxx AS DOUBLE) / n_docs
+        |    - (CAST(sum_chars AS DOUBLE) / n_docs)
+        |      * (CAST(sum_chars AS DOUBLE) / n_docs) AS var_chars
+        |FROM mstats ORDER BY lang""".stripMargin),
 
     "corpus_shuffle" ->
       s"""WITH k AS (

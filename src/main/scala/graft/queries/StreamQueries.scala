@@ -100,6 +100,103 @@ object StreamQueries {
         .orderBy("sink", "hour_path")
     }),
 
+    // Distribution-drift monitor (PSI): the value histogram of the second
+    // half of the month vs the first, per event type — the check a
+    // training-data pipeline runs on every incoming batch so a silently
+    // shifted upstream (new client version, changed sampler) is caught
+    // before it poisons a training mix. PSI = Σ_bins (p_cur − p_ref) ·
+    // ln(p_cur / p_ref) over a fixed 20-bin histogram with Laplace
+    // smoothing (the +1 keeps empty bins finite and the full bin spine
+    // keeps the sum well-defined).
+    //
+    // Scale: two census-sized aggregations (types × bins ≤ hundreds of
+    // rows after the map-side-combined count) + a broadcast-sized spine
+    // cross join — nothing grows with the event count. Determinism: bin
+    // ids and probabilities are exact integer ratios evaluated in fixed
+    // IEEE expressions; the one libm call (ln) is rounded to 12 decimals
+    // and the per-bin terms are DECIMAL-summed (order-free) — the same
+    // pattern as every float-bearing query in this repo.
+    "drift_psi" -> ((s, d) => {
+      val binned = graft.Tables(s, d, "events")
+        // ts is TIMESTAMP(NANOS) read as long (nanosAsLong) — same
+        // conversion as EventsModel.rawEvents.
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"),
+          col("value"))
+        .withColumn("bin", least(floor(col("value") / 25.0), lit(19.0)).cast("int"))
+        .withColumn("is_ref",
+          when(col("ts") < lit("2024-01-16").cast("timestamp_ntz"), 1).otherwise(0))
+      graft.quality.Drift.psi(binned, "event_type", "bin", "is_ref", 20)
+        .orderBy("event_type")
+    }),
+
+    // Ordered conversion funnel view → click → purchase: first view, first
+    // click AFTER that view, first purchase AFTER that click, per user —
+    // the product-analytics staple where naive per-type mins overcount
+    // (a click before the first view is not a conversion). Three
+    // user-census aggregations chained by joins on user_id; the raw
+    // nanosecond `ts` longs compare order-isomorphically to the oracle's
+    // timestamps, and the final row is exact counts + two IEEE ratios.
+    "funnel_stages" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val c = ev.join(v, "user_id").groupBy("user_id", "t_view").agg(
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).as("t_click"))
+      val p = ev.join(c, "user_id").groupBy("user_id", "t_view", "t_click").agg(
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).as("t_purchase"))
+      p.agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+        .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / col("n_view")).as("view_to_click"),
+          (col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
+    }),
+
+    // Weekly retention cohorts: users grouped by first-seen week, counted
+    // in each later week they return — the engagement report behind every
+    // "week 1 retention" number. Day ids are integer nanosecond divides
+    // (exact), cohorts/offsets integer divides of those, and the output
+    // is a distinct-user census per (cohort, offset) cell: all-integer,
+    // two shuffles (user census + cell rollup), nothing float-bearing.
+    "agg_retention_cohort" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          // epoch day 19723 = 2024-01-01, the fixture's first day
+          expr("(first_day - 19723) div 7").as("cohort_week"),
+          expr("(day - first_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Sensor gap-fill: a reading is missing when the event errored; carry
+    // the user's last good reading forward (ordered by event_id). The
+    // time-series repair every telemetry pipeline runs before windowed
+    // aggregation — built-in `last(ignoreNulls)` over a running frame,
+    // one shuffle on user_id, O(1) state per row. Values pass through
+    // untouched (no float arithmetic), so determinism is just the total
+    // ORDER BY.
+    "win_fill_forward" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("v_raw", when(col("event_type") =!= "error", col("value")))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("v_filled", last(col("v_raw"), ignoreNulls = true).over(w))
+        .withColumn("was_filled", col("v_raw").isNull && col("v_filled").isNotNull)
+        .select("event_id", "user_id", "v_raw", "v_filled", "was_filled")
+        .orderBy("event_id")
+    }),
+
     "win_dedupe_stream" -> ((s, d) => slice(s, d)
       .select("trip_id", "event_id", "producer_ts")
       .orderBy("trip_id")),
@@ -307,6 +404,92 @@ object StreamQueries {
         |  coalesce(CASE WHEN varr > 0
         |    THEN abs((events - mean) / sqrt(varr)) > 3.0 END, false) AS is_anomaly
         |FROM mz ORDER BY sink, hour_path""".stripMargin),
+
+    "drift_psi" -> streamWith(
+      """pbin AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 25.0), 19.0) AS INT) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), pcounts AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(is_ref) AS BIGINT) AS c_ref,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+        |  FROM pbin GROUP BY 1, 2
+        |), pspine AS (
+        |  SELECT t.event_type, b.bin
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range(0, 20)) AS bin) b
+        |), pfull AS (
+        |  SELECT s.event_type, s.bin,
+        |    coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+        |  FROM pspine s LEFT JOIN pcounts c
+        |    ON s.event_type = c.event_type AND s.bin = c.bin
+        |), ptot AS (
+        |  SELECT *,
+        |    CAST(sum(c_ref) OVER (PARTITION BY event_type) AS BIGINT) AS tot_ref,
+        |    CAST(sum(c_cur) OVER (PARTITION BY event_type) AS BIGINT) AS tot_cur
+        |  FROM pfull
+        |), pterms AS (
+        |  SELECT event_type, tot_ref, tot_cur,
+        |    ((c_cur + 1) / (tot_cur + 20.0) - (c_ref + 1) / (tot_ref + 20.0))
+        |      * round(ln(((c_cur + 1) / (tot_cur + 20.0))
+        |                 / ((c_ref + 1) / (tot_ref + 20.0))), 12) AS term
+        |  FROM ptot)""".stripMargin,
+      """SELECT event_type, tot_ref AS n_ref, tot_cur AS n_cur,
+        |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) AS psi,
+        |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) >= 0.1 AS drifted
+        |FROM pterms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin),
+
+    "funnel_stages" -> streamWith(
+      """fu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY 1
+        |), fc AS (
+        |  SELECT e.user_id, fu.t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > fu.t_view
+        |        THEN e.ts END) AS t_click
+        |  FROM events e JOIN fu ON e.user_id = fu.user_id GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT e.user_id, fc.t_view, fc.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > fc.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id GROUP BY 1, 2, 3)""".stripMargin,
+      """SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  count(t_click) AS n_click, count(t_purchase) AS n_purchase,
+        |  count(t_click)::DOUBLE / count(t_view) AS view_to_click,
+        |  count(t_purchase)::DOUBLE / count(t_click) AS click_to_purchase
+        |FROM fp""".stripMargin),
+
+    "agg_retention_cohort" -> streamWith(
+      """rc AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events
+        |), rf AS (SELECT user_id, min(day) AS first_day FROM rc GROUP BY 1),
+        |ru AS (
+        |  SELECT DISTINCT rc.user_id,
+        |    (rf.first_day - 19723) // 7 AS cohort_week,
+        |    (rc.day - rf.first_day) // 7 AS week_offset
+        |  FROM rc JOIN rf ON rc.user_id = rf.user_id)""".stripMargin,
+      """SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset, count(*) AS n_users
+        |FROM ru GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+
+    "win_fill_forward" -> streamWith(
+      """ffo AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type <> 'error' THEN value END AS v_raw
+        |  FROM events
+        |), ffw AS (
+        |  SELECT event_id, user_id, v_raw,
+        |    last_value(v_raw IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |  FROM ffo)""".stripMargin,
+      """SELECT event_id, user_id, v_raw, v_filled,
+        |  (v_raw IS NULL AND v_filled IS NOT NULL) AS was_filled
+        |FROM ffw ORDER BY event_id""".stripMargin),
 
     "win_dedupe_stream" -> stream(
       """SELECT trip_id, event_id, producer_ts FROM ev_slice ORDER BY trip_id""".stripMargin),

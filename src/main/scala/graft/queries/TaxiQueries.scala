@@ -495,6 +495,41 @@ object TaxiQueries {
         .orderBy("vendor_code")
     }),
 
+    // OLS regression fare-on-distance per vendor (slope/intercept/R²)
+    // from the same exact decimal power sums as agg_corr — the pricing
+    // model a BI team fits without an ML runtime, reproducible because
+    // nothing accumulates in partition order. The closed-form ratios are
+    // cancellation-heavy (n·sxy − sx·sy), where engines may legally
+    // differ in the last ulp (FMA/reassociation), so the outputs are
+    // rounded to 12 decimals on both sides — same pattern as every libm
+    // call in this file.
+    "agg_linreg" -> ((s, d) => {
+      val v = dedupedDf(s, d).filter(col("vendor_code").isNotNull &&
+          col("fare_amount").isNotNull && col("trip_distance_km").isNotNull)
+        .select(col("vendor_code"), col("trip_distance_km").as("x"),
+          col("fare_amount").as("y"))
+      v.groupBy("vendor_code").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(30,12)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(30,12)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("n"))
+        .withColumn("r2",
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+        .select(col("vendor_code"), col("n"), round(col("slope"), 12).as("slope"),
+          round(col("intercept"), 12).as("intercept"), round(col("r2"), 12).as("r2"))
+        .orderBy("vendor_code")
+    }),
+
     // KMV distinct-count sketch vs the exact answer: the deterministic
     // approx_count_distinct replacement (custom TypedImperativeAggregate,
     // O(k) state, map-side partials) whose estimate the DuckDB oracle
@@ -1122,6 +1157,28 @@ object TaxiQueries {
         |  (n * sxy - sx * sy) /
         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_fare_km
         |FROM cagg ORDER BY vendor_code""".stripMargin),
+
+    "agg_linreg" -> taxiWith(
+      """lragg AS (
+        |  SELECT vendor_code, count(*) AS n,
+        |    CAST(SUM(CAST(trip_distance_km AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(fare_amount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(trip_distance_km * trip_distance_km AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(fare_amount * fare_amount AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(trip_distance_km * fare_amount AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+        |  FROM deduped
+        |  WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
+        |    AND trip_distance_km IS NOT NULL
+        |  GROUP BY 1
+        |), lrs AS (
+        |  SELECT vendor_code, n, sx, sy, sxx, syy, sxy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM lragg)""".stripMargin,
+      """SELECT vendor_code, n, round(slope, 12) AS slope,
+        |  round((sy - slope * sx) / n, 12) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |  ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r2
+        |FROM lrs ORDER BY vendor_code""".stripMargin),
 
     "agg_distinct_sketch" -> taxiWith(
       """kmv AS (
