@@ -13,7 +13,15 @@ object VerifyOne {
       .master("local[16]").config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Start from a clean dir: stale result dirs from earlier invocations
+    // otherwise show up in oracle_check's rows-only NOTE and mislead.
+    val root = new java.io.File(outDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (root.exists()) rm(root)
+    root.mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }

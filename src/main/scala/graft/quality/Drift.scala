@@ -41,11 +41,23 @@ object Drift {
     */
   def psi(binned: DataFrame, groupCol: String, binCol: String,
           isRefCol: String, nBins: Int, threshold: Double = 0.1): DataFrame = {
-    val s = binned.sparkSession
     val counts = binned.groupBy(groupCol, binCol).agg(
       sum(col(isRefCol)).cast("long").as("c_ref"),
       sum(lit(1) - col(isRefCol)).cast("long").as("c_cur"))
-    val spine = binned.select(groupCol).distinct()
+    psiFromCounts(counts, groupCol, binCol, nBins, threshold)
+  }
+
+  /** PSI per group over a pre-counted histogram table with `c_ref` /
+    * `c_cur` long columns — cells may be missing (spine-filled to 0),
+    * and a group present on only one side still scores. This is the
+    * merge point for precomputed references: a 100 TB deployment stores
+    * the reference histogram once (census-sized: groups × bins) and
+    * every later batch joins against it instead of rescanning the
+    * reference population. */
+  def psiFromCounts(counts: DataFrame, groupCol: String, binCol: String,
+                    nBins: Int, threshold: Double): DataFrame = {
+    val s = counts.sparkSession
+    val spine = counts.select(groupCol).distinct()
       .crossJoin(s.range(0, nBins).select(col("id").cast("int").as(binCol)))
     val full = spine.join(counts, Seq(groupCol, binCol), "left")
       .na.fill(0L, Seq("c_ref", "c_cur"))
@@ -62,5 +74,23 @@ object Drift {
       .select(col(groupCol), col("tot_ref").as("n_ref"),
         col("tot_cur").as("n_cur"), col("psi"),
         (col("psi") >= threshold).as("drifted"))
+  }
+
+  /** Streaming attachment (call from `foreachBatch`): score ONE
+    * microbatch's binned observations against a precomputed reference
+    * count table `refCounts` (groupCol, binCol, c_ref) and return the
+    * per-group PSI rows stamped with the batch id — append them to a
+    * metrics table and alert on `drifted`. The reference is static and
+    * census-sized, so each microbatch costs one map-side-combined count
+    * of itself plus a broadcast-sized join. */
+  def scoreBatch(batchBinned: DataFrame, refCounts: DataFrame,
+                 groupCol: String, binCol: String, nBins: Int,
+                 threshold: Double, batchId: Long): DataFrame = {
+    val cur = batchBinned.groupBy(groupCol, binCol)
+      .agg(count(lit(1)).cast("long").as("c_cur"))
+    val counts = refCounts.join(cur, Seq(groupCol, binCol), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    psiFromCounts(counts, groupCol, binCol, nBins, threshold)
+      .withColumn("batch_id", lit(batchId))
   }
 }

@@ -168,6 +168,17 @@ object DocQueries {
     // id = min reachable doc_id, keeper = the doc that IS its component
     "dedup_components" -> ((s, dir) => components(s, dir).orderBy("doc_id")),
 
+    // Duplicate-cluster size distribution: how many near-dup clusters of
+    // each size the graph holds — the curation report that tells you
+    // whether duplicate mass is a few giant boilerplate clusters (fix
+    // the df cap / shingle set) or a long tail of pairwise near-dups
+    // (expected for crawl data). Reads the memoized component labels;
+    // two census-sized groupBys, all-integer.
+    "dedup_cluster_hist" -> ((s, dir) => components(s, dir)
+      .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")),
+
     // 3-iteration PageRank over the same graph: high rank = the hub a
     // whole doc family near-duplicates (review before bulk-dropping its
     // cluster); round-12 + decimal-sum contributions keep the iterative
@@ -894,6 +905,31 @@ object DocQueries {
          |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r)
          |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_cluster_hist" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r),
+         |comp AS (SELECT id, min(r) AS component_id FROM walk GROUP BY id),
+         |csize AS (
+         |  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters
+         |FROM csize GROUP BY 1 ORDER BY cluster_size""".stripMargin
     },
 
     "dedup_apply" -> {

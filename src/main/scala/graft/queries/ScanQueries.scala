@@ -190,6 +190,38 @@ object ScanQueries {
         .orderBy("l_orderkey", "line_no")
     }),
 
+    // PERMISSIVE corrupt-record quarantine: the malformed-line half of
+    // ingestion DQ — a deterministic subset of the JSON envelope stream
+    // is truncated before landing, and the scan must park those lines in
+    // `_corrupt_record` instead of failing the job or silently dropping
+    // them. The declared result proves the partition: quarantined count,
+    // parsed count, and the parsed-id checksum all match the oracle's
+    // arithmetic over the uncorrupted fixture. Scale note: the agg
+    // references event_id alongside the corrupt column (Spark disallows
+    // plans that read ONLY the internal corrupt column from a raw scan),
+    // so this shape needs no cache() even at 100 TB.
+    "scan_json_corrupt" -> ((s, d) => {
+      val out = scratch("json_corrupt")
+      graft.model.EventsModel.envelopes(s, d)
+        .withColumn("eid", get_json_object(col("json"), "$.event_id").cast("long"))
+        .select(when(col("eid") % 97 === 0,
+            concat(lit("{bad "), substring(col("json"), 1, 18)))
+          .otherwise(col("json")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(out)
+      s.read
+        .schema("event_id BIGINT, fare_amount DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .agg(count(lit(1)).as("total_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("quarantined"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .cast("long").as("parsed"),
+          sum(when(col("_corrupt_record").isNull, col("event_id")))
+            .cast("long").as("sum_parsed_ids"))
+    }),
+
     // ORC round trip: the second columnar lake format (built into Spark's
     // datasource layer — same pushdown/pruning machinery as parquet), for
     // estates whose upstream writers emit ORC. Write typed columns, read
@@ -385,6 +417,16 @@ object ScanQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS qty_sum
         |FROM dppf JOIN dppm USING (ship_month)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "scan_json_corrupt" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS quarantined,
+        |  CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS parsed,
+        |  CAST(sum(CASE WHEN event_id % 97 <> 0 THEN event_id END) AS BIGINT)
+        |    AS sum_parsed_ids
+        |FROM events""".stripMargin,
 
     "scan_orc" -> taxi(
       """SELECT l_orderkey, CAST(l_linenumber AS INT) AS line_no,

@@ -140,18 +140,10 @@ object StreamQueries {
     "funnel_stages" -> ((s, d) => {
       val ev = graft.Tables(s, d, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.groupBy("user_id").agg(
-        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-      val c = ev.join(v, "user_id").groupBy("user_id", "t_view").agg(
-        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).as("t_click"))
-      val p = ev.join(c, "user_id").groupBy("user_id", "t_view", "t_click").agg(
-        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-          col("ts"))).as("t_purchase"))
-      p.agg(count(lit(1)).as("n_users"),
-          count(col("t_view")).as("n_view"),
-          count(col("t_click")).as("n_click"),
-          count(col("t_purchase")).as("n_purchase"))
+      val stages = Seq("view", "click", "purchase")
+      graft.ops.Funnel.summary(
+          graft.ops.Funnel.stageTimes(ev, "user_id", "event_type", "ts", stages),
+          stages)
         .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
           (col("n_click").cast("double") / col("n_view")).as("view_to_click"),
           (col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))

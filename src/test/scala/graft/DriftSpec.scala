@@ -34,6 +34,41 @@ class DriftSpec extends SparkSpec {
     assert(got.getDouble(3) == 0.0 && !got.getBoolean(4), s"$got")
   }
 
+  test("scoreBatch against a stored reference equals psi() over the union") {
+    val ref = Seq(("g", 0, 2L), ("g", 1, 2L)).toDF("g", "bin", "c_ref")
+    val batch = Seq(("g", 1), ("g", 1), ("g", 1), ("g", 0)).toDF("g", "bin")
+    val got = Drift.scoreBatch(batch, ref, "g", "bin", 4, 0.1, batchId = 7L)
+      .collect().head
+    // identical computation phrased as one frame with is_ref
+    val union = Seq(("g", 0, 1), ("g", 0, 1), ("g", 1, 1), ("g", 1, 1),
+      ("g", 1, 0), ("g", 1, 0), ("g", 1, 0), ("g", 0, 0))
+      .toDF("g", "bin", "is_ref")
+    val want = Drift.psi(union, "g", "bin", "is_ref", 4).collect().head
+    assert(got.getDouble(3) == want.getDouble(3), s"$got vs $want")
+    assert(got.getLong(5) == 7L, "metrics row carries the batch id")
+  }
+
+  test("foreachBatch drift monitor appends one scored row per microbatch group") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = tmpDir("graft_drift_in")
+    val metrics = tmpDir("graft_drift_out")
+    Seq(("a", 0), ("a", 0), ("a", 1)).toDF("g", "bin")
+      .write.mode("overwrite").parquet(in)
+    val ref = Seq(("a", 0, 1L), ("a", 1, 1L)).toDF("g", "bin", "c_ref")
+    val q = spark.readStream
+      .schema("g STRING, bin INT").parquet(in)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Drift.scoreBatch(df, ref, "g", "bin", 2, 0.1, id)
+          .write.mode("append").parquet(metrics)
+      }.trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "monitor stream finished in time")
+    assert(q.exception.isEmpty, s"monitor stream clean: ${q.exception}")
+    val rows = spark.read.parquet(metrics).collect()
+    assert(rows.length == 1, s"one group scored once: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("g") == "a" && r.getAs[Long]("n_cur") == 3L)
+  }
+
   test("groups are scored independently") {
     val rows = Seq(("stable", 0, 1), ("stable", 0, 0),
       ("moved", 0, 1), ("moved", 1, 0)).toDF("g", "bin", "is_ref")
