@@ -64,7 +64,8 @@ object SparkEntry {
       _root_.graft.queries.StreamQueries.queries ++
       _root_.graft.queries.DocQueries.queries ++
       _root_.graft.queries.ScanQueries.queries ++
-      _root_.graft.queries.MediaQueries.queries
+      _root_.graft.queries.MediaQueries.queries ++
+      _root_.graft.queries.OlapQueries.queries
 
   /** Shared-chain warm-ups for steady-state benchmarking: each entry
     * materializes one memoized intermediate chain (the in-session analog
@@ -83,5 +84,6 @@ object SparkEntry {
       _root_.graft.queries.StreamQueries.oracles ++
       _root_.graft.queries.DocQueries.oracles ++
       _root_.graft.queries.ScanQueries.oracles ++
-      _root_.graft.queries.MediaQueries.oracles
+      _root_.graft.queries.MediaQueries.oracles ++
+      _root_.graft.queries.OlapQueries.oracles
 }

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QFn
+
+/** Classic warehouse OLAP shapes over the TPC-H-style fixture tables —
+  * the general-analytics breadth check alongside the reference-derived
+  * taxi/stream/doc lanes: a full-table grouped rollup (pricing summary),
+  * a selective 3-table join with top-N (shipping priority), and a
+  * tight-predicate forecast scan. Each is the canonical plan you want at
+  * 100 TB: filters reach the parquet scan, aggregations partial map-side,
+  * the join order lets the selective dimension drive, and every float
+  * aggregate is an order-free DECIMAL sum (the repo-wide determinism
+  * pattern), so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object OlapQueries {
+
+  /** Money arithmetic is done IN DECIMAL, not rounded after a double
+    * product: each factor is a clean few-decimal double (price, 1−disc,
+    * 1+tax) whose decimal cast is unambiguous in both engines, the
+    * decimal product and sum are exact, and only the final total drops
+    * to DOUBLE. Casting a five-integer-digit product double to a
+    * 12-scale decimal instead would sit right at the 17-significant-
+    * digit boundary where Spark's shortest-repr cast and DuckDB's
+    * exact-binary cast legally disagree. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+  private def rate(c: org.apache.spark.sql.Column) = c.cast("decimal(8,6)")
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H Q1 shape: pricing summary report — the grouped full-scan
+    // rollup every warehouse runs nightly. One map-side-combined shuffle
+    // on a 6-group key census.
+    "olap_pricing_summary" -> ((s, d) => {
+      val li = graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          dsum(dec(col("l_quantity"))).as("sum_qty"),
+          dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
+            * rate(lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 shape: shipping priority — selective customer segment
+    // drives a 3-table join, revenue per undelivered order, top 10.
+    // The segment filter prunes customer BEFORE the join (broadcast-able
+    // dim side); lineitem's date filter is pushed to its scan.
+    "olap_shipping_priority" -> ((s, d) => {
+      val cust = graft.Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = graft.Tables(s, d, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1995-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1995-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("order_date"))
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q6 shape: forecast revenue change — a tight multi-predicate
+    // scan with a single global sum; every predicate reaches the parquet
+    // reader (PushedFilters), no shuffle beyond the final 1-row combine.
+    "olap_revenue_forecast" -> ((s, d) => graft.Tables(s, d, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1994-01-01") &&
+        col("l_shipdate").cast("date") < lit("1995-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(dec(col("l_extendedprice")) * rate(col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "olap_pricing_summary" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS ext,
+        |    CAST(1.0 - l_discount AS DECIMAL(8,6)) AS disc1,
+        |    CAST(1.0 + l_tax AS DECIMAL(8,6)) AS tax1
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |), g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(ext) AS DOUBLE) AS sum_base_price,
+        |    CAST(SUM(ext * disc1) AS DOUBLE) AS sum_disc_price,
+        |    CAST(SUM(ext * disc1 * tax1) AS DOUBLE) AS sum_charge,
+        |    count(*) AS count_order
+        |  FROM base GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        |  sum_disc_price, sum_charge, count_order,
+        |  sum_qty / count_order AS avg_qty,
+        |  sum_base_price / count_order AS avg_price
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "olap_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "olap_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+  )
+}
