@@ -41,6 +41,32 @@ object AsofJoin {
               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
     joinAsof(left, right, keys, leftTs, rightTs, payload, fwd = true)
 
+  /** Nearest-in-time as-of: whichever of the backward and forward
+    * matches is closer to `leftTs`; exact ties prefer the backward
+    * (earlier) row — the variant for aligning two sensor streams where
+    * "latest reading" is wrong half the time. Composed from the two
+    * one-shuffle passes (the right-row timestamp rides along in the
+    * payload struct), so the cost is two as-of joins, still never a
+    * range-join explosion. Timestamps must be numeric (epoch
+    * micros/nanos) so distances compare as plain integers; the chosen
+    * right timestamp is surfaced as `matched_ts`. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val p2 = (payload :+ rightTs).distinct
+    val b = backward(left, right, keys, leftTs, rightTs, p2)
+    val bRen = p2.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"_b_$c"))
+    val f = forward(bRen, right, keys, leftTs, rightTs, p2)
+    val useB = col(s"_b_$rightTs").isNotNull && (col(rightTs).isNull ||
+      (col(leftTs) - col(s"_b_$rightTs")) <= (col(rightTs) - col(leftTs)))
+    val chosen = payload.foldLeft(f)((df, c) =>
+      df.withColumn(c, when(useB, col(s"_b_$c")).otherwise(col(c))))
+      .withColumn("matched_ts",
+        when(useB, col(s"_b_$rightTs")).otherwise(col(rightTs)))
+    chosen.drop(p2.map(c => s"_b_$c"): _*)
+      .drop((if (payload.contains(rightTs)) Seq.empty[String]
+             else Seq(rightTs)): _*)
+  }
+
   private def joinAsof(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String, payload: Seq[String],
                        fwd: Boolean): DataFrame = {

@@ -71,6 +71,36 @@ object OlapQueries {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: local-supplier volume — the deep join tree
+    // (lineitem→orders→customer + supplier→nation→region) with the
+    // local-supplier constraint c_nationkey = s_nationkey. Region,
+    // nation, and supplier are broadcast (tiny dims); the date filter
+    // prunes orders at its scan; only the two fact-sized joins shuffle.
+    "olap_regional_revenue" -> ((s, d) => {
+      val nat = graft.Tables(s, d, "nation")
+        .join(broadcast(graft.Tables(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = graft.Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+      val ord = graft.Tables(s, d, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val supp = graft.Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val li = graft.Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // TPC-H Q6 shape: forecast revenue change — a tight multi-predicate
     // scan with a single global sum; every predicate reaches the parquet
     // reader (PushedFilters), no shuffle beyond the final 1-row combine.
@@ -121,6 +151,22 @@ object OlapQueries {
         |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "olap_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "olap_revenue_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))

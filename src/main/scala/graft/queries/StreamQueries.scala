@@ -130,6 +130,29 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // Nearest-in-time as-of join (ops/AsofJoin.nearest): each error event
+    // aligned to the closest purchase by the same user, before OR after,
+    // ties to the earlier side — the sensor-stream alignment where
+    // "latest reading" (plain backward as-of) is wrong half the time.
+    // Two one-shuffle as-of passes composed; epoch-microsecond longs
+    // (nanos div 1000 — DuckDB timestamps are µs, so the oracle computes
+    // the same integers) keep the distance arithmetic exact.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      val left = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("err_ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("pur_ts"),
+          col("value").as("pur_value"))
+      graft.ops.AsofJoin.nearest(left, right, Seq("user_id"),
+          "err_ts", "pur_ts", Seq("pur_value"))
+        .select(col("event_id"), col("user_id"), col("pur_value"),
+          col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
     // Ordered conversion funnel view → click → purchase: first view, first
     // click AFTER that view, first purchase AFTER that click, per user —
     // the product-analytics staple where naive per-type mins overcount
@@ -432,6 +455,25 @@ object StreamQueries {
         |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) AS psi,
         |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) >= 0.1 AS drifted
         |FROM pterms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin),
+
+    "join_asof_nearest" -> streamWith(
+      """nl AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS err_ts
+        |  FROM events WHERE event_type = 'error'
+        |), nr AS (
+        |  SELECT user_id, epoch_us(ts) AS pur_ts, value AS pur_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), np AS (
+        |  SELECT l.event_id, r.pur_value, r.pur_ts,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |      abs(l.err_ts - r.pur_ts), (r.pur_ts > l.err_ts)) AS rn
+        |  FROM nl l JOIN nr r ON l.user_id = r.user_id
+        |), nb AS (
+        |  SELECT event_id, pur_value, pur_ts FROM np WHERE rn = 1)""".stripMargin,
+      """SELECT l.event_id, l.user_id, nb.pur_value,
+        |  CAST(nb.pur_ts AS BIGINT) AS matched_ts
+        |FROM nl l LEFT JOIN nb ON l.event_id = nb.event_id
+        |ORDER BY l.event_id""".stripMargin),
 
     "funnel_stages" -> streamWith(
       """fu AS (

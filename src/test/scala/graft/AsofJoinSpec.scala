@@ -81,4 +81,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"no range-join explosion:\n${plan.take(1500)}")
   }
+
+  test("nearest as-of picks the closer side and breaks exact ties backward") {
+    val left = Seq(
+      ("a", 14L, 100L), // 10 is 4 away, 20 is 6 away -> backward wins
+      ("a", 17L, 101L), // 20 is 3 away, 10 is 7 away -> forward wins
+      ("a", 15L, 102L), // exact tie (5 vs 5) -> backward (earlier) wins
+      ("a", 3L, 103L),  // before every right row -> forward only
+      ("b", 50L, 200L)  // key with no right rows -> NULL
+    ).toDF("k", "ts", "row_id")
+    val right = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "vts", "rate")
+    val got = AsofJoin.nearest(left, right, Seq("k"), "ts", "vts", Seq("rate"))
+      .select("row_id", "rate", "matched_ts").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(100L) == ((Some(1.0), Some(10L))), s"$got")
+    assert(got(101L) == ((Some(2.0), Some(20L))))
+    assert(got(102L) == ((Some(1.0), Some(10L))), "tie prefers the earlier row")
+    assert(got(103L) == ((Some(1.0), Some(10L))), "left of everything -> first row ahead")
+    assert(got(200L) == ((None, None)), "no right side stays NULL")
+    assert(got.size == 5, "left-join semantics")
+  }
 }
