@@ -76,6 +76,14 @@ object Drift {
         (col("psi") >= threshold).as("drifted"))
   }
 
+  /** Publish the reference histogram from a trusted population — the
+    * census-sized (group, bin, c_ref) table a deployment persists once
+    * and every later [[scoreBatch]] call joins against. */
+  def referenceCounts(binned: DataFrame, groupCol: String,
+                      binCol: String): DataFrame =
+    binned.groupBy(groupCol, binCol)
+      .agg(count(lit(1)).cast("long").as("c_ref"))
+
   /** Streaming attachment (call from `foreachBatch`): score ONE
     * microbatch's binned observations against a precomputed reference
     * count table `refCounts` (groupCol, binCol, c_ref) and return the

@@ -26,7 +26,16 @@ object OlapQueries {
     * exact-binary cast legally disagree. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
   private def rate(c: org.apache.spark.sql.Column) = c.cast("decimal(8,6)")
-  private def dsum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+
+  /** Order-free money sum: the per-row decimal product is re-cast to
+    * scale 6 BEFORE summing — exact here (every factor has <= 2 decimal
+    * digits, so products terminate within 6), and it keeps the sum's
+    * backing integer under 2^53, where DuckDB's decimal-to-double cast
+    * (integer cast, then scale division) stays correctly rounded. A
+    * scale-12 sum total overflows 2^53 and double-rounds off-by-one-ulp
+    * against Spark's BigDecimal.toDouble. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
 
   val queries: Map[String, QFn] = Map(
     // TPC-H Q1 shape: pricing summary report — the grouped full-scan
@@ -101,6 +110,69 @@ object OlapQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q14 shape: promo revenue share per ship month — conditional
+    // aggregation over a broadcast part join (the last fixture table the
+    // engine consumes). Both sums are exact decimal money math; the
+    // share is one fixed IEEE division of identical doubles.
+    "olap_promo_share" -> ((s, d) => {
+      val part = graft.Tables(s, d, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01"))
+        .select(col("l_partkey"),
+          substring(col("l_shipdate").cast("date").cast("string"), 1, 7)
+            .as("ship_month"),
+          (dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+            .as("rev"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(sum(when(col("is_promo"), col("rev")).cast("decimal(18,6)"))
+            .cast("double").as("promo_rev"),
+          sum(col("rev").cast("decimal(18,6)")).cast("double").as("total_rev"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_rev") / col("total_rev"))
+        .orderBy("ship_month")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING-over-aggregate
+    // pattern done the scalable way: aggregate lineitem FIRST (map-side
+    // combined, shrinks 4 rows/order to 1), filter the tiny survivor
+    // set, THEN join orders and broadcast customer. Aggregating after
+    // the join would shuffle the full join product instead.
+    "olap_big_spenders" -> ((s, d) => {
+      val big = graft.Tables(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      big.join(graft.Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(graft.Tables(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q4 shape: order-priority count over an EXISTS — expressed as
+    // a LEFT SEMI join (Spark's native EXISTS plan): orders with at
+    // least one returned line, counted by priority. The semi join
+    // shuffles only the distinct order keys of the filtered lineitem
+    // side and never duplicates order rows — the correct EXISTS shape at
+    // 100 TB (an inner join + distinct would carry the multiplicity).
+    "olap_priority_exists" -> ((s, d) => {
+      val returned = graft.Tables(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      graft.Tables(s, d, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01"))
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q6 shape: forecast revenue change — a tight multi-predicate
     // scan with a single global sum; every predicate reaches the parquet
     // reader (PushedFilters), no shuffle beyond the final 1-row combine.
@@ -127,8 +199,10 @@ object OlapQueries {
         |  SELECT l_returnflag, l_linestatus,
         |    CAST(SUM(qty) AS DOUBLE) AS sum_qty,
         |    CAST(SUM(ext) AS DOUBLE) AS sum_base_price,
-        |    CAST(SUM(ext * disc1) AS DOUBLE) AS sum_disc_price,
-        |    CAST(SUM(ext * disc1 * tax1) AS DOUBLE) AS sum_charge,
+        |    CAST(SUM(CAST(ext * disc1 AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_disc_price,
+        |    CAST(SUM(CAST(ext * disc1 * tax1 AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_charge,
         |    count(*) AS count_order
         |  FROM base GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
@@ -154,8 +228,9 @@ object OlapQueries {
 
     "olap_regional_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE)
         |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -168,9 +243,54 @@ object OlapQueries {
         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "olap_promo_share" ->
+      """WITH pm AS (
+        |  SELECT substr(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), 1, 7)
+        |      AS ship_month,
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      AS promo_rev,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT ship_month, promo_rev, total_rev,
+        |  100.0 * promo_rev / total_rev AS promo_share
+        |FROM pm ORDER BY ship_month""".stripMargin,
+
+    "olap_big_spenders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c_name, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 250.0
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "olap_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "olap_revenue_forecast" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-        |           * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'

@@ -35,7 +35,8 @@ class DriftSpec extends SparkSpec {
   }
 
   test("scoreBatch against a stored reference equals psi() over the union") {
-    val ref = Seq(("g", 0, 2L), ("g", 1, 2L)).toDF("g", "bin", "c_ref")
+    val ref = Drift.referenceCounts(
+      Seq(("g", 0), ("g", 0), ("g", 1), ("g", 1)).toDF("g", "bin"), "g", "bin")
     val batch = Seq(("g", 1), ("g", 1), ("g", 1), ("g", 0)).toDF("g", "bin")
     val got = Drift.scoreBatch(batch, ref, "g", "bin", 4, 0.1, batchId = 7L)
       .collect().head

@@ -204,4 +204,16 @@ class PerfTechniquesSpec extends SparkSpec {
       s"sample must prune to (doc_id, lang):\n${samp.take(2000)}")
     assert(!samp.contains("Join"), "sample is join-free")
   }
+
+  test("after warm() the fact chain is cache-backed (memo wiring)") {
+    // Bench steady-state depends on this: if the memo loses its cache,
+    // every fact-side query silently rebuilds the clean→dedupe→star
+    // chain per run instead of reading the materialization once.
+    val d = sf()
+    graft.queries.TaxiQueries.warm(spark, d)
+    val plan = SparkEntry.queries("join_fact_dims")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"join_fact_dims must read the cached fact memo:\n${plan.take(800)}")
+  }
 }
