@@ -20,7 +20,10 @@ object Catalog {
     "fact_trip", "vw_fact_trip_bi",
     "stream_events", "stream_routed",
     "documents", "embeddings", "vw_doc_quality", "vw_doc_dedup",
-    "vw_doc_splits", "vw_corpus_stats")
+    "vw_doc_splits", "vw_corpus_stats") ++
+    // raw fixture tables, verbatim — the general-OLAP star schema
+    // (olap_* shapes run on these) for users who start from plain SQL
+    Tables.names.filterNot(Set("documents", "embeddings"))
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -109,5 +112,9 @@ object Catalog {
       .createOrReplaceTempView("vw_doc_splits")
     graft.docs.DocPipeline.corpusStats(docs)
       .createOrReplaceTempView("vw_corpus_stats")
+
+    // raw fixture tables (documents/embeddings already have typed views)
+    Tables.names.filterNot(Set("documents", "embeddings"))
+      .foreach(n => Tables(spark, sfDir, n).createOrReplaceTempView(n))
   }
 }

@@ -205,6 +205,29 @@ class PerfTechniquesSpec extends SparkSpec {
     assert(!samp.contains("Join"), "sample is join-free")
   }
 
+  test("olap shapes: predicates reach the parquet scans, dims broadcast") {
+    val d = sf()
+    // toString elides long PushedFilters lists — formatted mode prints
+    // them in full, which is what these assertions need
+    def formatted(name: String) = SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Q6: every predicate — including the date bounds written as
+    // cast(ts as date) — must be unwrapped and pushed to the reader
+    val q6 = formatted("olap_revenue_forecast")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity,24.0)"),
+      s"Q6 predicates must be in PushedFilters:\n${q6.take(2000)}")
+    // Q3: segment filter pushed into the customer scan; dim broadcast
+    val q3 = formatted("olap_shipping_priority")
+    assert(q3.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n${q3.take(2000)}")
+    assert(q3.contains("BroadcastHashJoin"), "customer side broadcasts")
+    // Q4: EXISTS plans as a semi join, not inner+distinct
+    val q4 = formatted("olap_priority_exists")
+    assert(q4.contains("LeftSemi"), s"EXISTS must be LeftSemi:\n${q4.take(2000)}")
+  }
+
   test("after warm() the fact chain is cache-backed (memo wiring)") {
     // Bench steady-state depends on this: if the memo loses its cache,
     // every fact-side query silently rebuilds the clean→dedupe→star
