@@ -168,6 +168,27 @@ object DocQueries {
     // id = min reachable doc_id, keeper = the doc that IS its component
     "dedup_components" -> ((s, dir) => components(s, dir).orderBy("doc_id")),
 
+    // Keeper selection as a POLICY, not an accident: instead of
+    // dedup_apply's min-id keeper, pick each near-dup cluster's
+    // highest-quality member (ties → smaller id) — the curation rule
+    // that keeps the clean copy of a boilerplate family rather than
+    // whichever crawled first. One hash-aggregate winner-pick
+    // (max(struct(quality, −id))) over the memoized component labels —
+    // no sort, no self-join.
+    "dedup_keep_best" -> ((s, dir) => {
+      val q = DocPipeline.qualityScores(d(s, dir))
+        .select(col("doc_id"), col("quality_score"))
+      components(s, dir).join(q, "doc_id")
+        .groupBy("component_id")
+        .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+            .as("w"),
+          count(lit(1)).as("members"))
+        .select(col("component_id"), col("members"),
+          col("w.quality_score").as("best_quality"),
+          (-col("w.neg_id")).as("keeper_doc_id"))
+        .orderBy("component_id")
+    }),
+
     // Duplicate-cluster size distribution: how many near-dup clusters of
     // each size the graph holds — the curation report that tells you
     // whether duplicate mass is a few giant boilerplate clusters (fix
@@ -905,6 +926,44 @@ object DocQueries {
          |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r)
          |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_keep_best" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.v FROM walk w JOIN edges2 e ON e.u = w.r),
+         |comp AS (SELECT id, min(r) AS component_id FROM walk GROUP BY id),
+         |qsc AS (
+         |  SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS stop_hits
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+         |qs AS (
+         |  SELECT doc_id,
+         |    least(1.0, n_tokens / 100.0) * 0.5
+         |      + (stop_hits::DOUBLE / n_tokens) * 0.5 AS quality_score
+         |  FROM qsc),
+         |pick AS (
+         |  SELECT c.component_id, c.id AS doc_id, qs.quality_score,
+         |    row_number() OVER (PARTITION BY c.component_id
+         |      ORDER BY qs.quality_score DESC, c.id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component_id) AS members
+         |  FROM comp c JOIN qs ON c.id = qs.doc_id)
+         |SELECT component_id, CAST(members AS BIGINT) AS members,
+         |  quality_score AS best_quality, doc_id AS keeper_doc_id
+         |FROM pick WHERE rn = 1 ORDER BY component_id""".stripMargin
     },
 
     "dedup_cluster_hist" -> {
