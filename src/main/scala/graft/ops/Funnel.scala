@@ -20,19 +20,28 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-user stage completion times: one row per user, one
-    * `t_<stage>` column per stage (NULL = stage not reached). */
+    * `t_<stage>` column per stage (NULL = stage not reached).
+    *
+    * @param maxGap optional conversion window in the timestamp column's
+    *               own units: stage k only counts within `maxGap` of the
+    *               stage-(k−1) completion ("a purchase a month after the
+    *               click is not that click's conversion"). None = ever.
+    */
   def stageTimes(ev: DataFrame, userCol: String, typeCol: String,
-                 tsCol: String, stages: Seq[String]): DataFrame = {
+                 tsCol: String, stages: Seq[String],
+                 maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     require(stages.distinct == stages, "stage names must be unique")
     val first = ev.groupBy(userCol).agg(
       min(when(col(typeCol) === stages.head, col(tsCol))).as(s"t_${stages.head}"))
     stages.zip(stages.drop(1)).foldLeft(first) { case (acc, (prev, st)) =>
       val carried = acc.columns.filterNot(_ == userCol)
+      val inWindow = maxGap.map(g => col(tsCol) <= col(s"t_$prev") + g)
+        .getOrElse(lit(true))
       ev.join(acc, Seq(userCol))
         .groupBy(userCol, carried: _*)
-        .agg(min(when(col(typeCol) === st && col(tsCol) > col(s"t_$prev"),
-          col(tsCol))).as(s"t_$st"))
+        .agg(min(when(col(typeCol) === st && col(tsCol) > col(s"t_$prev")
+          && inWindow, col(tsCol))).as(s"t_$st"))
     }
   }
 

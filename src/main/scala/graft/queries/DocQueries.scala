@@ -549,24 +549,19 @@ object DocQueries {
     // exact values, identical in both engines. Σx² is DECIMAL(38,0) so
     // the partial stays exact at 100 TB where a BIGINT would overflow.
     "agg_merge_moments" -> ((s, dir) => {
+      import graft.ops.IncrementalMoments
       val base = d(s, dir).select(col("lang"), col("source"),
         col("n_chars").cast("long").as("x"))
-      val partials = base.groupBy("lang", "source").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        min(col("x")).as("mn"), max(col("x")).as("mx"))
-      partials.groupBy("lang").agg(
-          sum(col("n")).as("n_docs"),
-          sum(col("sx")).as("sum_chars"),
-          sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
-          min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars"))
-        .withColumn("mean_chars", col("sum_chars").cast("double") / col("n_docs"))
-        .withColumn("var_chars",
-          col("sxx").cast("double") / col("n_docs") -
-            col("mean_chars") * col("mean_chars"))
-        .select("lang", "n_docs", "sum_chars", "min_chars", "max_chars",
-          "mean_chars", "var_chars")
+      // per-(lang, source) partials — one row per source batch — merged
+      // to per-lang finals through the reusable ops/IncrementalMoments
+      // state algebra (IncrementalMomentsSpec pins merge ≡ direct and
+      // the ParquetTable persistence round trip)
+      val partials = IncrementalMoments.partials(base, Seq("lang", "source"), "x")
+      IncrementalMoments.finalized(
+          IncrementalMoments.merge(Seq(partials), Seq("lang")))
+        .select(col("lang"), col("n").as("n_docs"), col("sx").as("sum_chars"),
+          col("mn").as("min_chars"), col("mx").as("max_chars"),
+          col("mean").as("mean_chars"), col("variance").as("var_chars"))
         .orderBy("lang")
     }),
 

@@ -20,13 +20,24 @@ import org.apache.spark.sql.DataFrame
 object Memo {
   private val frames = TrieMap.empty[(Int, String), DataFrame]
 
+  /** A memo hit whose cache entry was dropped out from under it (an
+    * external `clearCache()`, memory-pressure eviction of the ENTRY —
+    * not just blocks — by a harness) would silently rebuild its chain on
+    * every downstream query; re-register instead. `storageLevel`
+    * consults the session's CacheManager, so this is a cheap lookup. */
+  private def healed(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   /** `build` is evaluated on every call (needed to learn the owning
     * session) but the CACHED frame wins on a hit — fine for lazy plan
     * builders. For builders that run jobs eagerly use [[of]]. */
   def apply(key: String)(build: => DataFrame): DataFrame = {
     val df = build
     val sessionId = System.identityHashCode(df.sparkSession)
-    frames.getOrElseUpdate((sessionId, key), df.cache())
+    healed(frames.getOrElseUpdate((sessionId, key), df.cache()))
   }
 
   /** Session-explicit variant that does NOT evaluate `build` on a hit —
@@ -35,5 +46,6 @@ object Memo {
     * work. */
   def of(spark: org.apache.spark.sql.SparkSession, key: String)
         (build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((System.identityHashCode(spark), key), build.cache())
+    healed(frames.getOrElseUpdate(
+      (System.identityHashCode(spark), key), build.cache()))
 }

@@ -42,6 +42,26 @@ class FunnelSpec extends SparkSpec {
     assert(t.getLong(1) == 7L && t.isNullAt(2) && t.isNullAt(3))
   }
 
+  test("maxGap bounds the conversion window per stage transition") {
+    val ev = Seq(
+      ("u", "view", 10L), ("u", "click", 15L),   // within gap 5
+      ("u", "purchase", 100L),                   // 85 after click -> outside
+      ("v", "view", 10L), ("v", "click", 30L)    // 20 after view -> outside
+    ).toDF("user_id", "event_type", "ts")
+    val t = Funnel.stageTimes(ev, "user_id", "event_type", "ts", stages,
+      maxGap = Some(5L)).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3))))).toMap
+    assert(t("u") == ((Some(10L), Some(15L), None)),
+      "late purchase falls outside the click's window")
+    assert(t("v") == ((Some(10L), None, None)),
+      "late click falls outside the view's window")
+    // and without a gap the same log converts fully for u
+    val open = Funnel.stageTimes(ev, "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(open("u").contains(100L))
+  }
+
   test("repeat events pick the first valid occurrence per stage") {
     val ev = Seq(("u", "view", 1L), ("u", "view", 9L), ("u", "click", 4L),
       ("u", "click", 2L), ("u", "purchase", 5L))
