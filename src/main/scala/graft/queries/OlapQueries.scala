@@ -173,6 +173,45 @@ object OlapQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q17 shape: small-quantity revenue — the correlated scalar
+    // subquery ("below 20% of this part's average") DECORRELATED the
+    // scalable way: compute the per-part average once as its own
+    // aggregate, join it back, filter. The brand filter broadcasts into
+    // the scan side first, so both the average and the probe run over
+    // the pruned slice only. The average is an exact-decimal sum over an
+    // exact count, so the 0.2×avg threshold is the same double in both
+    // engines and the filter decides identically row by row.
+    "olap_small_qty_revenue" -> ((s, d) => {
+      val parts = graft.Tables(s, d, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val scoped = graft.Tables(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val aq = scoped.groupBy("l_partkey")
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      scoped.join(aq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(dec(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 shape: churned customers — NOT EXISTS as a LEFT ANTI
+    // join against the recent-order keys: the anti side shuffles only
+    // the distinct custkeys of the date-pruned orders slice, and no
+    // customer row is ever duplicated.
+    "olap_churned_customers" -> ((s, d) => {
+      val recent = graft.Tables(s, d, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+        .select("o_custkey")
+      graft.Tables(s, d, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_churned"),
+          dsum(dec(col("c_acctbal"))).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // TPC-H Q6 shape: forecast revenue change — a tight multi-predicate
     // scan with a single global sum; every predicate reaches the parquet
     // reader (PushedFilters), no shuffle beyond the final 1-row combine.
@@ -276,6 +315,32 @@ object OlapQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 250.0
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "olap_small_qty_revenue" ->
+      """WITH sc AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'
+        |), aq AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS avg_qty
+        |  FROM sc GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM sc JOIN aq USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "olap_churned_customers" ->
+      """SELECT c_nationkey, count(*) AS n_churned,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     "olap_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -226,6 +226,9 @@ class PerfTechniquesSpec extends SparkSpec {
     // Q4: EXISTS plans as a semi join, not inner+distinct
     val q4 = formatted("olap_priority_exists")
     assert(q4.contains("LeftSemi"), s"EXISTS must be LeftSemi:\n${q4.take(2000)}")
+    // Q22: NOT EXISTS plans as an anti join
+    val q22 = formatted("olap_churned_customers")
+    assert(q22.contains("LeftAnti"), s"NOT EXISTS must be LeftAnti:\n${q22.take(2000)}")
   }
 
   test("after warm() the fact chain is cache-backed (memo wiring)") {
