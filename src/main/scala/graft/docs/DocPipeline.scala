@@ -1082,6 +1082,60 @@ object DocPipeline {
       .filter(col("rank") <= topK)
       .select(col("rank").cast("long").as("rank"), col("pair"), col("cnt"))
 
+  /** Distributed BPE training (greedy merges, the algorithm behind GPT
+    * tokenizers): segment every distinct word into sentinel-wrapped
+    * character symbols, then K rounds of (weighted pair census → argmax
+    * → rewrite). [[bpePairStats]] is the one-round census; this is the
+    * trainer that actually re-segments between rounds.
+    *
+    * Scale shape — the part that matters at 100 TB: the ONLY
+    * corpus-scale pass is the initial word count. Everything after runs
+    * over the WORD CENSUS (distinct words × frequency — vocabulary-
+    * bounded, ~1M rows for web text), so each round is a census-sized
+    * map-side-combined shuffle plus a one-row argmax collect; the
+    * rewrite is a literal-replace projection over the census.
+    * `localCheckpoint` between rounds truncates the K-deep lineage.
+    *
+    * Determinism: counts are integer sums; argmax ties break on the
+    * pair's binary string order; the rewrite is `replace` (left-to-right
+    * non-overlapping — exactly BPE's greedy merge order) with
+    * sentinel-wrapped symbols so a pattern can never match inside a
+    * symbol. Both engines implement `replace` identically, which is what
+    * lets the DuckDB oracle replay the whole training run. */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val S = "\u0001" // symbol sentinel: never appears in fixture text
+    var seg = tokenized(docs).select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("seg", concat_ws(" ",
+        expr(s"transform(regexp_extract_all(w, '.', 0), c -> concat('$S', c, '$S'))")))
+      .select("wc", "seg")
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    for (r <- 1 to merges) {
+      val picked = seg
+        .select(col("wc"), split(col("seg"), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (picked.nonEmpty) {
+        val pair = picked(0).getString(0)
+        val merged = S + pair.replace(S, "").replace(" ", "") + S
+        out += ((r.toLong, pair.replace(S, "").replace(" ", "+"),
+          picked(0).getLong(1)))
+        seg = seg.withColumn("seg",
+            call_function("replace", col("seg"), lit(pair), lit(merged)))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("rank", "pair", "cnt")
+  }
+
   /** Per-doc TF-IDF top terms: the k highest-weight terms of each doc
     * under tfidf = tf · ln((N + 1)/(df + 1)) (add-one-smoothed idf — no
     * divide-by-zero, boilerplate terms damp toward 0). The "what is this

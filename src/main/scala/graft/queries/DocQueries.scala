@@ -505,6 +505,16 @@ object DocQueries {
     "tokenizer_pair_stats" -> ((s, dir) => DocPipeline.bpePairStats(d(s, dir))
       .orderBy("rank")),
 
+    // Full BPE training run (5 greedy merges): pair census → argmax →
+    // census rewrite, iterated — the tokenizer trainer itself, not just
+    // one round's statistics. The DuckDB oracle replays the identical
+    // 5 rounds as unrolled CTEs (both sides use left-to-right
+    // non-overlapping `replace` over sentinel-wrapped symbols, which IS
+    // BPE's greedy merge order), so the hash match certifies the whole
+    // training trajectory, merge by merge.
+    "tokenizer_bpe_train" -> ((s, dir) => DocPipeline.bpeTrain(d(s, dir), 5)
+      .orderBy("rank")),
+
     // training-mix balance report: per-(lang, source) share + Shannon
     // entropy contribution −p·ln p — the audit sample_mix_weighted's
     // weights are tuned against; a collapsed mix shows up as entropy
@@ -1564,6 +1574,37 @@ object DocQueries {
         |  FROM bpc)""".stripMargin,
       """SELECT CAST(rank AS BIGINT) AS rank, pair, cnt
         |FROM bpr WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    "tokenizer_bpe_train" -> {
+      val K = 5
+      val init =
+        """bseg0 AS (
+          |  SELECT wc, array_to_string(list_transform(regexp_extract_all(w, '.'),
+          |    c -> chr(1) || c || chr(1)), ' ') AS seg
+          |  FROM (SELECT w, count(*) AS wc
+          |        FROM (SELECT unnest(t) AS w FROM toks) z GROUP BY w) wcs)""".stripMargin
+      val rounds = (1 to K).map { r =>
+        s"""bpair$r AS (
+           |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+           |      i -> s[i] || ' ' || s[i + 1])) AS pair
+           |    FROM (SELECT wc, string_split(seg, ' ') AS s FROM bseg${r - 1}) t
+           |    WHERE len(s) >= 2) p
+           |  GROUP BY pair
+           |), bpick$r AS (
+           |  SELECT pair, cnt FROM bpair$r ORDER BY cnt DESC, pair LIMIT 1
+           |), bseg$r AS (
+           |  SELECT wc, replace(seg, p.pair,
+           |    chr(1) || replace(replace(p.pair, chr(1), ''), ' ', '') || chr(1))
+           |      AS seg
+           |  FROM bseg${r - 1} CROSS JOIN bpick$r p)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to K).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, " +
+          "replace(replace(pair, chr(1), ''), ' ', '+') AS pair, cnt " +
+          s"FROM bpick$r").mkString("\nUNION ALL\n")
+      docsWith(init + ",\n" + rounds, finals + "\nORDER BY rank")
+    },
 
     "corpus_mix_entropy" -> docsWith(
       """mixc AS (

@@ -645,4 +645,16 @@ class DocOpsSpec extends SparkSpec {
     assert(got(8L) == (("*", "*", -1L, true)),
       "same (lang, source) but a different length bucket is its own group")
   }
+
+  test("bpeTrain learns the classic low/lower/lowest merges in order") {
+    // word census: low ×3, lower ×1, lowest ×1. Weighted pair counts:
+    // l·o=5, o·w=5 (tie → 'l' sorts first), then lo·w=5, low·e=2, and
+    // finally the cnt-1 ties lowe·r < lowe·s (binary order on the left
+    // symbol's first differing char decides s·t last).
+    val docs = Seq((0L, "low low low lower lowest")).toDF("doc_id", "text")
+    val got = graft.docs.DocPipeline.bpeTrain(docs, 5).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "l+o", 5L), (2L, "lo+w", 5L), (3L, "low+e", 2L),
+      (4L, "lowe+r", 1L), (5L, "lowe+s", 1L)), s"got: $got")
+  }
 }
