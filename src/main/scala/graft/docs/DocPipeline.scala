@@ -1105,12 +1105,37 @@ object DocPipeline {
   def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, merges)._1.toDF("rank", "pair", "cnt")
+  }
+
+  /** Apply side of the tokenizer: per-doc segmentation stats after K
+    * trained merges — word/char/symbol counts and the chars-per-symbol
+    * compression the merges bought. The doc→word explode joins the
+    * (vocabulary-bounded, broadcastable) trained census; no per-doc
+    * retokenization loop exists anywhere. */
+  def bpeSegmentStats(docs: DataFrame, merges: Int): DataFrame = {
+    val seg = bpeCore(docs, merges)._2
+    tokenized(docs).select(col("doc_id"), explode(col("t")).as("w"))
+      .join(seg.select("w", "seg"), "w")
+      .select(col("doc_id"), length(col("w")).as("nc"),
+        size(split(col("seg"), " ")).as("ns"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("ns")).as("n_symbols"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_symbols"))
+  }
+
+  /** Shared trainer core: the merge-table rows plus the final segmented
+    * word census (w, wc, seg). */
+  private def bpeCore(docs: DataFrame,
+                      merges: Int): (Seq[(Long, String, Long)], DataFrame) = {
     val S = "\u0001" // symbol sentinel: never appears in fixture text
     var seg = tokenized(docs).select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("seg", concat_ws(" ",
         expr(s"transform(regexp_extract_all(w, '.', 0), c -> concat('$S', c, '$S'))")))
-      .select("wc", "seg")
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
     for (r <- 1 to merges) {
@@ -1133,7 +1158,7 @@ object DocPipeline {
           .localCheckpoint(true)
       }
     }
-    out.toSeq.toDF("rank", "pair", "cnt")
+    (out.toSeq, seg)
   }
 
   /** Per-doc TF-IDF top terms: the k highest-weight terms of each doc

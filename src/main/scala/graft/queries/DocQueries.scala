@@ -15,6 +15,36 @@ object DocQueries {
   import DocPipeline.{FpBase, P, stopDe, stopEn, stopEs}
 
   private def d(s: SparkSession, dir: String) = DocPipeline.documents(s, dir)
+
+  /** Unrolled BPE-training CTE chain for the tokenizer oracles: bseg0
+    * (sentinel-wrapped char segmentation of the word census) and, per
+    * round r, bpair/bpick/bseg — the same greedy left-to-right replace
+    * the engine runs, so both tokenizer queries replay identically. */
+  private def bpeCtes(k: Int): String = {
+    val init =
+      """bseg0 AS (
+        |  SELECT w, wc, array_to_string(list_transform(regexp_extract_all(w, '.'),
+        |    c -> chr(1) || c || chr(1)), ' ') AS seg
+        |  FROM (SELECT w, count(*) AS wc
+        |        FROM (SELECT unnest(t) AS w FROM toks) z GROUP BY w) wcs)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""bpair$r AS (
+         |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+         |      i -> s[i] || ' ' || s[i + 1])) AS pair
+         |    FROM (SELECT wc, string_split(seg, ' ') AS s FROM bseg${r - 1}) t
+         |    WHERE len(s) >= 2) p
+         |  GROUP BY pair
+         |), bpick$r AS (
+         |  SELECT pair, cnt FROM bpair$r ORDER BY cnt DESC, pair LIMIT 1
+         |), bseg$r AS (
+         |  SELECT w, wc, replace(seg, p.pair,
+         |    chr(1) || replace(replace(p.pair, chr(1), ''), ' ', '') || chr(1))
+         |      AS seg
+         |  FROM bseg${r - 1} CROSS JOIN bpick$r p)""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + rounds
+  }
   private def e(s: SparkSession, dir: String) = EmbeddingOps.embeddings(s, dir)
 
   /** The corpus shingle index, materialized once per session — the
@@ -514,6 +544,12 @@ object DocQueries {
     // training trajectory, merge by merge.
     "tokenizer_bpe_train" -> ((s, dir) => DocPipeline.bpeTrain(d(s, dir), 5)
       .orderBy("rank")),
+
+    // Apply side: per-doc word/char/symbol counts + compression after
+    // the 5 trained merges — docs join the (vocabulary-bounded) trained
+    // census, no per-doc retokenization loop.
+    "tokenizer_bpe_apply" -> ((s, dir) =>
+      DocPipeline.bpeSegmentStats(d(s, dir), 5).orderBy("doc_id")),
 
     // training-mix balance report: per-(lang, source) share + Shannon
     // entropy contribution −p·ln p — the audit sample_mix_weighted's
@@ -1576,35 +1612,22 @@ object DocQueries {
         |FROM bpr WHERE rank <= 20 ORDER BY rank""".stripMargin),
 
     "tokenizer_bpe_train" -> {
-      val K = 5
-      val init =
-        """bseg0 AS (
-          |  SELECT wc, array_to_string(list_transform(regexp_extract_all(w, '.'),
-          |    c -> chr(1) || c || chr(1)), ' ') AS seg
-          |  FROM (SELECT w, count(*) AS wc
-          |        FROM (SELECT unnest(t) AS w FROM toks) z GROUP BY w) wcs)""".stripMargin
-      val rounds = (1 to K).map { r =>
-        s"""bpair$r AS (
-           |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
-           |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
-           |      i -> s[i] || ' ' || s[i + 1])) AS pair
-           |    FROM (SELECT wc, string_split(seg, ' ') AS s FROM bseg${r - 1}) t
-           |    WHERE len(s) >= 2) p
-           |  GROUP BY pair
-           |), bpick$r AS (
-           |  SELECT pair, cnt FROM bpair$r ORDER BY cnt DESC, pair LIMIT 1
-           |), bseg$r AS (
-           |  SELECT wc, replace(seg, p.pair,
-           |    chr(1) || replace(replace(p.pair, chr(1), ''), ' ', '') || chr(1))
-           |      AS seg
-           |  FROM bseg${r - 1} CROSS JOIN bpick$r p)""".stripMargin
-      }.mkString(",\n")
-      val finals = (1 to K).map(r =>
+      val finals = (1 to 5).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, " +
           "replace(replace(pair, chr(1), ''), ' ', '+') AS pair, cnt " +
           s"FROM bpick$r").mkString("\nUNION ALL\n")
-      docsWith(init + ",\n" + rounds, finals + "\nORDER BY rank")
+      docsWith(bpeCtes(5), finals + "\nORDER BY rank")
     },
+
+    "tokenizer_bpe_apply" -> docsWith(bpeCtes(5),
+      """SELECT dw.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(dw.w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(b.seg, ' '))) AS BIGINT) AS n_symbols,
+        |  CAST(CAST(sum(len(dw.w)) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(len(string_split(b.seg, ' '))) AS BIGINT) AS compression
+        |FROM (SELECT doc_id, unnest(t) AS w FROM toks) dw
+        |JOIN bseg5 b ON dw.w = b.w
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
 
     "corpus_mix_entropy" -> docsWith(
       """mixc AS (
