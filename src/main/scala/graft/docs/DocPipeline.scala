@@ -1113,8 +1113,17 @@ object DocPipeline {
     * compression the merges bought. The doc→word explode joins the
     * (vocabulary-bounded, broadcastable) trained census; no per-doc
     * retokenization loop exists anywhere. */
-  def bpeSegmentStats(docs: DataFrame, merges: Int): DataFrame = {
-    val seg = bpeCore(docs, merges)._2
+  def bpeSegmentStats(docs: DataFrame, merges: Int): DataFrame =
+    bpeSegmentStatsFromCensus(docs, bpeTrainedCensus(docs, merges))
+
+  /** The trained segmented word census (w, wc, seg) after K merges —
+    * memoize/persist this once per corpus and let every apply-side
+    * reader join it (the session analog of a published tokenizer). */
+  def bpeTrainedCensus(docs: DataFrame, merges: Int): DataFrame =
+    bpeCore(docs, merges)._2
+
+  /** [[bpeSegmentStats]] over a precomputed trained census. */
+  def bpeSegmentStatsFromCensus(docs: DataFrame, seg: DataFrame): DataFrame = {
     tokenized(docs).select(col("doc_id"), explode(col("t")).as("w"))
       .join(seg.select("w", "seg"), "w")
       .select(col("doc_id"), length(col("w")).as("nc"),

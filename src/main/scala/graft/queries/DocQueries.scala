@@ -547,9 +547,15 @@ object DocQueries {
 
     // Apply side: per-doc word/char/symbol counts + compression after
     // the 5 trained merges — docs join the (vocabulary-bounded) trained
-    // census, no per-doc retokenization loop.
+    // census, no per-doc retokenization loop. The census is memoized
+    // (the session analog of a PUBLISHED tokenizer): training runs once,
+    // every apply-side reader joins the same materialization.
     "tokenizer_bpe_apply" -> ((s, dir) =>
-      DocPipeline.bpeSegmentStats(d(s, dir), 5).orderBy("doc_id")),
+      DocPipeline.bpeSegmentStatsFromCensus(d(s, dir),
+          Memo.of(s, s"$dir/bpe_census5") {
+            DocPipeline.bpeTrainedCensus(d(s, dir), 5)
+          })
+        .orderBy("doc_id")),
 
     // training-mix balance report: per-(lang, source) share + Shannon
     // entropy contribution −p·ln p — the audit sample_mix_weighted's
