@@ -30,27 +30,58 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
     coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
 
   /** Full daily run over the fixture lake. Returns (core, fact) counts. */
-  def runDaily(sfDir: String, runId: String): (Long, Long) = {
+  def runDaily(sfDir: String, runId: String): (Long, Long) =
+    runStages(sfDir, runId, Set.empty)
+
+  /** Crash recovery: re-enter `runId`, skipping every stage its run log
+    * already records SUCCEEDED. Safe because each stage boundary is a
+    * completed atomic table overwrite — a skipped stage's published
+    * output IS the state the crashed run left; only the counts the
+    * later gates need are re-read. The reference's analog is ADF's
+    * rerun-from-failed-activity. */
+  def resumeDaily(sfDir: String, runId: String): (Long, Long) =
+    runStages(sfDir, runId, succeededStages(runId))
+
+  /** Stages `runId` has already completed, per the persisted run log. */
+  def succeededStages(runId: String): Set[String] =
+    log.runLog.read
+      .filter(col("run_id") === runId && col("status") === "SUCCEEDED")
+      .select("stage").collect().map(_.getString(0)).toSet
+
+  private def runStages(sfDir: String, runId: String,
+                        done: Set[String]): (Long, Long) = {
     // ---- raw → stg (pl_raw_to_stg_nyctaxi) ----
-    log.logRun(runId, "raw_to_stg", "STARTED")
     val stgDf = TaxiModel.tripsWithDups(spark, sfDir)
     val stg = table("stg_trip", stgDf)
-    // StagingDQ metrics ride the write action itself (Dataset.observe):
-    // the gate costs ZERO extra scans — at 100 TB a post-write re-count
-    // is a second full pass over the table.
-    val stgObs = Observation()
-    stg.overwrite(stgDf.observe(stgObs, // idempotent slice replace
-      org.apache.spark.sql.functions.count(lit(1)).as("rows"),
-      obsCount(col("fare_amount") < 0).as("neg_fare")))
-    val stgM = stgObs.get
-    val stgRows = stgM("rows").asInstanceOf[Long]
-    Checks.gate(log, runId, "raw_to_stg", code = 51000, Seq(
-      failIfEmpty("rowcount_stg_gt_0", stgRows),
-      warnIfAny("negative_fare_stg", stgM("neg_fare").asInstanceOf[Long])))
-    log.logRun(runId, "raw_to_stg", "SUCCEEDED", rowsOut = stgRows)
+    val stgRows = if (done("raw_to_stg")) stg.read.count() else {
+      log.logRun(runId, "raw_to_stg", "STARTED")
+      // StagingDQ metrics ride the write action itself (Dataset.observe):
+      // the gate costs ZERO extra scans — at 100 TB a post-write re-count
+      // is a second full pass over the table.
+      val stgObs = Observation()
+      stg.overwrite(stgDf.observe(stgObs, // idempotent slice replace
+        org.apache.spark.sql.functions.count(lit(1)).as("rows"),
+        obsCount(col("fare_amount") < 0).as("neg_fare")))
+      val stgM = stgObs.get
+      val rows = stgM("rows").asInstanceOf[Long]
+      Checks.gate(log, runId, "raw_to_stg", code = 51000, Seq(
+        failIfEmpty("rowcount_stg_gt_0", rows),
+        warnIfAny("negative_fare_stg", stgM("neg_fare").asInstanceOf[Long])))
+      log.logRun(runId, "raw_to_stg", "SUCCEEDED", rowsOut = rows)
+      rows
+    }
 
     // ---- stg → core (pl_stg_to_core_nyctaxi) ----
-    log.logRun(runId, "stg_to_core", "STARTED")
+    if (done("stg_to_core")) {
+      val coreRows = table("core_trip_clean",
+        TaxiModel.deduped(TaxiModel.cleaned(stg.read,
+          TaxiModel.paymentTypeMap(spark)))).read.count()
+      val errRows = table("err_trip",
+        stg.read.filter(!TaxiModel.domainFilter)
+          .withColumn("reject_reason", TaxiModel.rejectReason)).read.count()
+      runModelStages(sfDir, runId, done, stg, stgRows, coreRows, errRows)
+    } else {
+      log.logRun(runId, "stg_to_core", "STARTED")
     val cleaned = TaxiModel.cleaned(stg.read, TaxiModel.paymentTypeMap(spark))
     val rejects = stg.read.filter(!TaxiModel.domainFilter)
       .withColumn("reject_reason", TaxiModel.rejectReason)
@@ -89,6 +120,35 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
       failUnless("core_plus_err_le_stg", coreRows + errRows, _ <= stgRows)))
     log.logRun(runId, "stg_to_core", "SUCCEEDED", rowsIn = stgRows,
       rowsOut = coreRows, rowsErr = errRows)
+    runModelStages(sfDir, runId, done, stg, stgRows, coreRows, errRows)
+    }
+  }
+
+  /** Stages 3-4 (core → mdl, post-load stats), shared by the fresh and
+    * resume paths. */
+  private def runModelStages(sfDir: String, runId: String, done: Set[String],
+                             stg: ParquetTable, stgRows: Long,
+                             coreRows: Long, errRows: Long): (Long, Long) = {
+    val core = table("core_trip_clean",
+      TaxiModel.deduped(TaxiModel.cleaned(stg.read,
+        TaxiModel.paymentTypeMap(spark))))
+    val factDf0 = StarModel.fact(core.read,
+      StarModel.dim(core.read, "vendor_code", "vendor_nk", "vendor_sk"),
+      StarModel.dim(core.read, "payment_type", "payment_nk", "payment_sk"),
+      StarModel.dim(core.read, "rate_code", "rate_nk", "rate_sk"),
+      StarModel.dim(core.read, "flag_raw", "flag_nk", "flag_sk"),
+      StarModel.dimLocation(core.read))
+    val fact0 = table("fact_trip", factDf0)
+    if (done("core_to_mdl")) {
+      val factRows = fact0.read.count()
+      if (!done("postload_stats")) {
+        log.logRun(runId, "postload_stats", "STARTED")
+        val analyzed = Maintenance.analyzeTables(spark, warehouseDir)
+        log.logRun(runId, "postload_stats", "SUCCEEDED",
+          rowsOut = analyzed.values.sum)
+      }
+      return (coreRows, factRows)
+    }
 
     // ---- core → mdl (pl_core_to_mdl_nyctaxi) ----
     log.logRun(runId, "core_to_mdl", "STARTED")

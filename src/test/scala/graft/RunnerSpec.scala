@@ -139,4 +139,34 @@ class RunnerSpec extends SparkSpec {
       "vendor_code", "vendor_nk", "vendor_sk")
     assert(again.count() == upserted.count())
   }
+
+  test("resumeDaily skips SUCCEEDED stages and completes the rest") {
+    val wh = tmpDir("graft_resume_wh")
+    val runner = Runner(spark, wh)
+    val (coreRows, factRows) = runner.runDaily(sf(), "run-res-1")
+
+    // full-rerun resume: every stage already SUCCEEDED -> nothing
+    // restarts, counts come back from the published tables
+    val startedBefore = runner.log.runLog.read
+      .filter(col("status") === "STARTED").count()
+    val (c2, f2) = runner.resumeDaily(sf(), "run-res-1")
+    assert((c2, f2) == ((coreRows, factRows)), "resume reproduces counts")
+    assert(runner.log.runLog.read.filter(col("status") === "STARTED").count()
+      == startedBefore, "no stage restarted on a fully-complete run")
+
+    // crash-after-stage-1: a new run that only recorded raw_to_stg
+    // SUCCEEDED (stg_trip is on disk from the published overwrite)
+    runner.log.logRun("run-res-2", "raw_to_stg", "SUCCEEDED")
+    val (c3, f3) = runner.resumeDaily(sf(), "run-res-2")
+    assert((c3, f3) == ((coreRows, factRows)))
+    val r2 = runner.log.runLog.read.filter(col("run_id") === "run-res-2")
+    assert(r2.filter(col("stage") === "raw_to_stg" &&
+      col("status") === "STARTED").count() == 0,
+      "the completed stage never restarts")
+    assert(r2.filter(col("stage") === "stg_to_core" &&
+      col("status") === "SUCCEEDED").count() == 1 &&
+      r2.filter(col("stage") === "core_to_mdl" &&
+        col("status") === "SUCCEEDED").count() == 1,
+      "the remaining stages ran to completion under the resumed run id")
+  }
 }
