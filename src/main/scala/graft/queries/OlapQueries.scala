@@ -37,7 +37,8 @@ object OlapQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,6)")).cast("double")
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = allQueries
+  private lazy val allQueries: Map[String, QFn] = giniQueries ++ Map(
     // TPC-H Q1 shape: pricing summary report — the grouped full-scan
     // rollup every warehouse runs nightly. One map-side-combined shuffle
     // on a 6-group key census.
@@ -225,7 +226,50 @@ object OlapQueries {
         count(lit(1)).as("n_lines"))),
   )
 
+  private lazy val giniQueries: Map[String, QFn] = Map(
+    // Revenue-concentration report: the Gini coefficient over per-customer
+    // revenue — the "do 1% of customers carry the book?" audit, the same
+    // inequality lens a training-mix review applies to source weights.
+    // The global rank runs over the CUSTOMER CENSUS (one row per
+    // customer after the first aggregate), so the single-partition
+    // window is census-bounded — swap in ops/GlobalRowNumber if even the
+    // census outgrows one task. Σ i·rev stays in DECIMAL(38,2) (revenue
+    // has 2 decimals, so the product is exact and the total's backing
+    // integer stays far under 2^53 — see the dsum note above).
+    "agg_gini_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = graft.Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      val ranked = rev.withColumn("i",
+        row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("rev")).cast("double").as("total"),
+          sum((col("i") * col("rev")).cast("decimal(38,2)")).cast("double").as("s"))
+        .select(col("n").as("n_customers"), col("total").as("total_revenue"),
+          ((lit(2.0) * col("s")) / (col("n") * col("total")) -
+            (col("n") + lit(1.0)) / col("n")).as("gini"))
+    }),
+  )
+
   val oracles: Map[String, String] = Map(
+    "agg_gini_revenue" ->
+      """WITH crev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders GROUP BY 1
+        |), cr AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+        |  FROM crev
+        |), ag AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(rev) AS DOUBLE) AS total,
+        |    CAST(SUM(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE) AS s
+        |  FROM cr)
+        |SELECT n AS n_customers, total AS total_revenue,
+        |  (2.0 * s) / (n * total) - (n + 1.0) / n AS gini
+        |FROM ag""".stripMargin,
+
     "olap_pricing_summary" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,
