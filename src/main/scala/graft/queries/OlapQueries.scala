@@ -227,6 +227,28 @@ object OlapQueries {
   )
 
   private lazy val giniQueries: Map[String, QFn] = Map(
+    // Decile table for the same concentration story Gini compresses to
+    // one number: customers ranked by revenue, cut into tenths, each
+    // tenth's share of the book. ntile over the census (same bound as
+    // the Gini rank); share is one division of identical decimal-exact
+    // doubles.
+    "agg_decile_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = graft.Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      val deciled = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+      deciled.groupBy("decile")
+        .agg(count(lit(1)).as("customers"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .crossJoin(broadcast(
+          rev.agg(sum(col("rev")).cast("double").as("total"))))
+        .select(col("decile"), col("customers"), col("revenue"),
+          (col("revenue") / col("total")).as("share"))
+        .orderBy("decile")
+    }),
+
     // Revenue-concentration report: the Gini coefficient over per-customer
     // revenue — the "do 1% of customers carry the book?" audit, the same
     // inequality lens a training-mix review applies to source weights.
@@ -254,6 +276,21 @@ object OlapQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_decile_share" ->
+      """WITH crev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders GROUP BY 1
+        |), dt AS (
+        |  SELECT rev,
+        |    CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS INT) AS decile
+        |  FROM crev
+        |), tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS total FROM crev)
+        |SELECT decile, count(*) AS customers,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) AS DOUBLE) / total AS share
+        |FROM dt CROSS JOIN tot
+        |GROUP BY decile, total ORDER BY decile""".stripMargin,
+
     "agg_gini_revenue" ->
       """WITH crev AS (
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
