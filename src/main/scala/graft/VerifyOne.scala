@@ -15,12 +15,19 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     // Start from a clean dir: stale result dirs from earlier invocations
     // otherwise show up in oracle_check's rows-only NOTE and mislead.
+    // Guard: a misconfigured SPARK_GRAFT_OUT_DIR (e.g. $HOME) must NOT be
+    // recursively wiped — only /tmp paths get the full clean; anywhere
+    // else we delete just the per-query subdirs we are about to rewrite.
     val root = new java.io.File(outDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    if (root.exists()) rm(root)
+    if (root.getCanonicalPath.startsWith("/tmp/")) { if (root.exists()) rm(root) }
+    else names.foreach { n =>
+      val sub = new java.io.File(root, n)
+      if (sub.exists()) rm(sub)
+    }
     root.mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -35,8 +35,15 @@ object Export {
     val assigned = GlobalPrefixSum
       .withRunningTotal(sel, "ws_tokens", "cum", Seq("doc_id"))
       .withColumn("shard_id", expr(s"(cum - ws_tokens) div $tokensPerShard"))
+    // repartitionByRange, not hash repartition: hash-partitioning shard_id
+    // routinely COLLIDES arbitrary shards into one task, so the "one
+    // shard's token budget per task" memory bound would not actually
+    // hold. Ranging on shard_id alone keeps every shard whole (equal
+    // keys never split → still exactly one file per shard dir) while a
+    // task holds at most a contiguous ⌈shards/tasks⌉ run — ≈ one shard
+    // once shard count reaches the partition count.
     assigned.select("shard_id", "doc_id", "lang", "source", "ws_tokens", "text")
-      .repartition(col("shard_id"))
+      .repartitionByRange(col("shard_id"))
       .sortWithinPartitions("shard_id", "doc_id")
       .write.mode("overwrite").partitionBy("shard_id").json(outDir)
     manifestOf(assigned)

@@ -196,6 +196,35 @@ object Maintenance {
       }
     }
 
+  final case class MarkerSweepResult(kept: Seq[Long], removed: Seq[Long])
+
+  /** Commit-marker retention for the 3-sink publish protocol
+    * ([[graft.stream.Ingest]]): `_graft_commits/batch-<id>` accumulates
+    * one tiny marker file per micro-batch FOREVER — a month of 1-minute
+    * batches is ~43k files of pure listing drag. A marker's only job is
+    * to short-circuit a REPLAY of its batch id, and Structured Streaming
+    * replays at most the batches at or after the checkpoint's last
+    * committed epoch — so every marker strictly below that watermark
+    * (minus whatever safety margin the caller passes) is dead weight.
+    * Sweeps markers with id < `keepBelow`; pass the checkpoint's last
+    * committed batch id (or that minus a margin). Idempotent, crash-safe
+    * (a half-swept dir just sweeps again), and never touches data files.
+    * Fold into the same scheduled sweep as [[retentionPurge]] /
+    * [[vacuumOrphans]]. */
+  def sweepCommitMarkers(spark: SparkSession, sinkDir: String,
+                         keepBelow: Long): MarkerSweepResult = {
+    val commits = new Path(s"$sinkDir/_graft_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) return MarkerSweepResult(Nil, Nil)
+    val ids = fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch-") =>
+        scala.util.Try(n.stripPrefix("batch-").toLong).toOption }
+      .flatten
+    val (sweep, keep) = ids.partition(_ < keepBelow)
+    sweep.foreach(id => fs.delete(new Path(commits, s"batch-$id"), false))
+    MarkerSweepResult(keep.sorted, sweep.sorted)
+  }
+
   /** Insert-if-absent unknown member (`err/seed_unknowns.sql:5-47`): every
     * dim carries SK -1 / NK 'UNKNOWN' so fact FK resolution can COALESCE
     * to it without null keys. */

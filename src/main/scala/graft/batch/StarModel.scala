@@ -1,8 +1,7 @@
 package graft.batch
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.functions.TaxiFunctions._
 import graft.model.TaxiModel
@@ -10,47 +9,61 @@ import graft.model.TaxiModel
 /** Star-schema build (`mdl.*`) — SURVEY.md §2.4 `upsert_dim_antijoin`,
   * `join_fact_dims`, `join_star_view`; ref: sql/batchELT/mdl/.
   *
-  * Dims here are *deterministic*: SK = row_number over NK ordering — the
-  * reproducible analog of the reference's IDENTITY columns (SURVEY §7.4
-  * decision 4; `monotonically_increasing_id` is banned from declared
-  * queries). At scale the dim domains are tiny (vendors, payment types,
-  * rates, flags, TLC zones ≤ a few hundred members), so the single-partition
-  * window over the *distinct NK set* is O(|dim|), not O(|fact|), and every
-  * fact-side resolve is a broadcast join — no fact shuffle.
+  * Dims here are *deterministic*: SK = position in the sorted distinct-NK
+  * set — the reproducible analog of the reference's IDENTITY columns
+  * (SURVEY §7.4 decision 4; `monotonically_increasing_id` is banned from
+  * declared queries). At scale the dim domains are tiny and FIXED
+  * (vendors, payment types, rates, flags, TLC zones ≤ a few hundred
+  * members — bounded by the domain, not the data), so the distinct runs
+  * map-side-combined over the fact and the numbering happens on the
+  * DRIVER over the collected O(|dim|) census — the same bounded-collect
+  * class as k×dims centroids. The resulting dim is a LocalRelation,
+  * which makes every fact-side resolve a free broadcast join (no dim
+  * lineage recompute, no fact shuffle) and keeps declared plans clear of
+  * partition-less windows (PlanGuardSpec bans the shape).
   */
 object StarModel {
 
-  /** Deterministic dim from the distinct non-null NKs of `src(col)`. */
-  def dim(src: DataFrame, nkCol: String, nkName: String, skName: String): DataFrame = {
-    val w = Window.orderBy(col(nkName))
-    src.select(col(nkCol).as(nkName)).filter(col(nkName).isNotNull).distinct()
-      .withColumn(skName, row_number().over(w).cast("int"))
+  /** Driver-side SK numbering of a bounded, already-sorted census:
+    * appends `skName` = base + 1-based position as an INT column and
+    * returns a LocalRelation. Safe ONLY for domain-bounded frames
+    * (callers document their bound); a data-scaled frame must use
+    * [[graft.ops.GlobalRowNumber]] instead. */
+  private def numbered(sorted: DataFrame, skName: String, base: Int = 0): DataFrame = {
+    val rows = sorted.collect() // O(|dim domain|)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        skName, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val data: java.util.List[Row] = java.util.Arrays.asList(
+      rows.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i + 1)) }: _*)
+    sorted.sparkSession.createDataFrame(data, schema)
   }
+
+  /** Deterministic dim from the distinct non-null NKs of `src(col)`. */
+  def dim(src: DataFrame, nkCol: String, nkName: String, skName: String): DataFrame =
+    numbered(src.select(col(nkCol).as(nkName)).filter(col(nkName).isNotNull)
+      .distinct().orderBy(nkName), skName)
 
   /** Role-played location dim: distinct union of PU and DO ids
     * (ref: 14_dim_location.upsert.sql:4-11, `setop_union_distinct`). */
-  def dimLocation(deduped: DataFrame): DataFrame = {
-    val nks = deduped.select(col("pu_location_id").as("loc_nk"))
+  def dimLocation(deduped: DataFrame): DataFrame =
+    numbered(deduped.select(col("pu_location_id").as("loc_nk"))
       .union(deduped.select(col("do_location_id")))
-      .filter(col("loc_nk").isNotNull).distinct()
-    nks.withColumn("loc_sk", row_number().over(Window.orderBy(col("loc_nk"))).cast("int"))
-  }
+      .filter(col("loc_nk").isNotNull).distinct().orderBy("loc_nk"), "loc_sk")
 
   /** Anti-join dim upsert (ref: 10_dim_vendor.upsert.sql:3-14): append the
     * NKs present in `src` but missing from `existing`, with SKs continuing
-    * after max(existing). This is the *library* operator; declared oracle
-    * queries use the deterministic [[dim]] form. */
+    * after max(existing). The anti join ships only the distinct new NKs
+    * (domain-bounded, like [[dim]]); `existing` stays distributed. */
   def upsertDim(existing: DataFrame, src: DataFrame, nkCol: String,
                 nkName: String, skName: String): DataFrame = {
     val newNks = src.select(col(nkCol).as(nkName)).filter(col(nkName).isNotNull)
       .distinct()
       .join(existing.select(nkName), Seq(nkName), "left_anti")
-    val base = existing.agg(coalesce(max(col(skName)), lit(0)).as("mx"))
-    val appended = newNks
-      .withColumn("rn", row_number().over(Window.orderBy(col(nkName))))
-      .crossJoin(broadcast(base))
-      .select(col(nkName), (col("mx") + col("rn")).cast("int").as(skName))
-    existing.unionByName(appended)
+      .orderBy(nkName)
+    val mx = existing.agg(coalesce(max(col(skName)), lit(0)).cast("int"))
+      .first().getInt(0)
+    existing.unionByName(numbered(newNks, skName, base = mx))
   }
 
   /** Fact load (ref: 40_fact_trip.load.sql:70-107): SHA-256 degenerate

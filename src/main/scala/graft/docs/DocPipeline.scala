@@ -1000,11 +1000,13 @@ object DocPipeline {
     * Scale shape: counters are built FROM the word-count table, not the
     * raw occurrence stream (the sums are identical, and the word table is
     * Zipf-bounded ≪ corpus tokens); the sketch itself is depth × width
-    * rows (256 here). The global top-k window runs over that same
-    * Zipf-bounded word table — at 100 TB swap it for
-    * [[graft.ops.GlobalRowNumber]] if the vocabulary ever stops fitting a
-    * task. Hashes are sha256-prefix ([[graft.functions.Sha256Prefix64]],
-    * codegen'd) with a per-row salt. */
+    * rows (256 here). The top-k pick is `orderBy().limit(k)` — Spark
+    * plans TakeOrderedAndProject (per-partition partial top-k merged on
+    * the driver, NO global sort) — with ranks assigned driver-side over
+    * the ≤ topK collected rows, so the plan carries no partition-less
+    * window. Hashes are sha256-prefix
+    * ([[graft.functions.Sha256Prefix64]], codegen'd) with a per-row
+    * salt. */
   def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 64,
                       topK: Int = 10): DataFrame = {
     val exact = tokenized(docs)
@@ -1018,10 +1020,17 @@ object DocPipeline {
     }.reduce(_ unionByName _)
     val counters = hashed.groupBy("row_j", "bucket")
       .agg(sum(col("exact_cnt")).as("counter"))
-    val top = exact.withColumn("rank", row_number().over(
-        Window.orderBy(col("exact_cnt").desc, col("w"))))
-      .filter(col("rank") <= topK)
-    hashed.join(broadcast(top.select("w", "rank")), "w")
+    val topRows = exact.orderBy(col("exact_cnt").desc, col("w")).limit(topK)
+      .select("w").collect() // ≤ topK rows off a TakeOrderedAndProject
+    val top = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(topRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), (i + 1).toLong) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType))))
+    hashed.join(broadcast(top), "w")
       // counters ≤ depth × width rows by construction — always broadcast
       .join(broadcast(counters), Seq("row_j", "bucket"))
       .groupBy("w", "exact_cnt", "rank")
@@ -1066,21 +1075,32 @@ object DocPipeline {
     * Scale shape: the char-pair explode is narrow; the ONE shuffle
     * aggregates a census bounded by |alphabet|² (≤ ~4k for ASCII text) —
     * map-side combine collapses corpus-scale input to that census per
-    * task. The top-k window runs over the census only. A full BPE train
+    * task. The top-k pick is `orderBy().limit(k)` (TakeOrderedAndProject
+    * — per-partition partial top-k, no global sort) with ranks assigned
+    * driver-side over the ≤ topK collected rows. A full BPE train
     * iterates this op against a re-segmented corpus; each round keeps the
     * same one-shuffle shape. */
-  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame =
-    tokenized(docs)
+  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val topRows = tokenized(docs)
       .select(explode(col("t")).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("pair"))))
-      .filter(col("rank") <= topK)
-      .select(col("rank").cast("long").as("rank"), col("pair"), col("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+      .collect()
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(topRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, r.getString(0), r.getLong(1)) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pair",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
+  }
 
   /** Distributed BPE training (greedy merges, the algorithm behind GPT
     * tokenizers): segment every distinct word into sentinel-wrapped

@@ -87,9 +87,16 @@ object AsofJoin {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_pay"): _*)
     // ties sort right(0)-first in both directions, so a right row AT the
-    // left timestamp is always visible (inclusive bound)
+    // left timestamp is always visible (inclusive bound). `_pay` as the
+    // final sort key makes the pick DETERMINISTIC when several right rows
+    // share (key, ts): the maximum payload struct wins, instead of
+    // whichever row the shuffle happened to order last. Left rows all
+    // carry NULL `_pay` and sort after every right row at their ts
+    // (`_side` dominates), so their frames see exactly the right rows at
+    // or before their timestamp regardless of how the left ties order.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (fwd) col("_ts").desc else col("_ts").asc, col("_side"))
+      .orderBy(if (fwd) col("_ts").desc else col("_ts").asc, col("_side"),
+        col("_pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scalable total-order ROW_NUMBER — what `Window.orderBy` without a
@@ -30,11 +30,28 @@ import org.apache.spark.sql.functions._
 object GlobalRowNumber {
 
   def withRowNumber(df: DataFrame, rnCol: String, sortCols: Seq[String],
-                    numPartitions: Int = 0): DataFrame = {
+                    numPartitions: Int = 0): DataFrame =
+    withRowNumberExpr(df, rnCol, sortCols.map(col), numPartitions)
+
+  /** Column-expression variant: sort orderings may carry direction
+    * (`col("rev").desc`) — `repartitionByRange` and
+    * `sortWithinPartitions` both honor SortOrder, so a descending global
+    * rank costs the same one shuffle as an ascending one. */
+  def withRowNumberExpr(df: DataFrame, rnCol: String, sortExprs: Seq[Column],
+                        numPartitions: Int = 0): DataFrame =
+    withRowNumberExprCounted(df, rnCol, sortExprs, numPartitions)._1
+
+  /** [[withRowNumberExpr]] plus the TOTAL row count, read off the same
+    * per-partition counts the numbering pass already collected — free,
+    * and it lets a caller needing `n` (e.g. the arithmetic
+    * [[ntileFromRank]]) embed it as a LITERAL instead of paying a
+    * count scan + 1-row broadcast join. */
+  def withRowNumberExprCounted(df: DataFrame, rnCol: String, sortExprs: Seq[Column],
+                               numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val cols = sortCols.map(col)
+    val cols = sortExprs
     val ranged = df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("_mid", monotonically_increasing_id())
@@ -59,6 +76,22 @@ object GlobalRowNumber {
       .drop("_mid")
       .localCheckpoint(true)
     ranged.unpersist(false)
-    out
+    (out, offsets.last)
+  }
+
+  /** SQL `NTILE(k)` bucket computed arithmetically from a 1-based global
+    * rank and the total row count — the companion to [[withRowNumberExpr]]
+    * that lets a query keep standard ntile semantics without a
+    * partition-less window: with base = ⌊n/k⌋ and r = n mod k, the first
+    * r buckets hold base+1 rows and the rest hold base (exactly what the
+    * window function assigns over the same total order). Integer-exact
+    * below 2^53 rows (the divisions go through IEEE doubles). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val base = floor(n / lit(k)).cast("long")
+    val r = pmod(n, lit(k))
+    val head = r * (base + lit(1)) // rows covered by the r fat buckets
+    when(rank <= head, floor((rank - 1) / (base + lit(1))) + lit(1))
+      .otherwise(r + floor((rank - head - 1) / base) + lit(1))
+      .cast("int")
   }
 }

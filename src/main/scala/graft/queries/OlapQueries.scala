@@ -224,26 +224,154 @@ object OlapQueries {
       .agg(dsum(dec(col("l_extendedprice")) * rate(col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q2 shape: correlated scalar MIN over a join ("the supplier
+    // offering this part's minimum price"), DECORRELATED the scalable
+    // way: per-(part, supplier) floor price as one fact aggregation, the
+    // per-part minimum as a second census-level aggregate, winners via an
+    // equi-join back on (part, price). The region/nation/size dims all
+    // broadcast into the fact scan first, so the only fact-sized shuffle
+    // is the (part, supplier) groupBy. Prices are stored doubles picked
+    // by MIN — no arithmetic, so the equality join decides identically in
+    // both engines. (The fixture has no partsupp table; lineitem plays
+    // the supply-offer role.)
+    "olap_min_price_supplier" -> ((s, d) => {
+      val esupp = graft.Tables(s, d, "supplier")
+        .join(broadcast(graft.Tables(s, d, "nation")
+          .join(broadcast(graft.Tables(s, d, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val sized = graft.Tables(s, d, "part")
+        .filter(col("p_size") === 15).select("p_partkey", "p_type")
+      val cand = graft.Tables(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(esupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sized.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice")).as("supp_price"))
+      val best = cand.groupBy("l_partkey")
+        .agg(min(col("supp_price")).as("min_price"))
+      cand.join(best, "l_partkey")
+        .filter(col("supp_price") === col("min_price"))
+        .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_type"), col("min_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution INCLUDING the
+    // zero-order customers — the left-outer histogram an inner join
+    // silently drops rows from. Scalable order: aggregate orders down to
+    // the customer census FIRST, left-join customer onto that census
+    // (never the reverse — the fact never carries customer attributes),
+    // coalesce the no-match count to 0, then the tiny second histogram
+    // groupBy. All-integer.
+    "olap_cust_order_dist" -> ((s, d) => {
+      val oc = graft.Tables(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      graft.Tables(s, d, "customer").select("c_custkey")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q21 shape: the multi-way semi+anti SELF-join — suppliers
+    // whose late shipment was the ONLY late one in a multi-supplier
+    // finished order ("kept the order waiting"). late = shipped > 90
+    // days after order date (the fixture has no commit/receipt dates).
+    // Both the EXISTS (some other supplier in the order) and NOT EXISTS
+    // (no other LATE supplier) are native left_semi/left_anti joins
+    // shuffling on the order key only, with the ≠-supplier predicate as
+    // a post-shuffle filter — never a fact×fact product; the distinct
+    // (order, supplier) projections shrink both sides before any join.
+    "olap_late_suppliers" -> ((s, d) => {
+      val late = graft.Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(graft.Tables(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 90))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        .distinct()
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      late
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(graft.Tables(s, d, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q15 shape: agg-view max selection — quarter revenue per
+    // supplier (the "view"), then the supplier(s) achieving the maximum.
+    // Decorrelated: the revenue census aggregates once, the 1-row max
+    // broadcasts back over it, and the winner filter is an equality of
+    // doubles both derived from the SAME exact-decimal sum — no
+    // recomputation, no correlated rescan. Supplier resolves broadcast.
+    "olap_top_supplier" -> ((s, d) => {
+      val rev = graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(graft.Tables(s, d, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   private lazy val giniQueries: Map[String, QFn] = Map(
     // Decile table for the same concentration story Gini compresses to
     // one number: customers ranked by revenue, cut into tenths, each
-    // tenth's share of the book. ntile over the census (same bound as
-    // the Gini rank); share is one division of identical decimal-exact
-    // doubles.
+    // tenth's share of the book. The rank is ops/GlobalRowNumber (range-
+    // repartitioned two-pass — ONE shuffle, no single-task sort), and the
+    // decile is SQL ntile semantics derived arithmetically from (rank, n):
+    // with base = ⌊n/10⌋ and r = n mod 10, the first r buckets hold
+    // base+1 rows and the rest hold base — exactly what DuckDB's
+    // ntile(10) assigns over the same total order, so the oracle keeps
+    // the natural window function while the engine side scales past one
+    // task. Share is one division of identical decimal-exact doubles.
     "agg_decile_share" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = graft.Tables(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
-      val deciled = rev.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
-      deciled.groupBy("decile")
+      val ranked = graft.ops.GlobalRowNumber.withRowNumberExpr(
+        rev, "i", Seq(col("rev").desc, col("o_custkey")))
+      // census stats come from the already-checkpointed ranked frame —
+      // no second scan of orders
+      val stats = ranked.agg(count(lit(1)).as("n"),
+        sum(col("rev")).cast("double").as("total"))
+      ranked.crossJoin(broadcast(stats))
+        .withColumn("decile",
+          graft.ops.GlobalRowNumber.ntileFromRank(col("i"), col("n"), 10))
+        .groupBy("decile")
         .agg(count(lit(1)).as("customers"),
-          sum(col("rev")).cast("double").as("revenue"))
-        .crossJoin(broadcast(
-          rev.agg(sum(col("rev")).cast("double").as("total"))))
+          sum(col("rev")).cast("double").as("revenue"),
+          first(col("total")).as("total"))
         .select(col("decile"), col("customers"), col("revenue"),
           (col("revenue") / col("total")).as("share"))
         .orderBy("decile")
@@ -252,19 +380,18 @@ object OlapQueries {
     // Revenue-concentration report: the Gini coefficient over per-customer
     // revenue — the "do 1% of customers carry the book?" audit, the same
     // inequality lens a training-mix review applies to source weights.
-    // The global rank runs over the CUSTOMER CENSUS (one row per
-    // customer after the first aggregate), so the single-partition
-    // window is census-bounded — swap in ops/GlobalRowNumber if even the
-    // census outgrows one task. Σ i·rev stays in DECIMAL(38,2) (revenue
-    // has 2 decimals, so the product is exact and the total's backing
-    // integer stays far under 2^53 — see the dsum note above).
+    // The global rank is ops/GlobalRowNumber (range-repartition + per-
+    // partition offsets), so even a customer census that outgrows one
+    // task ranks in parallel — no partition-less Window anywhere in the
+    // plan. Σ i·rev stays in DECIMAL(38,2) (revenue has 2 decimals, so
+    // the product is exact and the total's backing integer stays far
+    // under 2^53 — see the dsum note above).
     "agg_gini_revenue" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = graft.Tables(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
-      val ranked = rev.withColumn("i",
-        row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+      val ranked = graft.ops.GlobalRowNumber.withRowNumberExpr(
+        rev, "i", Seq(col("rev"), col("o_custkey")))
       ranked.agg(
           count(lit(1)).as("n"),
           sum(col("rev")).cast("double").as("total"),
@@ -334,8 +461,9 @@ object OlapQueries {
     "olap_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE)
         |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -443,5 +571,70 @@ object OlapQueries {
         |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "olap_min_price_supplier" ->
+      """WITH esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), cand AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supp_price
+        |  FROM lineitem
+        |  JOIN esupp ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT l_partkey, min(supp_price) AS min_price FROM cand GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_type,
+        |  min_price
+        |FROM cand JOIN best USING (l_partkey)
+        |JOIN esupp ON cand.l_suppkey = esupp.s_suppkey
+        |JOIN part ON cand.l_partkey = part.p_partkey
+        |WHERE supp_price = min_price
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "olap_cust_order_dist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "olap_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "olap_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |             * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |             AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

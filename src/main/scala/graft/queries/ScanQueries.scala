@@ -151,12 +151,9 @@ object ScanQueries {
     // err/seed_unknowns.sql): active payment map + the UNKNOWN(-1) member
     // every dim carries for COALESCE FK fallback.
     "seed_reference_data" -> ((s, d) => {
-      val dim = graft.model.TaxiModel.paymentTypeMap(s)
-        .filter(col("is_active"))
-        .select(col("payment_type_src").as("payment_nk"))
-        .withColumn("payment_sk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("payment_nk"))).cast("int"))
+      val dim = graft.batch.StarModel.dim(
+        graft.model.TaxiModel.paymentTypeMap(s).filter(col("is_active")),
+        "payment_type_src", "payment_nk", "payment_sk")
       graft.batch.Maintenance.withUnknownMember(dim, "payment_nk", "payment_sk")
         .orderBy("payment_sk")
     }),
@@ -276,8 +273,10 @@ object ScanQueries {
     // scans filtered on EITHER prune. The declared result is the per-chunk
     // stats report (min/max/area per 16-quantile chunk) — exactly what a
     // layout job would write to the table's file-skipping index. The
-    // global ntile here stands in for repartitionByRange(zval): fine at
-    // fixture scale, range-partition at 100 TB (GlobalRowNumber pattern).
+    // chunk assignment is ops/GlobalRowNumber (range-repartition on the
+    // z-value — the same shuffle a real layout rewrite pays) + the
+    // arithmetic ntile, so the plan carries NO partition-less window even
+    // though the oracle keeps SQL ntile(16) semantics.
     "cluster_zorder" -> ((s, d) => {
       val z = graft.Tables(s, d, "lineitem")
         .select(col("l_orderkey"),
@@ -285,9 +284,12 @@ object ScanQueries {
           pmod(col("l_partkey"), lit(256)).cast("int").as("x"),
           pmod(col("l_suppkey"), lit(256)).cast("int").as("y"))
         .withColumn("zval", graft.perf.ZOrder.zValue(col("x"), col("y")))
-      z.withColumn("chunk", ntile(16).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("zval"), col("l_orderkey"), col("line_no"))))
+      val (ranked, n) = graft.ops.GlobalRowNumber.withRowNumberExprCounted(
+        z, "i", Seq(col("zval"), col("l_orderkey"), col("line_no")))
+      ranked
+        .withColumn("chunk", // n rides as a constant-folded literal — the
+          // stats report stays join-free (PerfTechniquesSpec pins this)
+          graft.ops.GlobalRowNumber.ntileFromRank(col("i"), lit(n), 16))
         .groupBy("chunk")
         .agg(count(lit(1)).as("rows_in_chunk"),
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),

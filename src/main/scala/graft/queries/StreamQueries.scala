@@ -134,6 +134,10 @@ object StreamQueries {
     // aligned to the closest purchase by the same user, before OR after,
     // ties to the earlier side — the sensor-stream alignment where
     // "latest reading" (plain backward as-of) is wrong half the time.
+    // Same-user same-timestamp purchase duplicates resolve to the MAX
+    // payload struct (AsofJoin's window tiebreak), which the oracle
+    // mirrors with `pur_value DESC` — no reliance on the fixture never
+    // producing duplicate (user_id, ts) purchases.
     // Two one-shuffle as-of passes composed; epoch-microsecond longs
     // (nanos div 1000 — DuckDB timestamps are µs, so the oracle computes
     // the same integers) keep the distance arithmetic exact.
@@ -466,7 +470,8 @@ object StreamQueries {
         |), np AS (
         |  SELECT l.event_id, r.pur_value, r.pur_ts,
         |    row_number() OVER (PARTITION BY l.event_id ORDER BY
-        |      abs(l.err_ts - r.pur_ts), (r.pur_ts > l.err_ts)) AS rn
+        |      abs(l.err_ts - r.pur_ts), (r.pur_ts > l.err_ts),
+        |      r.pur_value DESC) AS rn
         |  FROM nl l JOIN nr r ON l.user_id = r.user_id
         |), nb AS (
         |  SELECT event_id, pur_value, pur_ts FROM np WHERE rn = 1)""".stripMargin,

@@ -473,8 +473,10 @@ object TaxiQueries {
     // (Welford) update accumulates doubles in partition order and is
     // therefore not reproducible run-to-run. Power sums are map-side-
     // combined decimals (order-independent); the closed form runs on the
-    // tiny per-vendor census; sqrt is IEEE-correctly-rounded, so the
-    // final doubles match across engines bit-for-bit.
+    // tiny per-vendor census. The closed form is cancellation-heavy
+    // (n·sxy − sx·sy), where engines may legally differ in the last ulp
+    // (FMA/reassociation) — so the output rounds to 12 decimals on both
+    // sides, same as agg_linreg's identical expressions.
     "agg_corr" -> ((s, d) => {
       val v = dedupedDf(s, d).filter(col("vendor_code").isNotNull &&
           col("fare_amount").isNotNull && col("trip_distance_km").isNotNull)
@@ -488,9 +490,9 @@ object TaxiQueries {
           sum((col("y") * col("y")).cast("decimal(30,12)")).cast("double").as("syy"),
           sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double").as("sxy"))
         .select(col("vendor_code"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12)
             .as("corr_fare_km"))
         .orderBy("vendor_code")
     }),
@@ -1154,8 +1156,8 @@ object TaxiQueries {
         |    AND trip_distance_km IS NOT NULL
         |  GROUP BY 1)""".stripMargin,
       """SELECT vendor_code, n,
-        |  (n * sxy - sx * sy) /
-        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_fare_km
+        |  round((n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_fare_km
         |FROM cagg ORDER BY vendor_code""".stripMargin),
 
     "agg_linreg" -> taxiWith(

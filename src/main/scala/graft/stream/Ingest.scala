@@ -43,7 +43,19 @@ object Ingest {
     * REPLACES its own earlier files instead of appending beside them.
     * Leftover `batch-<id>-*` files from a larger previous attempt are
     * swept per directory before the renames, so the publish is a full
-    * overwrite of this batch's contribution and nothing else. */
+    * overwrite of this batch's contribution and nothing else.
+    *
+    * DEPLOYMENT SEAM — rename semantics: this loop runs on the driver
+    * and assumes rename is an atomic metadata operation, which holds on
+    * HDFS, ABFS, and any posix FS. On S3 "rename" is copy+delete, so the
+    * loop serializes O(files) object copies AND loses the atomicity the
+    * marker protocol's temp+rename relies on — on S3, front this sink
+    * with a transactional table format (Delta/Iceberg commit = the same
+    * stage-then-publish contract) or an S3-committer-backed path. The
+    * loop stays cheap because [[writeBatch]]'s repartition bounds the
+    * staged file count to ONE file per (sink, hour-partition) per batch —
+    * files-per-publish = hours touched by the batch, not rows
+    * (StreamingSpec pins the bound). */
   private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
                             staging: org.apache.hadoop.fs.Path,
                             targetRoot: org.apache.hadoop.fs.Path,

@@ -115,6 +115,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100, "table intact after vacuum")
   }
 
+  test("sweepCommitMarkers removes only markers below the watermark") {
+    val dir = tmpDir("graft_markers")
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/_graft_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(commits)
+    (1L to 5L).foreach { id =>
+      fs.create(new org.apache.hadoop.fs.Path(commits, s"batch-$id"), true).close()
+    }
+    // a non-marker file in the dir must never be touched
+    fs.create(new org.apache.hadoop.fs.Path(commits, "not-a-marker"), true).close()
+
+    val r = Maintenance.sweepCommitMarkers(spark, dir, keepBelow = 4L)
+    assert(r.removed == Seq(1L, 2L, 3L) && r.kept == Seq(4L, 5L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(commits, "batch-1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(commits, "batch-4")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(commits, "not-a-marker")))
+
+    // idempotent; and a sink with no marker dir is a clean no-op
+    assert(Maintenance.sweepCommitMarkers(spark, dir, 4L).removed.isEmpty)
+    val none = Maintenance.sweepCommitMarkers(spark, tmpDir("graft_nomark"), 4L)
+    assert(none.kept.isEmpty && none.removed.isEmpty)
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")

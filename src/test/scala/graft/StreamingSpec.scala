@@ -150,6 +150,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.text(dirs.raw).count() == 2 * raw1)
   }
 
+  test("publish bounds staged files to one per hour partition per sink") {
+    // the object-store seam (Ingest.publishStaged scaladoc) leans on this
+    // bound: the driver-side rename loop is O(hours touched), not O(rows)
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    val batch = spark.read.text(input).withColumnRenamed("value", "json")
+      .withColumn("arrival_ts",
+        get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"))
+    Ingest.writeBatch(batch, dirs, batchId = 9L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(dirs.raw, dirs.curated, dirs.dlq).foreach { sink =>
+      val published = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$sink/*/*/batch-9-*"))
+      assert(published.nonEmpty, s"$sink published batch files")
+      val perDir = published.groupBy(_.getPath.getParent).values.map(_.length)
+      assert(perDir.forall(_ == 1),
+        s"$sink holds exactly one batch-9 file per hour dir: " +
+          published.map(_.getPath).mkString(", "))
+    }
+  }
+
   test("hour micro-batch: merge counts, replay idempotence, purge, audit") {
     val (base, dirs) = lake()
     val input = s"$base/landing"
