@@ -796,6 +796,49 @@ object DocPipeline {
         col("mean_logprob"))
   }
 
+  /** DSIR-style importance log-weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — published method): score every
+    * document by how much more likely its tokens are under a TARGET
+    * distribution (here: the `targetLang` slice) than under the RAW
+    * corpus, using hashed unigram bag-of-words models —
+    * log w(doc) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) with
+    * Laplace smoothing over `buckets` hashed features. High weight =
+    * looks like the target mix; the weights then drive importance
+    * resampling of the raw corpus.
+    *
+    * Scale shape: token explode is narrow; BOTH feature models are one
+    * map-side-combined groupBy down to a `buckets`-row census; the
+    * per-bucket log-ratio table broadcasts back onto the token stream,
+    * so the only fact-sized shuffle is the final per-doc sum.
+    * Determinism: the probability ratios divide identical exact
+    * integers, ln rounds to 12 decimals, and the per-doc sum runs in
+    * DECIMAL(30,15) (order-free) — the bigramLogprob pattern. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 256): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"), tokens.as("t"))
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
+      .withColumn("b", hash64Id(col("w")) % buckets)
+    val raw = words.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = words.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = words.agg(count(lit(1)).as("rtot"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ttot"))
+    val table = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("ct") + 1).cast("double") / (col("ttot") + buckets)) /
+          ((col("cr") + 1).cast("double") / (col("rtot") + buckets))), 12)
+          .as("logw"))
+    val perDoc = words.join(broadcast(table), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logw").cast("decimal(30,15)")).cast("double").as("log_weight"))
+    docs.select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("log_weight"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp) over token hashes:
     * h := (h * FpBase + tokenHash) mod P, left-to-right. */
   def fingerprints(docs: DataFrame): DataFrame =

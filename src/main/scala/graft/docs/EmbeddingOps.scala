@@ -124,6 +124,35 @@ object EmbeddingOps {
         s => s.getField("c")).as("ce"))
   }
 
+  /** Per-dimension corpus statistics (mean/variance/std) — the
+    * normalization profile every embedding pipeline computes before
+    * whitening, quantizer training, or drift monitoring. Shape: the
+    * posexplode is a narrow ×dims projection and the ONE shuffle
+    * aggregates a census of exactly `dims` groups with map-side combine —
+    * constant output no matter the corpus size. Determinism: first and
+    * second moments accumulate as exact DECIMAL(27,12) sums (the
+    * ivfCentroids pattern — float→decimal casts round identically in both
+    * engines); the variance closed form n·sxx−sx² is cancellation-heavy,
+    * so mean/variance/std round to 12 decimals on both sides (the
+    * agg_linreg rationale). */
+  def dimStats(vecs: DataFrame): DataFrame = {
+    val pos = vecs.select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .select((col("p") + 1).as("j"), col("x").cast("double").as("x"))
+    pos.groupBy("j")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("x").cast("decimal(27,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(27,12)")).cast("double").as("sxx"))
+      .select(col("j"), col("n_vecs"),
+        round(col("sx") / col("n_vecs"), 12).as("mean"),
+        round(col("sxx") / col("n_vecs")
+          - (col("sx") / col("n_vecs")) * (col("sx") / col("n_vecs")), 12)
+          .as("variance"),
+        round(sqrt(greatest(col("sxx") / col("n_vecs")
+          - (col("sx") / col("n_vecs")) * (col("sx") / col("n_vecs")), lit(0.0))), 12)
+          .as("std"))
+      .orderBy("j")
+  }
+
   /** Squared L2 distance between a float vector and a double centroid —
     * native codegen expression ([[graft.functions.VecDistSq]]),
     * bit-identical to the HOF form it replaced. */

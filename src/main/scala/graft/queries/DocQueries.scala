@@ -256,6 +256,31 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // per-dimension corpus moments — the normalization profile computed
+    // before whitening/quantization/drift checks; a dims-bounded census
+    "embedding_dim_stats" -> ((s, dir) =>
+      EmbeddingOps.dimStats(e(s, dir))),
+
+    // DSIR importance log-weights: target = the English slice, raw = the
+    // whole corpus; hashed-unigram likelihood ratio per doc
+    "sample_dsir_weights" -> ((s, dir) =>
+      DocPipeline.dsirWeights(d(s, dir)).orderBy("doc_id")),
+
+    // per-group top-k: the 3 longest docs per (lang, source) — the
+    // grouped-leaderboard shape (window partitioned BY THE GROUP, so
+    // every partition is group-sized; nothing global anywhere)
+    "agg_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      d(s, dir)
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "source", "rank")
+    }),
+
     // the dedup pipeline applied end-to-end: detect (MinHash-LSH pairs) →
     // cluster (connected components) → drop non-keepers from the corpus
     "dedup_apply" -> ((s, dir) => d(s, dir)
@@ -884,6 +909,57 @@ object DocQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
       """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "embedding_dim_stats" -> emb(
+      """pos AS (
+        |  SELECT j, embedding[j]::DOUBLE AS x FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS g(j)
+        |), mom AS (
+        |  SELECT CAST(j AS INT) AS j, count(*) AS n_vecs,
+        |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        |  FROM pos GROUP BY 1)""".stripMargin,
+      """SELECT j, n_vecs, round(sx / n_vecs, 12) AS mean,
+        |  round(sxx / n_vecs - (sx / n_vecs) * (sx / n_vecs), 12) AS variance,
+        |  round(sqrt(greatest(sxx / n_vecs
+        |    - (sx / n_vecs) * (sx / n_vecs), 0.0)), 12) AS std
+        |FROM mom ORDER BY j""".stripMargin),
+
+    "sample_dsir_weights" -> docsWith(
+      """dw AS (
+        |  SELECT z.doc_id, d.lang,
+        |    abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |         THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END) % 256 AS b
+        |  FROM (SELECT doc_id, ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS u
+        |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) q) z
+        |  JOIN documents d ON z.doc_id = d.doc_id
+        |), dtot AS (
+        |  SELECT count(*) AS rtot,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ttot FROM dw
+        |), dcr AS (SELECT b, count(*) AS cr FROM dw GROUP BY 1),
+        |dct AS (SELECT b, count(*) AS ct FROM dw WHERE lang = 'en' GROUP BY 1),
+        |dtab AS (
+        |  SELECT dcr.b,
+        |    round(ln(((COALESCE(ct, 0) + 1)::DOUBLE / (ttot + 256))
+        |           / ((cr + 1)::DOUBLE / (rtot + 256))), 12) AS logw
+        |  FROM dcr LEFT JOIN dct USING (b) CROSS JOIN dtot
+        |), dper AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(SUM(CAST(logw AS DECIMAL(30,15))) AS DOUBLE) AS log_weight
+        |  FROM dw JOIN dtab USING (b) GROUP BY 1)""".stripMargin,
+      """SELECT d.doc_id, d.lang,
+        |  COALESCE(n_tokens, 0) AS n_tokens, log_weight
+        |FROM documents d LEFT JOIN dper ON d.doc_id = dper.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "agg_topk_per_group" ->
+      """SELECT lang, source, rank, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) r
+        |WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin,
 
     "text_bigram_logprob" -> docsWith(
       """big AS (

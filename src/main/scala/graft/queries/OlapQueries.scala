@@ -321,6 +321,176 @@ object OlapQueries {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    // TPC-H Q7 shape: bilateral trade volume — revenue flowing between
+    // two specific nations in either direction, by ship year. The deep
+    // join tree keeps the two fact-sized joins (lineitem→orders→customer)
+    // on the shuffle path and broadcasts supplier + both nation resolves;
+    // the nation-pair disjunction evaluates AFTER the cheap broadcast
+    // joins, on two tiny string columns.
+    "olap_nation_volume" -> ((s, d) => {
+      val nat = graft.Tables(s, d, "nation").select("n_nationkey", "n_name")
+      val li = graft.Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+          "l_discount")
+      li.join(graft.Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(graft.Tables(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).cast("int").as("l_year"))
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape: market share — one nation's suppliers' slice of a
+    // whole region's customer revenue, per order year. The conditional
+    // numerator and the total are the SAME exact-decimal sum over one
+    // pass (no second scan), so the share is a single IEEE division of
+    // identically-derived doubles in both engines.
+    "olap_market_share" -> ((s, d) => {
+      val asiaNat = graft.Tables(s, d, "nation")
+        .join(broadcast(graft.Tables(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val suppNat = graft.Tables(s, d, "supplier")
+        .join(broadcast(graft.Tables(s, d, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_3").as("is_target"))
+      graft.Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(graft.Tables(s, d, "orders").select("o_orderkey", "o_custkey",
+          "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .join(graft.Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNat), col("c_nationkey") === col("cnk"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate").cast("date")).cast("int").as("o_year"),
+          (dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+            .as("rev"),
+          col("is_target"))
+        .groupBy("o_year")
+        .agg(sum(when(col("is_target"), col("rev")).cast("decimal(18,6)"))
+            .cast("double").as("target_rev"),
+          sum(col("rev").cast("decimal(18,6)")).cast("double").as("total_rev"))
+        .withColumn("mkt_share", col("target_rev") / col("total_rev"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape: product-line profit by supplier nation × year with
+    // a LIKE filter on the part name. Profit = revenue − retail cost of
+    // the shipped quantity (the fixture has no partsupp supplycost;
+    // p_retailprice plays the unit-cost role). The LIKE-filtered part
+    // dim broadcasts into the scan, so only matching lines ever leave
+    // it; both product terms are exact decimal money math.
+    "olap_product_profit" -> ((s, d) => {
+      val redParts = graft.Tables(s, d, "part")
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      graft.Tables(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(graft.Tables(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(graft.Tables(s, d, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate").cast("date")).cast("int").as("o_year"))
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
+            - dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10 shape: returned-item top customers — who to call about a
+    // quarter's returns. Scalable order: the fact side aggregates down
+    // to a customer-revenue census FIRST and only then joins customer
+    // attributes (census-sized join), never dragging name/acctbal
+    // through the fact shuffle; top 20 is a TakeOrdered, not a sort.
+    "olap_returned_customers" -> ((s, d) => {
+      val rev = graft.Tables(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(graft.Tables(s, d, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+            col("o_orderdate").cast("date") < lit("1996-04-01"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      rev.join(graft.Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("c_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-table predicate — an OR of
+    // brand × size × quantity conjunctions spanning both join sides.
+    // Catalyst can't push a cross-table OR whole, but it CAN push the
+    // union of each branch's single-table conjuncts (derived filter on
+    // part: the three brands; on lineitem: the quantity hull), so the
+    // broadcast join sees pre-pruned inputs and the full disjunction
+    // evaluates post-join as one codegen'd predicate.
+    "olap_disjunctive_revenue" -> ((s, d) => {
+      val part = graft.Tables(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      graft.Tables(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q20 shape: the nested semi-join chain — suppliers who
+    // dominate a part's annual volume (>40% of its total shipped
+    // quantity; the fixture-schema analog of Q20's excess-stock
+    // availability test). Two stacked census aggregations (part×supplier
+    // then part) joined back — the same decorrelation as Q17/Q2 — then
+    // one census-level count per supplier; the supplier dim broadcasts
+    // at the end. The 0.4×total threshold is one IEEE multiply of a
+    // decimal-exact double, identical in both engines.
+    "olap_dominant_supplier" -> ((s, d) => {
+      val pq = graft.Tables(s, d, "lineitem")
+        .filter(year(col("l_shipdate").cast("date")) === 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(dec(col("l_quantity"))).as("sq"))
+      val pt = pq.groupBy("l_partkey").agg(sum(col("sq").cast("decimal(18,6)"))
+        .cast("double").as("tq"))
+      pq.join(pt, "l_partkey")
+        .filter(col("sq") > lit(0.4) * col("tq"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_dominated"))
+        .join(broadcast(graft.Tables(s, d, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_dominated"))
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q15 shape: agg-view max selection — quarter revenue per
     // supplier (the "view"), then the supplier(s) achieving the maximum.
     // Decorrelated: the revenue census aggregates once, the 1-row max
@@ -621,6 +791,110 @@ object OlapQueries {
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "olap_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "olap_market_share" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |         AS DECIMAL(18,6)) END) AS DOUBLE) AS target_rev,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |         AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "olap_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |         - CAST(p_retailprice AS DECIMAL(18,6))
+        |           * CAST(l_quantity AS DECIMAL(18,6))
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "olap_returned_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |             * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, c_nationkey
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "olap_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "olap_dominant_supplier" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 1996
+        |  GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS tq
+        |  FROM pq GROUP BY 1)
+        |SELECT s_name, count(*) AS n_dominated
+        |FROM pq JOIN pt USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sq > 0.4 * tq
+        |GROUP BY 1 ORDER BY s_name""".stripMargin,
 
     "olap_top_supplier" ->
       """WITH rev AS (

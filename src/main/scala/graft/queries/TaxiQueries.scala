@@ -452,6 +452,24 @@ object TaxiQueries {
         .orderBy("vendor_code", "trip_src_id", "fare_amount")
     }),
 
+    // The rank family over a window with REAL ties: rank/dense_rank/
+    // percent_rank ordered by fare alone (many trips share a fare), where
+    // the three functions legitimately differ and are all deterministic
+    // under ties because they depend only on the ORDER KEY VALUE, not the
+    // arbitrary row order within a tie (unlike row_number). Same
+    // one-shuffle per-vendor window as win_ntile; percent_rank is one
+    // fixed IEEE division of identical integers.
+    "win_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("vendor_code")).orderBy(col("fare_amount"))
+      dedupedDf(s, d)
+        .filter(col("vendor_code").isNotNull && col("fare_amount").isNotNull)
+        .select(col("trip_src_id"), col("vendor_code"), col("fare_amount"),
+          rank().over(w).cast("long").as("fare_rank"),
+          dense_rank().over(w).cast("long").as("fare_dense_rank"),
+          percent_rank().over(w).as("fare_pct_rank"))
+        .orderBy("vendor_code", "trip_src_id", "fare_amount")
+    }),
+
     // Statistical mode with a deterministic tie-break: the most frequent
     // payment type per vendor (count desc, value asc). Two map-side-
     // combined aggregations — the winner pick runs over the tiny
@@ -1131,6 +1149,16 @@ object TaxiQueries {
         |FROM deduped
         |WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
         |WINDOW w AS (PARTITION BY vendor_code ORDER BY fare_amount, trip_src_id)
+        |ORDER BY vendor_code, trip_src_id, fare_amount""".stripMargin),
+
+    "win_rank_family" -> taxi(
+      """SELECT trip_src_id, vendor_code, fare_amount,
+        |  CAST(rank() OVER w AS BIGINT) AS fare_rank,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS fare_dense_rank,
+        |  percent_rank() OVER w AS fare_pct_rank
+        |FROM deduped
+        |WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
+        |WINDOW w AS (PARTITION BY vendor_code ORDER BY fare_amount)
         |ORDER BY vendor_code, trip_src_id, fare_amount""".stripMargin),
 
     "agg_mode" -> taxiWith(
