@@ -839,6 +839,50 @@ object DocPipeline {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("log_weight"))
   }
 
+  /** Zipf rank-frequency fit per language: OLS of ln(count) on ln(rank)
+    * over the token census — the corpus-health diagnostic (natural text
+    * tracks slope ≈ −1; templated/synthetic text bends the curve) that
+    * also sanity-checks a training mix per language slice.
+    *
+    * Scale shape: the only fact-sized work is the token explode feeding
+    * ONE map-side-combined census shuffle; everything after runs on the
+    * (lang, word) census, which Heaps' law keeps sublinear in corpus
+    * size. The rank window partitions BY LANGUAGE over that census —
+    * bounded by per-language vocabulary, not corpus rows (swap in
+    * GlobalRowNumber per lang if a vocabulary ever outgrows a task).
+    * Determinism: ln rounds to 12 decimals both engines and power sums
+    * accumulate as DECIMAL(30,12) (order-free). The OLS outputs round
+    * to 9, not agg_linreg's 12: ln-ln Zipf data is near-collinear, so
+    * the closed forms cancel ~3 more digits than the fare regression
+    * and the cross-engine FMA/reassociation spread reaches ~1e−12
+    * (observed straddling the 12th decimal at sf0.01). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+    docs.select(col("lang"), explode(tokens).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("lang"), round(log(col("rnk").cast("double")), 12).as("x"),
+        round(log(col("cnt").cast("double")), 12).as("y"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("x").cast("decimal(30,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(30,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(30,12)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(30,12)")).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double").as("sxy"))
+      .select(col("lang"), col("n_vocab"),
+        round((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 9).as("slope"),
+        round((col("sy") - ((col("n_vocab") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_vocab") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_vocab"), 9).as("intercept"),
+        round(((col("n_vocab") * col("sxy") - col("sx") * col("sy")) *
+          (col("n_vocab") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n_vocab") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_vocab") * col("syy") - col("sy") * col("sy"))), 9).as("r2"))
+      .orderBy("lang")
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp) over token hashes:
     * h := (h * FpBase + tokenHash) mod P, left-to-right. */
   def fingerprints(docs: DataFrame): DataFrame =

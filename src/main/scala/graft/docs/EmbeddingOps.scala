@@ -153,6 +153,44 @@ object EmbeddingOps {
       .orderBy("j")
   }
 
+  /** Per-vector outlier score: squared diagonal-covariance Mahalanobis
+    * distance — the sum of squared per-dimension z-scores against the
+    * corpus profile from [[dimStats]]. The standard cheap embedding-
+    * space anomaly screen (corrupt decodes, off-distribution content,
+    * dead encoder dims) before clustering or dedup trusts the geometry.
+    *
+    * Scale shape: the dims-row stats census broadcasts onto the narrow
+    * posexplode, so the only fact-sized shuffle is the per-vector sum
+    * regroup. Determinism: mean/std arrive pre-rounded to 12 decimals
+    * (identical doubles both engines), z² is pure IEEE on identical
+    * inputs rounded onto the 10⁻¹² grid, and the per-vector sum
+    * accumulates as DECIMAL(30,12) — exact, order-free, and exactly
+    * castable to double (backing ≤ dims·z²·10¹² ≪ 2⁵³). */
+  def outlierScores(vecs: DataFrame): DataFrame = {
+    val stats = dimStats(vecs).select("j", "mean", "std")
+    val pos = vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("j"),
+        col("x").cast("double").as("x"))
+    val z = (col("x") - col("mean")) / col("std")
+    // z² is rounded to 12 decimals BEFORE the decimal cast: the cast of
+    // an arbitrary double to scale 12 is the one approximate step the
+    // two engines may resolve differently (observed 1-row straddles at
+    // sf0.01); a pre-rounded value lands ON the decimal grid, making the
+    // cast exact in both.
+    // The score is the SUM of grid-rounded z² terms, not the mean: the
+    // decimal sum is exact and casts to double exactly (backing ≪ 2⁵³),
+    // so no final rounding is needed — dividing by dims (a power of two)
+    // puts the quotient back on a finer grid where 12-decimal round
+    // TIES are common and the engines' tie-breaking differs.
+    pos.join(broadcast(stats), Seq("j"))
+      .select(col("vec_id"), round(z * z, 12).as("z2"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("dims"),
+        sum(col("z2").cast("decimal(30,12)")).cast("double").as("outlier_score"))
+      .orderBy(col("outlier_score").desc, col("vec_id"))
+  }
+
   /** Squared L2 distance between a float vector and a double centroid —
     * native codegen expression ([[graft.functions.VecDistSq]]),
     * bit-identical to the HOF form it replaced. */

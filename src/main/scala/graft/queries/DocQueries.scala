@@ -266,6 +266,15 @@ object DocQueries {
     "sample_dsir_weights" -> ((s, dir) =>
       DocPipeline.dsirWeights(d(s, dir)).orderBy("doc_id")),
 
+    // Zipf rank-frequency OLS per language over the token census —
+    // corpus-health diagnostic (natural text ≈ slope −1)
+    "text_zipf_fit" -> ((s, dir) =>
+      DocPipeline.zipfFit(d(s, dir))),
+
+    // diagonal-Mahalanobis outlier screen against the dim-stats profile
+    "embedding_outliers" -> ((s, dir) =>
+      EmbeddingOps.outlierScores(e(s, dir))),
+
     // per-group top-k: the 3 longest docs per (lang, source) — the
     // grouped-leaderboard shape (window partitioned BY THE GROUP, so
     // every partition is group-sized; nothing global anywhere)
@@ -952,6 +961,57 @@ object DocQueries {
         |  COALESCE(n_tokens, 0) AS n_tokens, log_weight
         |FROM documents d LEFT JOIN dper ON d.doc_id = dper.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    "text_zipf_fit" -> docsWith(
+      """zc AS (
+        |  SELECT d.lang, z.w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) z
+        |  JOIN documents d ON z.doc_id = d.doc_id
+        |  GROUP BY 1, 2
+        |), zr AS (
+        |  SELECT lang,
+        |    round(ln(CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, w) AS DOUBLE)), 12) AS x,
+        |    round(ln(CAST(cnt AS DOUBLE)), 12) AS y
+        |  FROM zc
+        |), zs AS (
+        |  SELECT lang, count(*) AS n_vocab,
+        |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+        |  FROM zr GROUP BY 1)""".stripMargin,
+      """SELECT lang, n_vocab,
+        |  round((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx), 9)
+        |    AS slope,
+        |  round((sy - ((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx))
+        |    * sx) / n_vocab, 9) AS intercept,
+        |  round(((n_vocab * sxy - sx * sy) * (n_vocab * sxy - sx * sy)) /
+        |    ((n_vocab * sxx - sx * sx) * (n_vocab * syy - sy * sy)), 9) AS r2
+        |FROM zs ORDER BY lang""".stripMargin),
+
+    "embedding_outliers" -> emb(
+      """pos AS (
+        |  SELECT vec_id, j, embedding[j]::DOUBLE AS x FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS g(j)
+        |), mom AS (
+        |  SELECT CAST(j AS INT) AS j, count(*) AS n_vecs,
+        |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        |  FROM pos GROUP BY 1
+        |), st AS (
+        |  SELECT j, round(sx / n_vecs, 12) AS mean,
+        |    round(sqrt(greatest(sxx / n_vecs
+        |      - (sx / n_vecs) * (sx / n_vecs), 0.0)), 12) AS std
+        |  FROM mom
+        |), zz AS (
+        |  SELECT vec_id,
+        |    round(((x - mean) / std) * ((x - mean) / std), 12) AS z2
+        |  FROM pos JOIN st ON CAST(pos.j AS INT) = st.j)""".stripMargin,
+      """SELECT vec_id, CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(sum(CAST(z2 AS DECIMAL(30,12))) AS DOUBLE) AS outlier_score
+        |FROM zz GROUP BY 1 ORDER BY outlier_score DESC, vec_id""".stripMargin),
 
     "agg_topk_per_group" ->
       """SELECT lang, source, rank, doc_id, n_chars FROM (

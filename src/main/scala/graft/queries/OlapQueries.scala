@@ -512,6 +512,79 @@ object OlapQueries {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy("s_suppkey")
     }),
+
+    // TPC-H Q11 shape: important-stock identification — group values
+    // kept only if they exceed a threshold derived from a GLOBAL scalar
+    // subquery (here 1.2× the average per-part line value; avg-relative
+    // so the kept fraction is scale-stable, unlike Q11's SF-scaled
+    // fraction-of-total). Decorrelated the standard way: the per-part
+    // census aggregates once, the 1-row threshold broadcasts back as a
+    // crossJoin, and the HAVING is a plain filter over the census.
+    // Determinism: part_value is a scale-6-decimal sum cast to double
+    // (≤6 fractional digits, exact round trip), so re-summing those
+    // doubles as DECIMAL(18,6) for the average is exact, and the
+    // threshold compare multiplies identical doubles in both engines.
+    "olap_important_parts" -> ((s, d) => {
+      val pv = graft.Tables(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("part_value"))
+      pv.crossJoin(broadcast(pv.agg(
+          (sum(col("part_value").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_value"))))
+        .filter(col("part_value") > lit(1.2) * col("avg_value"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape: shipping-category service-level report — the
+    // fact⋈orders join where the MEASURE is a conditional count on an
+    // ORDERS attribute (priority) but the GROUP key is a LINEITEM
+    // attribute (returnflag playing shipmode; the fixture carries no
+    // l_shipmode). The ship-year filter prunes lineitem at its scan;
+    // orders projects only (key, priority) into the join; counts are
+    // conditional sums in one pass.
+    "olap_priority_shipmode" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01"))
+        .select("l_orderkey", "l_returnflag")
+        .join(graft.Tables(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per part category with an
+    // excluded-supplier anti-set — count(DISTINCT supplier) by
+    // (brand, type, size) over the part⋈supply relationship, minus
+    // suppliers on a denylist (negative account balance standing in for
+    // Q16's complaints predicate). The fact collapses to its DISTINCT
+    // (part, supplier) pair census FIRST (one shuffle, fact never
+    // reaches the join wide), the filtered part dim and the tiny
+    // denylist both broadcast, and the grouped distinct count runs on
+    // the pruned pair census only.
+    "olap_parts_supplier_count" -> ((s, d) => {
+      val badSupp = graft.Tables(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val cats = graft.Tables(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      graft.Tables(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(cats), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
   )
 
   private lazy val giniQueries: Map[String, QFn] = Map(
@@ -910,5 +983,42 @@ object OlapQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "olap_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |             * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |             AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS avg_value FROM pv)
+        |SELECT l_partkey, part_value FROM pv, t
+        |WHERE part_value > 1.2 * avg_value
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "olap_priority_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "olap_parts_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
   )
 }

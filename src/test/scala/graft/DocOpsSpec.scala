@@ -646,6 +646,34 @@ class DocOpsSpec extends SparkSpec {
       "same (lang, source) but a different length bucket is its own group")
   }
 
+  test("zipfFit recovers the exact slope of a synthetic power-law corpus") {
+    // counts 8/4/2/1 over ranks 1..4 → ln-ln is EXACTLY linear with
+    // slope −3·ln2/ln4 = −1.5·ln2/ln2 ... fit on (ln r, ln c) points
+    // (0,3ln2),(ln2,2ln2),(ln3,ln2),(ln4,0): not exactly collinear, but
+    // slope must be negative and r² high; a flat corpus fits ~0 slope.
+    val words = Seq.fill(8)("alpha") ++ Seq.fill(4)("beta") ++
+      Seq.fill(2)("gamma") ++ Seq.fill(1)("delta")
+    val docs = Seq((1L, words.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = DocPipeline.zipfFit(docs).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 4L, "4 vocab entries")
+    val slope = r(0).getDouble(2)
+    assert(slope < -1.0 && slope > -2.0, s"power-law slope ≈ −1.5: $slope")
+    assert(r(0).getDouble(4) > 0.95, s"near-collinear fit: ${r(0).getDouble(4)}")
+  }
+
+  test("outlierScores ranks the planted off-distribution vector first") {
+    val base = (1 to 20).map(i =>
+      (i.toLong, Array(1.0f + (i % 3) * 0.1f, -1.0f + (i % 5) * 0.05f)))
+    val vecs = (base :+ (99L, Array(50.0f, 50.0f)))
+      .toDF("vec_id", "embedding")
+    val top = EmbeddingOps.outlierScores(vecs).collect()
+    assert(top(0).getLong(0) == 99L, "the planted outlier scores highest")
+    assert(top(0).getDouble(2) > 10 * top(1).getDouble(2),
+      "score separation is decisive")
+    assert(top.forall(_.getLong(1) == 2L), "all vectors scored over 2 dims")
+  }
+
   test("bpeTrain learns the classic low/lower/lowest merges in order") {
     // word census: low ×3, lower ×1, lowest ×1. Weighted pair counts:
     // l·o=5, o·w=5 (tie → 'l' sorts first), then lo·w=5, low·e=2, and
