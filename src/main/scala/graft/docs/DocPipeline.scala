@@ -487,6 +487,76 @@ object DocPipeline {
           .otherwise("test"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    * — published method): each row draws key u^(1/w) from a uniform u
+    * and the k largest keys form an exact weight-proportional sample.
+    * Here u derives from a salted sha256 prefix of the doc id, so the
+    * sample is DETERMINISTIC — reproducible across runs, engines, and
+    * re-executions, the same property every other sampler in this
+    * pipeline has (no rand() anywhere). Keys compare in log space
+    * (ln(u)/w, monotone in u^(1/w)) to avoid pow underflow at large
+    * weights.
+    *
+    * Scale shape: the key is a narrow codegen projection; top-k via
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition heaps
+    * of k rows, a k-row driver merge, never a global sort. Determinism:
+    * u = (hash53 + 1)/2^53 is dyadic (division exact in both engines),
+    * ln rounds to 12 decimals after the divide-by-weight. */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    val mask = (1L << 53) - 1
+    val u = (hash64Id(concat_ws(":", lit(salt), col("doc_id")))
+      .bitwiseAND(lit(mask)) + 1).cast("double") / lit((1L << 53).toDouble)
+    docs.select(col("doc_id"), col("lang"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("sample_key", round(log(u) / col("w"), 12))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("w").cast("long").as("weight"),
+        col("sample_key"))
+  }
+
+  /** Per-node triangle counts over the near-dup pair graph — the local
+    * clustering signal that separates tight duplicate cliques from
+    * chains of borderline matches (a triangle-free "cluster" is usually
+    * transitive-closure leakage, not a real dup group).
+    *
+    * Degree-ordered orientation (Schank & Wagner 2005; the MapReduce
+    * formulation is Suri & Vassilvitskii 2011 — published methods):
+    * each undirected edge points from its lower (degree, id) endpoint
+    * to the higher, making a DAG where every out-degree is O(√m); the
+    * wedge self-join — the only superlinear step — is therefore bounded
+    * by Σ outdeg² = O(m^1.5) instead of the Σ deg² a hub explodes.
+    * Each unordered triangle is counted exactly once: from its lowest-
+    * order corner, closing wedge ordered by the same total order. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val e = pairs.select(col("doc_a"), col("doc_b"))
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+    val aKey = struct(col("da").as("d"), col("doc_a").as("n"))
+    val bKey = struct(col("db").as("d"), col("doc_b").as("n"))
+    val oriented = e.select(
+      when(aKey < bKey, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aKey < bKey, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aKey < bKey, bKey).otherwise(aKey).as("dstKey"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.dstKey") < col("e2.dstKey"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")),
+        Seq("y", "z"))
+    tri.select(col("x").as("doc_id"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic paragraph segmentation: fixed `chunk`-token windows in
     * document order, (doc_id, pos, para) long form. Real corpora split on
     * newline runs; the synthetic fixture has no newline structure, so the

@@ -271,6 +271,16 @@ object DocQueries {
     "text_zipf_fit" -> ((s, dir) =>
       DocPipeline.zipfFit(d(s, dir))),
 
+    // Efraimidis–Spirakis weighted top-k sample, weight = doc length;
+    // deterministic (salted-hash uniform), planned as TakeOrdered
+    "sample_weighted" -> ((s, dir) =>
+      DocPipeline.weightedSample(d(s, dir), "n_chars", 50)),
+
+    // per-node triangle counts over the memoized near-dup pair graph —
+    // clique-vs-chain diagnosis for dedup clusters
+    "graph_triangles" -> ((s, dir) =>
+      DocPipeline.triangleCounts(dupPairs(s, dir))),
+
     // diagonal-Mahalanobis outlier screen against the dim-stats profile
     "embedding_outliers" -> ((s, dir) =>
       EmbeddingOps.outlierScores(e(s, dir))),
@@ -990,6 +1000,39 @@ object DocQueries {
         |  round(((n_vocab * sxy - sx * sy) * (n_vocab * sxy - sx * sy)) /
         |    ((n_vocab * sxx - sx * sx) * (n_vocab * syy - sy * sy)), 9) AS r2
         |FROM zs ORDER BY lang""".stripMargin),
+
+    "sample_weighted" -> docs(
+      s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         |  round(ln(((h & 9007199254740991) + 1) / 9007199254740992.0)
+         |    / n_chars, 12) AS sample_key
+         |FROM (
+         |  SELECT doc_id, lang, n_chars, $h64w AS h
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |    ('0x' || substr(sha256('wsample:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+         |    FROM documents) y) z
+         |WHERE n_chars > 0
+         |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin),
+
+    "graph_triangles" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |tri AS (
+         |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |  FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |corners AS (
+         |  SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     "embedding_outliers" -> emb(
       """pos AS (

@@ -452,6 +452,26 @@ object TaxiQueries {
         .orderBy("vendor_code", "trip_src_id", "fare_amount")
     }),
 
+    // A principal's secured view of the trip table: deny-by-default
+    // policy layer (graft.security.AccessPolicy) — trip id masked by
+    // deterministic sha256 (equal ids mask equally → joins/distinct
+    // still work), payment column dropped, row-level filter applied.
+    // Pure projection+predicate: fuses into the scan's codegen, no
+    // shuffle, pushdown intact. Every output column joins the ORDER BY,
+    // so full-row duplicates stay interchangeable under the sort.
+    "secure_view_mask" -> ((s, d) => {
+      val pol = graft.security.TablePolicy(
+        maskCols = Seq("trip_src_id"),
+        dropCols = Seq("payment_type"),
+        rowFilter = Some(col("vendor_code").isNotNull &&
+          col("fare_amount") > 0 && col("trip_distance_km").isNotNull))
+      graft.security.AccessPolicy.secure(dedupedDf(s, d), pol)
+        .select(col("trip_src_id").as("masked_id"), col("vendor_code"),
+          col("fare_amount"), col("trip_distance_km"))
+        .orderBy("masked_id", "vendor_code", "fare_amount",
+          "trip_distance_km")
+    }),
+
     // The rank family over a window with REAL ties: rank/dense_rank/
     // percent_rank ordered by fare alone (many trips share a fare), where
     // the three functions legitimately differ and are all deterministic
@@ -1150,6 +1170,15 @@ object TaxiQueries {
         |WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
         |WINDOW w AS (PARTITION BY vendor_code ORDER BY fare_amount, trip_src_id)
         |ORDER BY vendor_code, trip_src_id, fare_amount""".stripMargin),
+
+    "secure_view_mask" -> taxi(
+      """SELECT sha256(CAST(trip_src_id AS VARCHAR)) AS masked_id,
+        |  vendor_code, fare_amount, trip_distance_km
+        |FROM deduped
+        |WHERE vendor_code IS NOT NULL AND fare_amount > 0
+        |  AND trip_distance_km IS NOT NULL
+        |ORDER BY masked_id, vendor_code, fare_amount,
+        |  trip_distance_km""".stripMargin),
 
     "win_rank_family" -> taxi(
       """SELECT trip_src_id, vendor_code, fare_amount,

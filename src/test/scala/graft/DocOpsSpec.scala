@@ -674,6 +674,30 @@ class DocOpsSpec extends SparkSpec {
     assert(top.forall(_.getLong(1) == 2L), "all vectors scored over 2 dims")
   }
 
+  test("triangleCounts: 4-clique plus a pendant chain — corners counted, chain silent") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, every clique node in 3;
+    // the pendant path 4-5-6 closes nothing and must not appear.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = DocPipeline.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got: $got")
+  }
+
+  test("weightedSample: deterministic, capped at k, zero-weight rows excluded") {
+    val docs = (1 to 30).map(i => (i.toLong, s"doc $i", "en",
+      if (i % 7 == 0) 0 else i * 100)).toDF("doc_id", "text", "lang", "n_chars")
+    val a = DocPipeline.weightedSample(docs, "n_chars", 10).collect()
+    val b = DocPipeline.weightedSample(docs, "n_chars", 10).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "same sample on re-execution")
+    assert(a.length == 10, "exactly k rows")
+    assert(a.forall(_.getLong(0) % 7 != 0), "zero-weight docs never sampled")
+    assert(a.map(_.getDouble(3)).toSeq ==
+      a.map(_.getDouble(3)).toSeq.sorted(Ordering[Double].reverse),
+      "rows arrive in descending key order")
+  }
+
   test("bpeTrain learns the classic low/lower/lowest merges in order") {
     // word census: low ×3, lower ×1, lowest ×1. Weighted pair counts:
     // l·o=5, o·w=5 (tie → 'l' sorts first), then lo·w=5, low·e=2, and
