@@ -225,6 +225,60 @@ object Maintenance {
     MarkerSweepResult(keep.sorted, sweep.sorted)
   }
 
+  /** One file's lifecycle decision: tier it would move to and whether
+    * this run deleted it. */
+  final case class LifecycleAction(path: String, ageDays: Long, tier: String)
+  final case class LifecycleResult(hot: Long, cool: Long,
+                                   deleted: Seq[LifecycleAction])
+
+  /** Storage lifecycle tiering — the engine-side analog of the
+    * reference's blob management policy
+    * (ref: infra/streaming-bicep/modules/storage-lifecycle.bicep:1-40:
+    * tierToCool after `coolAfterDays`, delete after `deleteAfterDays`,
+    * prefix-scoped). An embedded library cannot retier blobs — that is
+    * the store's job — but it CAN own the policy evaluation and the
+    * delete action, which is exactly what the dev-hygiene rule exists
+    * for. Files under `dir` matching any prefix are classified by
+    * modification age: `hot` (untouched), `cool` (reported for the
+    * store's tiering), `delete` (removed here, bottom-up like
+    * retentionPurge). The decision input is an injected `now` so the
+    * policy is testable and replayable — no wall-clock reads.
+    *
+    * The listing is ONE recursive driver walk (object stores serve this
+    * as a flat prefix list); actions are per-file metadata ops. Bounded
+    * by file count, which compaction (`compactDir`) keeps proportional
+    * to partitions, not rows. */
+  def lifecycleTier(spark: SparkSession, dir: String,
+                    prefixes: Seq[String], coolAfterDays: Int,
+                    deleteAfterDays: Int,
+                    now: java.time.Instant): LifecycleResult = {
+    require(coolAfterDays >= 0 && deleteAfterDays > coolAfterDays,
+      "delete horizon must exceed cool horizon")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify the root so relativize sees the same scheme/authority the
+    // listing returns (file: vs schemeless paths never relativize)
+    val root = fs.makeQualified(new Path(dir))
+    if (!fs.exists(root)) return LifecycleResult(0L, 0L, Nil)
+    val it = fs.listFiles(root, true)
+    var hot = 0L
+    var cool = 0L
+    val deleted = Seq.newBuilder[LifecycleAction]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = root.toUri.relativize(f.getPath.toUri).getPath
+      if (prefixes.isEmpty || prefixes.exists(rel.startsWith)) {
+        val ageDays = java.time.Duration.between(
+          java.time.Instant.ofEpochMilli(f.getModificationTime), now).toDays
+        if (ageDays > deleteAfterDays) {
+          fs.delete(f.getPath, false)
+          deleted += LifecycleAction(rel, ageDays, "delete")
+        } else if (ageDays > coolAfterDays) cool += 1
+        else hot += 1
+      }
+    }
+    LifecycleResult(hot, cool, deleted.result().sortBy(_.path))
+  }
+
   /** Insert-if-absent unknown member (`err/seed_unknowns.sql:5-47`): every
     * dim carries SK -1 / NK 'UNKNOWN' so fact FK resolution can COALESCE
     * to it without null keys. */

@@ -281,6 +281,28 @@ object DocQueries {
     "graph_triangles" -> ((s, dir) =>
       DocPipeline.triangleCounts(dupPairs(s, dir))),
 
+    // train/val/test leakage audit: near-dup pairs crossing the hash
+    // split are eval contamination the n-gram decontaminator can miss
+    // (near-dups share few exact n-grams). Both memoized inputs reused;
+    // the split labels join narrowly onto the pair frame, the report is
+    // a 9-combo census. Pair labels normalize by least/greatest so
+    // (train,test) and (test,train) are one row.
+    "split_leakage" -> ((s, dir) => {
+      val splits = DocPipeline.hashSplit(d(s, dir), "doc_id", 80, 10)
+        .select(col("doc_id"), col("split"))
+      dupPairs(s, dir)
+        .join(splits.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaking", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // diagonal-Mahalanobis outlier screen against the dim-stats profile
     "embedding_outliers" -> ((s, dir) =>
       EmbeddingOps.outlierScores(e(s, dir))),
@@ -1032,6 +1054,36 @@ object DocQueries {
          |  UNION ALL SELECT z FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "split_leakage" -> {
+      val eq = (0 until DocPipeline.MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH ${DocsOracle.docsDup}, ${DocsOracle.toks},
+         |${DocsOracle.shingleHashes},
+         |${DocsOracle.minhash},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM mcand c
+         |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |  WHERE ($eq) / 16.0 >= 0.5),
+         |splits AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id, $h64w % 100 AS bucket
+         |    FROM (SELECT doc_id,
+         |      ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+         |      FROM documents) y) z),
+         |lab AS (
+         |  SELECT least(sa.split, sb.split) AS split_lo,
+         |    greatest(sa.split, sb.split) AS split_hi
+         |  FROM pairs p
+         |  JOIN splits sa ON p.doc_a = sa.doc_id
+         |  JOIN splits sb ON p.doc_b = sb.doc_id)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  split_lo <> split_hi AS leaking
+         |FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
     },
 
     "embedding_outliers" -> emb(

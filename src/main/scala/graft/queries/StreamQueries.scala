@@ -254,6 +254,20 @@ object StreamQueries {
         .orderBy("run_day")
     }),
 
+    // Azure-Monitor-style static-threshold alerts over 15-min windows
+    // (ops/AlertRules — alerts.bicep semantics): DLQ errors > 5 per
+    // window (the OutputError rule) and incoming < 1 (the liveness
+    // rule, evaluated over a generated window SPINE so silent gaps
+    // produce firing rows instead of missing groups). One pass computes
+    // both measures; per-rule rows explode from a literal array.
+    "alert_rules_eval" -> ((s, d) => graft.ops.AlertRules.evaluate(
+      routed(s, d), "arrival_ts", 15, Seq(
+        graft.ops.AlertRule("dlq-errors", 2,
+          sum(when(col("sink") === "dlq", 1L).otherwise(0L)),
+          greaterThan = true, 5.0),
+        graft.ops.AlertRule("incoming-drop", 3, count(lit(1)),
+          greaterThan = false, 1.0)))),
+
     "dlq_audit" -> ((s, d) => routed(s, d)
       .groupBy(to_date(col("arrival_ts")).cast("string").as("audit_day"))
       .agg(
@@ -557,6 +571,36 @@ object StreamQueries {
       """SELECT CAST(CAST(arrival_ts AS DATE) AS VARCHAR) AS run_day, count(*) AS rows
         |FROM ev_slice WHERE CAST(arrival_ts AS DATE) <> DATE '2024-01-01'
         |GROUP BY 1 ORDER BY run_day""".stripMargin),
+
+    "alert_rules_eval" -> streamWith(
+      """wagg AS (
+        |  SELECT CAST(floor(epoch(arrival_ts) / 900) * 900 AS BIGINT)
+        |    AS window_start_s,
+        |    count(*) AS incoming,
+        |    sum(CASE WHEN sink = 'dlq' THEN 1 ELSE 0 END) AS dlq_errors
+        |  FROM ev_routed GROUP BY 1
+        |), bounds AS (
+        |  SELECT min(window_start_s) AS lo, max(window_start_s) AS hi
+        |  FROM wagg
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, 900)) AS window_start_s
+        |  FROM bounds
+        |), joined AS (
+        |  SELECT s.window_start_s,
+        |    COALESCE(incoming, 0) AS incoming,
+        |    COALESCE(dlq_errors, 0) AS dlq_errors
+        |  FROM spine s LEFT JOIN wagg USING (window_start_s))""".stripMargin,
+      """SELECT window_start_s, rule, severity, observed, threshold, firing
+        |FROM (
+        |  SELECT window_start_s, 'dlq-errors' AS rule, 2 AS severity,
+        |    CAST(dlq_errors AS DOUBLE) AS observed, 5.0 AS threshold,
+        |    CAST(dlq_errors AS DOUBLE) > 5.0 AS firing
+        |  FROM joined
+        |  UNION ALL
+        |  SELECT window_start_s, 'incoming-drop', 3,
+        |    CAST(incoming AS DOUBLE), 1.0, CAST(incoming AS DOUBLE) < 1.0
+        |  FROM joined) u
+        |ORDER BY window_start_s, rule""".stripMargin),
 
     "dlq_audit" -> stream(
       """SELECT CAST(CAST(arrival_ts AS DATE) AS VARCHAR) AS audit_day,

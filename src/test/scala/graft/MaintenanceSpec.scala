@@ -138,6 +138,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(none.kept.isEmpty && none.removed.isEmpty)
   }
 
+  test("lifecycleTier: prefix-scoped age classes — hot kept, cool reported, old deleted") {
+    val root = tmpDir("lifecycle")
+    def mk(rel: String, ageDays: Int): java.io.File = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, "x")
+      f.setLastModified(System.currentTimeMillis() - ageDays * 86400000L)
+      f
+    }
+    val fresh = mk("streaming/part-0.parquet", 1)
+    val cool = mk("streaming/part-1.parquet", 30)
+    val old = mk("streaming-dlq/part-2.parquet", 120)
+    val unscoped = mk("other/part-3.parquet", 500) // prefix miss → untouched
+    val r = Maintenance.lifecycleTier(spark, root,
+      Seq("streaming/", "streaming-dlq/"), coolAfterDays = 14,
+      deleteAfterDays = 90, now = java.time.Instant.now())
+    assert(r.hot == 1 && r.cool == 1, s"got $r")
+    assert(r.deleted.map(_.path) == Seq("streaming-dlq/part-2.parquet"))
+    assert(r.deleted.head.tier == "delete")
+    assert(fresh.exists() && cool.exists() && !old.exists() && unscoped.exists())
+    // idempotent: a second evaluation deletes nothing further
+    val again = Maintenance.lifecycleTier(spark, root,
+      Seq("streaming/", "streaming-dlq/"), 14, 90, java.time.Instant.now())
+    assert(again.deleted.isEmpty && again.hot == 1 && again.cool == 1)
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")
