@@ -281,6 +281,74 @@ object DocQueries {
     "graph_triangles" -> ((s, dir) =>
       DocPipeline.triangleCounts(dupPairs(s, dir))),
 
+    // per-doc novelty: fraction of the doc's 3-gram shingles appearing
+    // NOWHERE else in the corpus — the boilerplate/templating inverse
+    // (novelty ~1 = fresh text, ~0 = assembled from corpus-common
+    // n-grams). Reads the MEMOIZED shingle index; the df census joins
+    // back on the shingle hash (one shuffle), and the score is a
+    // division of identical exact integers — no rounding needed.
+    "text_novelty" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // tokenizer coverage: share of the token stream the top-100 words
+    // per language cover — the OOV-rate read a vocab-size decision
+    // needs. Census-bounded: rank window partitions BY LANGUAGE over
+    // the vocab census; coverage divides identical exact integers.
+    "tokenizer_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+      d(s, dir).select(col("lang"), explode(DocPipeline.tokens).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("cnt")).as("total_tokens"),
+          sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L))
+            .as("top100_tokens"))
+        .withColumn("coverage",
+          col("top100_tokens").cast("double") / col("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // data-versioning snapshot diff: classify every doc id across two
+    // corpus versions as added / removed / changed / unchanged by
+    // comparing content hashes in a full-outer id join. The "previous"
+    // snapshot derives deterministically from the fixture the way
+    // filter_c4_rules plants defects: ids ≡0 mod 17 absent from prev
+    // (added since), ids ≡0 mod 13 carry ' v1' text in prev (changed),
+    // shifted clones of ids ≡0 mod 19 exist only in prev (removed).
+    // Scale shape: both sides collapse to (id, sha256) projections
+    // before the join — text bytes never shuffle; the report is a
+    // 4-row census.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val cur = d(s, dir).select(col("doc_id"),
+        sha2(col("text"), 256).as("h_new"))
+      val prev = d(s, dir).filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          sha2(concat(col("text"),
+            when(col("doc_id") % 13 === 0, lit(" v1")).otherwise(lit(""))),
+            256).as("h_old"))
+        .union(d(s, dir).filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            sha2(col("text"), 256).as("h_old")))
+      cur.join(prev, Seq("doc_id"), "full_outer")
+        .select(when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    }),
+
     // train/val/test leakage audit: near-dup pairs crossing the hash
     // split are eval contamination the n-gram decontaminator can miss
     // (near-dups share few exact n-grams). Both memoized inputs reused;
@@ -1055,6 +1123,53 @@ object DocQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+
+    "text_novelty" -> docsWith(
+      """sdf AS (SELECT h, count(*) AS df FROM shh GROUP BY 1)""",
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM shh JOIN sdf USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    "tokenizer_coverage" -> docsWith(
+      """tcen AS (
+        |  SELECT d.lang, z.w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) z
+        |  JOIN documents d ON z.doc_id = d.doc_id
+        |  GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w)
+        |      AS rnk
+        |  FROM tcen)""".stripMargin,
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS top100_tokens,
+        |  CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) AS coverage
+        |FROM tr GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    "corpus_snapshot_diff" -> docs(
+      """SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |    WHEN h_new IS NULL THEN 'removed'
+        |    WHEN h_old <> h_new THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM (SELECT doc_id, sha256(text) AS h_new FROM documents) cur
+        |  FULL OUTER JOIN (
+        |    SELECT doc_id,
+        |      sha256(text || CASE WHEN doc_id % 13 = 0 THEN ' v1'
+        |        ELSE '' END) AS h_old
+        |    FROM documents WHERE doc_id % 17 <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, sha256(text)
+        |    FROM documents WHERE doc_id % 19 = 0) prev
+        |  USING (doc_id)) s
+        |GROUP BY 1 ORDER BY status""".stripMargin),
 
     "split_leakage" -> {
       val eq = (0 until DocPipeline.MinhashK)
