@@ -66,4 +66,38 @@ object AlertRules {
         col("e.observed"), col("e.threshold"), col("e.firing"))
       .orderBy("window_start_s", "rule")
   }
+
+  /** Streaming evaluation of the same rules over a watermarked windowed
+    * aggregate — alerts fire as windows close instead of at batch
+    * cadence. Covers every rule on OBSERVED windows; a pure append
+    * stream has no row to hang an ABSENT window on, so the liveness-gap
+    * half of the semantics (which [[evaluate]]'s spine provides) needs
+    * either the batch sweep or a processing-time timer source — the
+    * same split Azure Monitor itself makes between metric alerts and
+    * scheduled-query rules. Identical measure expressions and rule
+    * structs as the batch path; WindowedStatsSpec proves
+    * streaming == batch on the emitted windows. */
+  def evaluateStream(events: DataFrame, tsCol: String, windowMinutes: Int,
+                     rules: Seq[AlertRule],
+                     watermark: String = "2 hours"): DataFrame = {
+    require(rules.nonEmpty, "at least one alert rule")
+    val agged = events
+      .withColumn("_evt", col(tsCol).cast("timestamp"))
+      .withWatermark("_evt", watermark)
+      .groupBy(window(col("_evt"), s"$windowMinutes minutes"))
+      .agg(rules.head.measure.as(rules.head.name),
+        rules.tail.map(r => r.measure.as(r.name)): _*)
+    val evals = array(rules.map { r =>
+      val obs = coalesce(col(r.name).cast("double"), lit(0.0))
+      struct(lit(r.name).as("rule"), lit(r.severity).as("severity"),
+        obs.as("observed"), lit(r.threshold).as("threshold"),
+        (if (r.greaterThan) obs > r.threshold else obs < r.threshold)
+          .as("firing"))
+    }: _*)
+    agged.select(
+        unix_timestamp(col("window.start")).as("window_start_s"),
+        explode(evals).as("e"))
+      .select(col("window_start_s"), col("e.rule"), col("e.severity"),
+        col("e.observed"), col("e.threshold"), col("e.firing"))
+  }
 }

@@ -32,10 +32,16 @@ class PlanGuardSpec extends SparkSpec {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
         }
+        // opaque Scala UDFs break codegen fusion and column pruning;
+        // every scalar extension in this repo is a native Expression
+        val udfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
         Seq("CartesianProduct" -> plan.contains("CartesianProduct"),
           "monotonically_increasing_id" ->
             plan.contains("monotonically_increasing"),
-          "global window (empty partitionBy)" -> globalWindows.nonEmpty)
+          "global window (empty partitionBy)" -> globalWindows.nonEmpty,
+          "ScalaUDF (opaque, non-codegen)" -> udfs.nonEmpty)
           .collect { case (what, true) => s"$name: $what" }
     }
     assert(offenders.isEmpty,

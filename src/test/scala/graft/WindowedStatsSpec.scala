@@ -56,6 +56,42 @@ class WindowedStatsSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty, "emitted windows match batch")
   }
 
+  test("alert rules: streaming threshold evaluation equals the batch sweep") {
+    val base = tmpDir("graft_alerts")
+    val input = s"$base/landing"
+    EventsModel.envelopes(spark, sf()).select("json")
+      .coalesce(2).write.mode("overwrite").text(input)
+    def routedOf(df: org.apache.spark.sql.DataFrame) =
+      StreamTransforms.route(StreamTransforms.enrich(StreamTransforms.parse(df)))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumnRenamed("value", "json").withColumn("arrival_ts",
+        get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"))
+    val rules = Seq(
+      graft.ops.AlertRule("dlq-errors", 2,
+        sum(when(col("sink") === "dlq", 1L).otherwise(0L)),
+        greaterThan = true, 0.0), // the bicep rule: OutputError > 0
+      graft.ops.AlertRule("incoming-drop", 3, count(lit(1)),
+        greaterThan = false, 1.0))
+
+    val q = graft.ops.AlertRules
+      .evaluateStream(routedOf(withTs(spark.readStream.text(input))),
+        "arrival_ts", 15, rules)
+      .writeStream.format("memory").queryName("alert_eval")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+    val got = spark.table("alert_eval")
+
+    // the batch sweep covers min..max INCLUDING empty windows; every
+    // window the stream emitted must match it value-for-value
+    val batch = graft.ops.AlertRules
+      .evaluate(routedOf(withTs(spark.read.text(input))), "arrival_ts", 15, rules)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty,
+      "streaming evaluations match the batch sweep")
+    assert(got.filter(col("rule") === "dlq-errors" && col("firing")).count() > 0,
+      "the error-threshold rule fires on the fixture's DLQ bursts")
+  }
+
   test("vendorSessions: streaming session windows equal the batch answer") {
     val base = tmpDir("graft_sesswin")
     val input = s"$base/landing"
