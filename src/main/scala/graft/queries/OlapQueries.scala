@@ -585,6 +585,29 @@ object OlapQueries {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     }),
+
+    // Wide→long melt (UNPIVOT): the missing inverse of agg_reason_pivot —
+    // every BI export that feeds a long-format metrics store reverses its
+    // report pivot this way. Dataset.unpivot is the native relational op:
+    // it plans as a per-row Expand inside whole-stage codegen — NO
+    // shuffle beyond the grouped rollup that builds the wide input, and
+    // output size is rows × measures regardless of fact size, so the
+    // shape is scale-free. The measure sums are the repo's order-free
+    // DECIMAL pattern, melted AFTER the final double cast so all three
+    // value columns share one type.
+    "agg_unpivot_measures" -> ((s, d) => {
+      val wide = graft.Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(dec(col("l_quantity"))).as("sum_qty"),
+          dsum(dec(col("l_extendedprice"))).as("sum_price"),
+          dsum(dec(col("l_discount"))).as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag"), col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "l_linestatus", "measure")
+    }),
   )
 
   private lazy val giniQueries: Map[String, QFn] = Map(
@@ -676,6 +699,23 @@ object OlapQueries {
         |SELECT n AS n_customers, total AS total_revenue,
         |  (2.0 * s) / (n * total) - (n + 1.0) / n AS gini
         |FROM ag""".stripMargin,
+
+    // UNPIVOT is not universally portable SQL — the oracle spells the
+    // same melt as the canonical UNION ALL so the semantics are pinned
+    // engine-independently.
+    "agg_unpivot_measures" ->
+      """WITH uw AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, measure, value FROM (
+        |  SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure,
+        |         sum_qty AS value FROM uw
+        |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM uw
+        |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM uw) u
+        |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin,
 
     "olap_pricing_summary" ->
       """WITH base AS (

@@ -219,6 +219,37 @@ object ScanQueries {
             .cast("long").as("sum_parsed_ids"))
     }),
 
+    // Nested-document normalize: the ingest shape for order-with-items
+    // JSON docs (one document per order, array of item structs) —
+    // flatten to child rows carrying the parent key plus the element's
+    // array position. Round trip: build the nested docs from the fixture
+    // (sort_array pins element order — collect_list alone is
+    // partition-order-dependent), serialize with to_json, then normalize
+    // through the production path: from_json with an explicit DDL schema
+    // → posexplode. Everything after the one groupBy shuffle is a narrow
+    // codegen'd projection (Generate), so the shape is scale-free; the
+    // oracle computes the same child rows straight from lineitem, so a
+    // match proves the JSON round trip is value-preserving including the
+    // double rendering.
+    "scan_json_normalize" -> ((s, d) => {
+      val docs = graft.Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey").cast("long").as("order_id"))
+        .agg(sort_array(collect_list(struct(
+            col("l_linenumber").cast("int").as("line_no"),
+            col("l_partkey").cast("long").as("partkey"),
+            col("l_quantity").cast("double").as("qty")))).as("items"))
+        .select(to_json(struct(col("order_id"), col("items"))).as("doc"))
+      docs
+        .select(from_json(col("doc"), StructType.fromDDL(
+          "order_id BIGINT, items ARRAY<STRUCT<line_no: INT, partkey: BIGINT, qty: DOUBLE>>")).as("o"))
+        .select(col("o.order_id").as("order_id"),
+          posexplode(col("o.items")).as(Seq("pos", "item")))
+        .select(col("order_id"), col("pos"),
+          col("item.line_no").as("line_no"),
+          col("item.partkey").as("partkey"), col("item.qty").as("qty"))
+        .orderBy("order_id", "pos")
+    }),
+
     // ORC round trip: the second columnar lake format (built into Spark's
     // datasource layer — same pushdown/pruning machinery as parquet), for
     // estates whose upstream writers emit ORC. Write typed columns, read
@@ -429,6 +460,19 @@ object ScanQueries {
         |  CAST(sum(CASE WHEN event_id % 97 <> 0 THEN event_id END) AS BIGINT)
         |    AS sum_parsed_ids
         |FROM events""".stripMargin,
+
+    // the normalize contract: child rows = lineitem, pos = 0-based rank
+    // within its order under sort_array's FULL struct order (line_no,
+    // partkey, qty) — the fixture has duplicate line numbers within an
+    // order, so ranking by line_no alone is not a total order
+    "scan_json_normalize" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS order_id,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |       ORDER BY l_linenumber, l_partkey, l_quantity) - 1 AS INT) AS pos,
+        |  CAST(l_linenumber AS INT) AS line_no,
+        |  CAST(l_partkey AS BIGINT) AS partkey,
+        |  CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem ORDER BY order_id, pos""".stripMargin,
 
     "scan_orc" -> taxi(
       """SELECT l_orderkey, CAST(l_linenumber AS INT) AS line_no,

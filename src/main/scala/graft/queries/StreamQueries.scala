@@ -100,6 +100,31 @@ object StreamQueries {
         .orderBy("sink", "hour_path")
     }),
 
+    // Robust rolling statistics — exact median/IQR over the same trailing
+    // 24h frame as win_anomaly_zscore, the monitor you actually want when
+    // the volume series itself has spikes (one burst hour inflates a
+    // mean+stddev gate for a day; it barely moves the median). The
+    // percentile aggregate runs over the HOURLY census (bounded by
+    // calendar × sinks, not fact size), so the O(frame) recompute per row
+    // is scale-free. Exactness: every frame value is an integer count, so
+    // each interpolated quantile is a dyadic rational both engines
+    // compute exactly — no rounding needed, the hash match is bit-for-bit.
+    "win_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = routed(s, d)
+        .groupBy("sink", "hour_path").agg(count(lit(1)).as("events"))
+      val w = Window.partitionBy("sink").orderBy("hour_path").rowsBetween(-23, 0)
+      hourly
+        .withColumn("med", percentile(col("events"), lit(0.5)).over(w))
+        .withColumn("p25", percentile(col("events"), lit(0.25)).over(w))
+        .withColumn("p75", percentile(col("events"), lit(0.75)).over(w))
+        .select(col("sink"), col("hour_path"), col("events"), col("med"),
+          col("p25"), col("p75"), (col("p75") - col("p25")).as("iqr"),
+          (col("events") > col("med") + lit(3.0) * (col("p75") - col("p25")))
+            .as("is_spike"))
+        .orderBy("sink", "hour_path")
+    }),
+
     // Distribution-drift monitor (PSI): the value histogram of the second
     // half of the month vs the first, per event type — the check a
     // training-data pipeline runs on every incoming batch so a silently
@@ -437,6 +462,24 @@ object StreamQueries {
         |  coalesce(CASE WHEN varr > 0
         |    THEN abs((events - mean) / sqrt(varr)) > 3.0 END, false) AS is_anomaly
         |FROM mz ORDER BY sink, hour_path""".stripMargin),
+
+    // integer frame values → every interpolated quantile is a dyadic
+    // rational both engines hit exactly (see the engine-side comment)
+    "win_rolling_median" -> streamWith(
+      """hrm AS (
+        |  SELECT sink, hour_path, count(*) AS events
+        |  FROM ev_routed GROUP BY 1, 2
+        |), wrm AS (
+        |  SELECT sink, hour_path, events,
+        |    median(events) OVER w AS med,
+        |    quantile_cont(events, 0.25) OVER w AS p25,
+        |    quantile_cont(events, 0.75) OVER w AS p75
+        |  FROM hrm
+        |  WINDOW w AS (PARTITION BY sink ORDER BY hour_path
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT sink, hour_path, events, med, p25, p75, p75 - p25 AS iqr,
+        |  events > med + 3.0 * (p75 - p25) AS is_spike
+        |FROM wrm ORDER BY sink, hour_path""".stripMargin),
 
     "drift_psi" -> streamWith(
       """pbin AS (

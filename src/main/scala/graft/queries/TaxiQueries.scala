@@ -570,6 +570,43 @@ object TaxiQueries {
         .orderBy("vendor_code")
     }),
 
+    // Higher central moments per vendor — skewness + excess kurtosis of
+    // the fare distribution, the tail-shape read behind every fare-
+    // anomaly threshold. Same exact-decimal power-sum pattern as
+    // agg_corr/agg_linreg extended to s3/s4 (one map-side-combined
+    // shuffle, O(groups) state); the closed forms are cancellation-heavy
+    // doubles, so outputs round to 12 decimals on both sides, and the
+    // normalizer is m2·√m2 (sqrt is IEEE-correctly-rounded in both
+    // engines) rather than libm pow(x, 1.5), whose last ulp is not.
+    "agg_skew_kurtosis" -> ((s, d) => {
+      val v = dedupedDf(s, d).filter(col("vendor_code").isNotNull &&
+          col("fare_amount").isNotNull)
+        .select(col("vendor_code"), col("fare_amount").as("x"))
+      v.groupBy("vendor_code").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("s1"),
+          sum((col("x") * col("x")).cast("decimal(30,12)")).cast("double").as("s2"),
+          sum((col("x") * col("x") * col("x")).cast("decimal(38,12)"))
+            .cast("double").as("s3"),
+          sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,12)"))
+            .cast("double").as("s4"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+        .withColumn("m3", col("s3") / col("n")
+          - lit(3.0) * col("mean") * (col("s2") / col("n"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4", col("s4") / col("n")
+          - lit(4.0) * col("mean") * (col("s3") / col("n"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .select(col("vendor_code"), col("n"),
+          round(col("mean"), 12).as("mean_fare"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 12).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 12)
+            .as("kurtosis_excess"))
+        .orderBy("vendor_code")
+    }),
+
     // KMV distinct-count sketch vs the exact answer: the deterministic
     // approx_count_distinct replacement (custom TypedImperativeAggregate,
     // O(k) state, map-side partials) whose estimate the DuckDB oracle
@@ -637,6 +674,31 @@ object TaxiQueries {
         .select(col("vendor_code"), col("ingest_date").cast("string").as("ingest_date"),
           col("day_fare"), col("cum_fare"), col("prev_day_fare"))
         .orderBy("vendor_code", "ingest_date")
+    }),
+
+    // Gaps-and-islands: contiguous runs of busy service days per vendor
+    // (days with >= 3 trips), the classic rn-diff trick — day_id minus
+    // the per-vendor row_number is constant exactly within a consecutive
+    // run. The window runs over the per-vendor DAY census (bounded by
+    // calendar span, not fact size — the daily rollup shrinks the fact
+    // first), so the partition can never outgrow a task at any SF;
+    // everything downstream is an all-integer groupBy on (vendor, island).
+    "win_gaps_islands" -> ((s, d) => {
+      val daily = dedupedDf(s, d)
+        .filter(col("vendor_code").isNotNull)
+        .groupBy(col("vendor_code"), col("ingest_date"))
+        .agg(count(lit(1)).as("n_trips"))
+        .filter(col("n_trips") >= 3)
+      val w = Window.partitionBy(col("vendor_code")).orderBy(col("ingest_date"))
+      daily
+        .withColumn("island", unix_date(col("ingest_date")) - row_number().over(w))
+        .groupBy("vendor_code", "island")
+        .agg(min(col("ingest_date")).cast("string").as("start_date"),
+          max(col("ingest_date")).cast("string").as("end_date"),
+          count(lit(1)).as("n_days"),
+          sum(col("n_trips")).as("n_trips"))
+        .select("vendor_code", "start_date", "end_date", "n_days", "n_trips")
+        .orderBy("vendor_code", "start_date")
     }),
     "win_dedupe_rank" -> ((s, d) => dedupedDf(s, d)
       .select("trip_src_id", "vendor_code", "pickup_ts_utc", "dropoff_ts_utc",
@@ -1238,6 +1300,53 @@ object TaxiQueries {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |  ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r2
         |FROM lrs ORDER BY vendor_code""".stripMargin),
+
+    // same expression trees (association and all) as the Spark side; the
+    // normalizer is m2 * sqrt(m2), never pow(m2, 1.5) — see the engine
+    // comment
+    "agg_skew_kurtosis" -> taxiWith(
+      """ska AS (
+        |  SELECT vendor_code, count(*) AS n,
+        |    CAST(SUM(CAST(fare_amount AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(fare_amount * fare_amount AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(fare_amount * fare_amount * fare_amount
+        |             AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(fare_amount * fare_amount * fare_amount * fare_amount
+        |             AS DECIMAL(38,12))) AS DOUBLE) AS s4
+        |  FROM deduped
+        |  WHERE vendor_code IS NOT NULL AND fare_amount IS NOT NULL
+        |  GROUP BY 1
+        |), skm AS (
+        |  SELECT *, s1 / n AS mean FROM ska
+        |), skc AS (
+        |  SELECT *,
+        |    s2 / n - mean * mean AS m2,
+        |    s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+        |    s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM skm)""".stripMargin,
+      """SELECT vendor_code, n, round(mean, 12) AS mean_fare,
+        |  round(m3 / (m2 * sqrt(m2)), 12) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 12) AS kurtosis_excess
+        |FROM skc ORDER BY vendor_code""".stripMargin),
+
+    "win_gaps_islands" -> taxiWith(
+      """gi_daily AS (
+        |  SELECT vendor_code, ingest_date, count(*) AS n_trips
+        |  FROM deduped WHERE vendor_code IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), gi_isl AS (
+        |  SELECT *, CAST(ingest_date - DATE '1970-01-01' AS BIGINT)
+        |      - row_number() OVER (PARTITION BY vendor_code
+        |                           ORDER BY ingest_date) AS island
+        |  FROM gi_daily)""".stripMargin,
+      """SELECT vendor_code,
+        |  CAST(min(ingest_date) AS VARCHAR) AS start_date,
+        |  CAST(max(ingest_date) AS VARCHAR) AS end_date,
+        |  count(*) AS n_days,
+        |  CAST(sum(n_trips) AS BIGINT) AS n_trips
+        |FROM gi_isl GROUP BY vendor_code, island
+        |ORDER BY vendor_code, start_date""".stripMargin),
 
     "agg_distinct_sketch" -> taxiWith(
       """kmv AS (
