@@ -608,6 +608,36 @@ object OlapQueries {
           "measure", "value")
         .orderBy("l_returnflag", "l_linestatus", "measure")
     }),
+
+    // Ratio-to-report window: each nation's share of its region's order
+    // book + rank within region — the window class (share of partition
+    // total) the win_* family was missing. The window runs over the
+    // NATION census (25 rows at any SF — the fact collapses in the
+    // groupBy first), dims broadcast into the fact scan, and the share
+    // is one IEEE division of decimal-exact doubles.
+    "win_share_of_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nat = graft.Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val reg = graft.Tables(s, d, "region").select("r_regionkey", "r_name")
+      val cust = graft.Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+      val natRev = graft.Tables(s, d, "orders")
+        .select("o_custkey", "o_totalprice")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      natRev
+        .withColumn("region_total",
+          sum(col("revenue").cast("decimal(18,6)"))
+            .over(Window.partitionBy("r_name")).cast("double"))
+        .withColumn("share", col("revenue") / col("region_total"))
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("r_name").orderBy(col("revenue").desc, col("n_name"))))
+        .select("r_name", "n_name", "revenue", "region_total", "share", "rnk")
+        .orderBy("r_name", "n_name")
+    }),
   )
 
   private lazy val giniQueries: Map[String, QFn] = Map(
@@ -716,6 +746,24 @@ object OlapQueries {
         |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM uw
         |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM uw) u
         |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin,
+
+    "win_share_of_total" ->
+      """WITH snr AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, revenue,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY r_name) AS DOUBLE) AS region_total,
+        |  revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY r_name) AS DOUBLE) AS share,
+        |  CAST(rank() OVER (PARTITION BY r_name
+        |       ORDER BY revenue DESC, n_name) AS INT) AS rnk
+        |FROM snr ORDER BY r_name, n_name""".stripMargin,
 
     "olap_pricing_summary" ->
       """WITH base AS (

@@ -741,6 +741,29 @@ object TaxiQueries {
         .orderBy("location_id")
     }),
 
+    // INTERSECT / EXCEPT complete the §2.7 set-op family: locations that
+    // appear as BOTH pickup and dropoff, and pickup-only locations. Both
+    // plan as an aggregate-style hash set-op on the location key (one
+    // shuffle over the two narrow projections — never a join of the
+    // fact), and both are DISTINCT set semantics in Spark and SQL alike.
+    "setop_intersect" -> ((s, d) => {
+      val t = trips(s, d)
+      t.select(col("pu_location_id").as("location_id"))
+        .filter(col("location_id").isNotNull)
+        .intersect(t.select(col("do_location_id").as("location_id"))
+          .filter(col("location_id").isNotNull))
+        .orderBy("location_id")
+    }),
+
+    "setop_except" -> ((s, d) => {
+      val t = trips(s, d)
+      t.select(col("pu_location_id").as("location_id"))
+        .filter(col("location_id").isNotNull)
+        .except(t.select(col("do_location_id").as("location_id"))
+          .filter(col("location_id").isNotNull))
+        .orderBy("location_id")
+    }),
+
     "setop_union_all" -> ((s, d) => {
       // DQ-gate result set built as a UNION ALL chain (CoreDQ_Gate shape).
       val t = trips(s, d)
@@ -1432,6 +1455,20 @@ object TaxiQueries {
         |  UNION ALL
         |  SELECT do_location_id FROM trips) u
         |WHERE location_id IS NOT NULL ORDER BY location_id""".stripMargin),
+
+    "setop_intersect" -> taxi(
+      """SELECT pu_location_id AS location_id FROM trips
+        |WHERE pu_location_id IS NOT NULL
+        |INTERSECT
+        |SELECT do_location_id FROM trips WHERE do_location_id IS NOT NULL
+        |ORDER BY location_id""".stripMargin),
+
+    "setop_except" -> taxi(
+      """SELECT pu_location_id AS location_id FROM trips
+        |WHERE pu_location_id IS NOT NULL
+        |EXCEPT
+        |SELECT do_location_id FROM trips WHERE do_location_id IS NOT NULL
+        |ORDER BY location_id""".stripMargin),
 
     "setop_union_all" -> taxiWith(
       """agg AS (

@@ -101,6 +101,39 @@ object WindowedStats {
           .cast("long").as("span_min"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]] plus the
+    * rows it silently drops: a start whose end never arrives (or arrives
+    * outside the span bound) emits with a NULL end. The semantics class
+    * is genuinely different from inner: a null-padded row can only emit
+    * once the engine PROVES no match can still arrive, i.e. when the
+    * GLOBAL watermark (the min across both streams) passes
+    * `start_ts + span`, so emission timing is watermark-driven, not
+    * arrival-driven. Two operational consequences the spec pins: (a) the
+    * watermark `delay` bounds both state size and null-row latency;
+    * (b) a bounded run only flushes unmatched rows if some event
+    * advances BOTH streams' watermarks far enough — a stalled side holds
+    * the global watermark back (the min-policy), which is exactly the
+    * production behavior to design heartbeats around. */
+  def intervalJoinOuter(starts: DataFrame, ends: DataFrame,
+                        maxSpanMinutes: Int,
+                        delay: String = "2 hours"): DataFrame = {
+    val s = starts.withColumn("start_ts", col("start_ts").cast("timestamp"))
+      .withWatermark("start_ts", delay).as("s")
+    val e = ends.withColumn("end_ts", col("end_ts").cast("timestamp"))
+      .withWatermark("end_ts", delay).as("e")
+    s.join(e,
+        col("s.trip_id") === col("e.trip_id") &&
+          col("e.end_ts") >= col("s.start_ts") &&
+          col("e.end_ts") <= col("s.start_ts") + expr(s"interval $maxSpanMinutes minutes"),
+        "left_outer")
+      .select(col("s.trip_id").as("trip_id"),
+        col("s.start_ts").cast("timestamp_ntz").as("start_ts"),
+        col("e.end_ts").cast("timestamp_ntz").as("end_ts"),
+        ((col("e.end_ts").cast("long") - col("s.start_ts").cast("long")) / 60)
+          .cast("long").as("span_min"),
+        col("e.end_ts").isNotNull.as("matched"))
+  }
+
   final case class KeyedEvent(trip_id: Long, event_id: Long, fare_amount: Double,
                               producer_ts: java.sql.Timestamp)
 

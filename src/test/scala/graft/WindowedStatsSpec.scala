@@ -184,6 +184,43 @@ class WindowedStatsSpec extends SparkSpec {
     assert(!got.collect().map(_.getLong(0)).contains(7L), "200-min span exceeds the bound")
   }
 
+  test("intervalJoinOuter: unmatched starts emit null-padded after the watermark") {
+    import spark.implicits._
+    val base = tmpDir("graft_ssjoin_outer")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    def plus(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // trips 1-10 as in the inner case (7 out-of-bound, 9 never ends) PLUS
+    // a late heartbeat start (trip 11, +240min): the global watermark is
+    // the MIN across both streams, so without an event advancing the
+    // START side past the eviction point, no null row could ever flush
+    // in a bounded run — the heartbeat is the fix the scaladoc describes
+    val starts = ((1L to 10L).map(i => (i, plus(i))) :+ (11L, plus(240)))
+      .toDF("trip_id", "start_ts")
+    val ends = (1L to 10L).filter(_ != 9L)
+      .map(i => (i, plus(i + (if (i == 7) 200 else 5 + i)))).toDF("trip_id", "end_ts")
+    starts.write.mode("overwrite").parquet(s"$base/starts")
+    ends.write.mode("overwrite").parquet(s"$base/ends")
+
+    val q = WindowedStats.intervalJoinOuter(
+        spark.readStream.schema(starts.schema).parquet(s"$base/starts"),
+        spark.readStream.schema(ends.schema).parquet(s"$base/ends"),
+        120, delay = "10 minutes")
+      .writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+
+    val got = spark.table("ss_join_outer")
+    val matched = got.filter(col("matched"))
+    val unmatched = got.filter(!col("matched"))
+    assert(matched.count() == 8, "inner rows unchanged: trips 1-8 minus 7")
+    assert(unmatched.select("trip_id").as[Long].collect().sorted.toSeq == Seq(7L, 9L),
+      "out-of-bound 7 and never-ended 9 emit null-padded")
+    assert(unmatched.filter(col("end_ts").isNotNull || col("span_min").isNotNull)
+      .count() == 0, "unmatched rows carry NULL end/span")
+    assert(got.filter(col("trip_id") === 11L).count() == 0,
+      "the heartbeat itself stays in state — watermark never passes it")
+  }
+
   test("dedupeWithinWatermark: built-in streaming dedup drops in-delay replays") {
     import spark.implicits._
     val base = tmpDir("graft_wmdedup")
