@@ -103,3 +103,69 @@ object KmvDistinct {
   def of(c: Column, k: Int): Column =
     Bridge.column(KmvDistinct(Bridge.expression(c), k).toAggregateExpression())
 }
+
+/** The MERGEABLE form of [[KmvDistinct]]: returns the sketch itself (the
+  * sorted k-min hash array) instead of collapsing to an estimate — the
+  * Theta-sketch building block for SET ALGEBRA over summaries. Two
+  * sketches built over different slices (or different partitions, days,
+  * corpora) combine with plain array expressions downstream:
+  * union-estimate from the k smallest of the merged arrays,
+  * intersection via the KMV Jaccard rule (|A∩B within the union's k-min|
+  * / k), no second pass over raw data. State is the same O(k) TreeSet;
+  * output is ARRAY<BIGINT> ascending, so a SQL oracle replays it as
+  * `ORDER BY h LIMIT k`. */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 16, "kmv_sketch needs k >= 16 for a usable estimate")
+
+  private val impl = KmvDistinct(child, k)
+
+  override def prettyName: String = "kmv_sketch"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    impl.checkInputDataTypes()
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    impl.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    impl.update(buf, input)
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    impl.merge(buf, other)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 } // TreeSet iterates ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    impl.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}
+
+object KmvSketch {
+  /** Column-API entry point: `kmv_sketch(c, k)` — c must be a string column. */
+  def of(c: Column, k: Int): Column =
+    Bridge.column(KmvSketch(Bridge.expression(c), k).toAggregateExpression())
+}

@@ -219,6 +219,32 @@ object ScanQueries {
             .cast("long").as("sum_parsed_ids"))
     }),
 
+    // VARIANT ingest (Spark 4's semi-structured type): parse the wire
+    // envelopes ONCE into the binary variant encoding, then extract
+    // typed fields by path — schema-on-read without committing to a
+    // struct schema up front, the modern replacement for chains of
+    // get_json_object (which re-parse the string per path). The fixture's
+    // dual camelCase/snake_case keys make the point: try_variant_get
+    // returns NULL for an absent path (no schema error), so one coalesce
+    // absorbs producer drift. Narrow projection, single parse per row,
+    // fully codegen'd — the oracle computes the same values from the
+    // typed table, proving the variant path round-trips the wire format.
+    "scan_json_variant" -> ((s, d) => {
+      EventsModel.envelopes(s, d)
+        .select(parse_json(col("json")).as("v"))
+        .select(
+          variant_get(col("v"), "$.event_id", "bigint").as("event_id"),
+          coalesce(
+            try_variant_get(col("v"), "$.vendorId", "string"),
+            try_variant_get(col("v"), "$.vendor_id", "string")).as("vendor_id"),
+          coalesce(
+            try_variant_get(col("v"), "$.paymentType", "string"),
+            try_variant_get(col("v"), "$.payment_type", "string")).as("payment_type"),
+          variant_get(col("v"), "$.fare_amount", "double").as("fare_amount"),
+          variant_get(col("v"), "$.producer_ts", "string").as("producer_ts"))
+        .orderBy("event_id")
+    }),
+
     // Nested-document normalize: the ingest shape for order-with-items
     // JSON docs (one document per order, array of item structs) —
     // flatten to child rows carrying the parent key plus the element's
@@ -460,6 +486,13 @@ object ScanQueries {
         |  CAST(sum(CASE WHEN event_id % 97 <> 0 THEN event_id END) AS BIGINT)
         |    AS sum_parsed_ids
         |FROM events""".stripMargin,
+
+    // the variant extraction must reproduce the typed values that built
+    // the envelopes, including the 6-digit-micros ISO render
+    "scan_json_variant" -> stream(
+      """SELECT event_id, vendor_id, payment_type, fare_amount,
+        |  strftime(arrival_ts, '%Y-%m-%dT%H:%M:%S.%f') AS producer_ts
+        |FROM ev_typed ORDER BY event_id""".stripMargin),
 
     // the normalize contract: child rows = lineitem, pos = 0-based rank
     // within its order under sort_array's FULL struct order (line_no,

@@ -619,6 +619,44 @@ object TaxiQueries {
       .select(col("kmv_estimate"), col("exact"),
         (abs(col("kmv_estimate") - col("exact")) / col("exact")).as("rel_error"))),
 
+    // KMV sketch SET ALGEBRA (the Theta-sketch idea): estimate
+    // |A∪B|, |A∩B| and Jaccard between two slices — CARD trips vs
+    // fare>20 trips — from their O(k) sketches alone, no second pass
+    // over raw data. This is what mergeable summaries buy at 100 TB:
+    // per-partition/per-day sketches roll up with array math, and ANY
+    // pair of slices can be compared after the fact. One fact scan
+    // builds both sketches (conditional inputs) plus the exact answers
+    // the oracle scores the estimates against; everything after the
+    // single-row agg is pure array expressions. Union estimate = KMV on
+    // the k smallest of the merged arrays; intersection via the KMV
+    // Jaccard rule (shared hashes within the union's k-min, over k).
+    "agg_sketch_setops" -> ((s, d) => {
+      val key = col("trip_src_id").cast("string")
+      val condA = col("payment_type") === "CARD"
+      val condB = col("fare_amount") > 20.0
+      val k = 256
+      dedupedDf(s, d).agg(
+          graft.functions.KmvSketch.of(when(condA, key), k).as("sa"),
+          graft.functions.KmvSketch.of(when(condB, key), k).as("sb"),
+          countDistinct(when(condA || condB, col("trip_src_id"))).as("exact_union"),
+          countDistinct(when(condA && condB, col("trip_src_id"))).as("exact_inter"))
+        .withColumn("u_all", array_sort(array_union(col("sa"), col("sb"))))
+        .withColumn("u", slice(col("u_all"), 1, k))
+        .withColumn("est_union",
+          when(size(col("u_all")) < k, size(col("u_all")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
+              element_at(col("u"), k).cast("double")))
+        .withColumn("in_both", size(array_intersect(col("u"),
+          array_intersect(col("sa"), col("sb")))))
+        .withColumn("jaccard_est",
+          col("in_both").cast("double") / size(col("u")))
+        .select(size(col("sa")).cast("long").as("k_a"),
+          size(col("sb")).cast("long").as("k_b"),
+          col("exact_union"), col("est_union"), col("exact_inter"),
+          (col("jaccard_est") * col("est_union")).as("est_inter"),
+          col("jaccard_est"))
+    }),
+
     // Grouped KMV: one O(k) sketch per vendor (k=64 so the estimator
     // path, not the exact-below-k path, is exercised per group).
     "agg_sketch_grouped" -> ((s, d) => dedupedDf(s, d)
@@ -1389,6 +1427,44 @@ object TaxiQueries {
         |  abs(e.kmv_estimate - x.exact) / x.exact AS rel_error
         |FROM est e CROSS JOIN
         |  (SELECT count(DISTINCT trip_src_id) AS exact FROM deduped) x""".stripMargin),
+
+    // replays both sketches exactly (ORDER BY h LIMIT k over the same
+    // sha256-prefix hashes), then applies the identical set-algebra
+    "agg_sketch_setops" -> taxiWith(
+      """ssh AS (
+        |  SELECT trip_src_id, payment_type, fare_amount,
+        |    abs(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |        THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |        ELSE CAST(u AS BIGINT) END) AS h
+        |  FROM (SELECT trip_src_id, payment_type, fare_amount,
+        |          ('0x' || substr(sha256(CAST(trip_src_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+        |        FROM deduped) y),
+        |ska AS (SELECT h FROM (SELECT DISTINCT h FROM ssh
+        |        WHERE payment_type = 'CARD') za ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM (SELECT DISTINCT h FROM ssh
+        |        WHERE fare_amount > 20.0) zb ORDER BY h LIMIT 256),
+        |skall AS (SELECT DISTINCT h FROM
+        |        (SELECT h FROM ska UNION ALL SELECT h FROM skb) q),
+        |sku AS (SELECT h FROM skall ORDER BY h LIMIT 256),
+        |skc AS (SELECT
+        |  (SELECT count(*) FROM ska) AS k_a,
+        |  (SELECT count(*) FROM skb) AS k_b,
+        |  (SELECT count(*) FROM skall) AS n_uall,
+        |  (SELECT count(*) FROM sku) AS n_u,
+        |  (SELECT max(h) FROM sku) AS h_k,
+        |  (SELECT count(*) FROM sku WHERE h IN (SELECT h FROM ska)
+        |     AND h IN (SELECT h FROM skb)) AS in_both,
+        |  (SELECT count(DISTINCT trip_src_id) FROM ssh
+        |     WHERE payment_type = 'CARD' OR fare_amount > 20.0) AS exact_union,
+        |  (SELECT count(DISTINCT trip_src_id) FROM ssh
+        |     WHERE payment_type = 'CARD' AND fare_amount > 20.0) AS exact_inter),
+        |skf AS (SELECT *,
+        |  CASE WHEN n_uall < 256 THEN n_uall::DOUBLE
+        |       ELSE 255.0 * 9223372036854775808.0 / h_k::DOUBLE END AS est_union,
+        |  in_both::DOUBLE / n_u AS jaccard_est FROM skc)""".stripMargin,
+      """SELECT k_a, k_b, exact_union, est_union, exact_inter,
+        |  jaccard_est * est_union AS est_inter, jaccard_est
+        |FROM skf""".stripMargin),
 
     "agg_sketch_grouped" -> taxiWith(
       """vh AS (

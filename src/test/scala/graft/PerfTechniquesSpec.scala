@@ -82,6 +82,41 @@ class PerfTechniquesSpec extends SparkSpec {
     assert(j.count() == 167, "months 01+02 = 83 + 84 rows")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the shuffle-join sibling of dynamic partition pruning: when a
+    // selective filter sits on the build side, the optimizer ships a
+    // bloom filter of surviving keys to the probe side so most fact rows
+    // die BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact and shuffling the matching slice. Tiny
+    // local frames sit under the default size thresholds, so the test
+    // zeroes them; production keeps the defaults.
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (1L to 20000L).map(i => (i % 2000, i)).toDF("k", "id")
+      .write.mode("overwrite").parquet(s"$base/fact")
+    (0L until 2000L).map(i => (i, i % 97)).toDF("k", "grp")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prior = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter(col("grp") === 0)
+      val j = fact.join(dim, "k")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"probe side must carry an injected bloom filter:\n${plan.take(2000)}")
+      // 21 surviving dim keys × 10 fact rows each
+      assert(j.count() == 210, "bloom filter must not change the result")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join on a skewed key") {
     // hot key 0 holds 90% of rows
     val left = ((1 to 9000).map(_ => 0L) ++ (1 to 1000).map(_.toLong))
