@@ -256,6 +256,52 @@ object DocsOracle {
        |FROM sc WHERE containment >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** IVF ANN CTE chain (coarse quantizer from the label seed, 1-NN cell
+    * assignment, nprobe=2 probes for the `vec_id % 50 = 0` query set,
+    * cell-scoped cosine scoring) ending in `ranked(query_id, rank,
+    * neighbor_id, cosine, cell)`. Shared verbatim by the `ann_ivf`
+    * oracle and the lexical+semantic fusion oracle
+    * (`search_hybrid_rrf`), so the two cannot drift. */
+  val ivfRankedCtes: String =
+    s"""pos AS (
+       |  SELECT label, vec_id, j, embedding[j] AS x FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS g(j)
+       |), cent AS (
+       |  SELECT label AS cell, j,
+       |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+       |  FROM pos GROUP BY label, j
+       |), centarr AS (
+       |  SELECT cell, list(c ORDER BY j) AS ce FROM cent GROUP BY cell
+       |), en AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS n
+       |  FROM embeddings
+       |), celldist AS (
+       |  SELECT en.vec_id, en.embedding, en.n, centarr.cell,
+       |    list_reduce(list_transform(generate_series(1, len(en.embedding)),
+       |      i -> (en.embedding[i]::DOUBLE - centarr.ce[i])
+       |           * (en.embedding[i]::DOUBLE - centarr.ce[i])),
+       |      (x, y) -> x + y) AS cdist
+       |  FROM en CROSS JOIN centarr
+       |), ranked_cells AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cdist, cell) AS crank
+       |  FROM celldist
+       |), assigned AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce_v, n AS cn, cell
+       |  FROM ranked_cells WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, n AS qn, cell
+       |  FROM ranked_cells WHERE crank <= 2 AND vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT p.query_id, a.neighbor_id, a.cell,
+       |    ${dotSql("p.qe", "a.ce_v")} / (p.qn * a.cn) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.neighbor_id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin
+
   /** Wrap a SELECT with the doc CTE chain. */
   def docs(select: String): String =
     s"WITH $docsDup, $toks, $shingleHashes, $tokenHashes,\n$minhash,\n$simhash\n$select"
