@@ -21,7 +21,9 @@ import graft.functions.{FloatVecDot, KmvDistinct, Sha256Prefix64, VecDistSq}
   * `array<float>` vector and an `array<double>` centroid (IVF/k-means
   * assignment hot path).
   * `kmv_distinct(s, k)` — deterministic K-Minimum-Values distinct-count
-  * sketch (k must be an INT literal). */
+  * sketch (k must be an INT literal).
+  * `asof_join(l, r, keys, lts, rts, payload[, direction])` — table-valued
+  * as-of join over named tables/views ([[graft.sql.AsofTableFunction]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
@@ -38,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // opt-in BETWEEN-join → bin-bucketized range-join rewrite
     e.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+    // table-valued as-of join for the SQL-first audience:
+    // SELECT * FROM asof_join('l','r','keys','lts','rts','pay','backward')
+    e.injectTableFunction((
+      new FunctionIdentifier(graft.sql.AsofTableFunction.name),
+      new ExpressionInfo(graft.sql.AsofTableFunction.getClass.getName,
+        graft.sql.AsofTableFunction.name),
+      (args: Seq[Expression]) => graft.sql.AsofTableFunction.build(args)))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

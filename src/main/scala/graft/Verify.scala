@@ -19,12 +19,18 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // A failed query must stay VISIBLE: no output dir would silently
+          // drop it from the driver's correctness report. Persist the
+          // error per-query (and summarized in errors.json below) so the
+          // round shows `err`, not a shrunken entry count.
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors.put(name, s"${e.getClass.getName}: ${e.getMessage}")
         }
       }
     }
@@ -47,6 +53,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failed queries: one _error.txt inside the (otherwise missing) query
+    // dir + an aggregate errors.json, so a broken query surfaces as `err`
+    // in the driver's report instead of vanishing from the entry count.
+    import scala.jdk.CollectionConverters._
+    errors.asScala.foreach { case (name, msg) =>
+      val dir = Paths.get(s"$outDir/$name")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("_error.txt"), msg)
+    }
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (!errors.isEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed — see errors.json")
     spark.stop()
   }
 }

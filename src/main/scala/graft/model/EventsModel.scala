@@ -30,9 +30,9 @@ object EventsModel {
   /** Typed pre-envelope event fields (what the producer knows). */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
-    // ts is TIMESTAMP(NANOS) read as long (nanosAsLong); integer-div to
-    // micros — a double division would lose sub-ms precision at 1.7e18.
-    val arrival = timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+    // ts physical type varies by fixture generation (nanos-as-long vs
+    // micros-timestamp) — Tables.eventTsNtz dispatches on the read schema.
+    val arrival = Tables.eventTsNtz(ev)
     val durS = when(col("event_id") % 37 === 0, lit(-300))
       .when(col("event_id") % 41 === 0, lit(30000))
       .otherwise((col("event_id") * 7919) % 3000 + 60)

@@ -635,6 +635,54 @@ object DocQueries {
     "search_bm25" -> ((s, dir) => DocPipeline.bm25Search(d(s, dir), Bm25Queries)
       .orderBy("query_id", "rank")),
 
+    // Hybrid lexical+semantic retrieval fused by reciprocal-rank fusion
+    // (RRF, Cormack/Clarke/Buettcher SIGIR 2009 — public method, k=60):
+    // the lexical ranking is a shingle-Jaccard more-like-this over the
+    // memoized inverted shingle index (equi-join on h; the query side is
+    // the fixed doc_id%50 census, so the join is candidate-generated,
+    // never all-pairs, and the df-cap kills hot-shingle buckets exactly
+    // as the dedup lane does), the semantic ranking is the IVF cosine
+    // top-10. RRF scores are 1/(60+rank) sums over ≤2 fixed terms — no
+    // order-dependent float accumulation, so the oracle lands on the
+    // identical doubles.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shingles(s, dir)
+      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DocPipeline.JaccardDfCap).select("h")
+      val cap = sh.join(rare, "h")
+      val sizes = cap.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sharedCnt = cap.as("q")
+        .join(cap.as("d"), col("q.h") === col("d.h") &&
+          col("q.doc_id") =!= col("d.doc_id"))
+        .filter(col("q.doc_id") % 50 === 0)
+        .groupBy(col("q.doc_id").as("query_id"), col("d.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("shared"))
+      val lex = sharedCnt
+        .join(sizes.select(col("doc_id").as("query_id"), col("n").as("nq")), "query_id")
+        .join(sizes.select(col("doc_id"), col("n").as("nd")), "doc_id")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("nq") + col("nd") - col("shared")))
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("jaccard").desc, col("doc_id"))
+      val lexTop = lex.withColumn("lex_rank", row_number().over(wl))
+        .filter(col("lex_rank") <= 10)
+        .select("query_id", "doc_id", "lex_rank")
+      val all = e(s, dir)
+      val semTop = EmbeddingOps.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, 10, 2)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("sem_rank"))
+      val fused = lexTop.join(semTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "rrf_score", "lex_rank", "sem_rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // top-3 TF-IDF terms per doc (keyword extraction / topic audit)
     "text_tfidf" -> ((s, dir) => DocPipeline.tfidfTopTerms(d(s, dir))
       .orderBy("doc_id", "rank")),
@@ -963,45 +1011,9 @@ object DocQueries {
       """SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
-    "ann_ivf" -> emb(
-      s"""pos AS (
-         |  SELECT label, vec_id, j, embedding[j] AS x FROM embeddings,
-         |    unnest(generate_series(1, len(embedding))) AS g(j)
-         |), cent AS (
-         |  SELECT label AS cell, j,
-         |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
-         |  FROM pos GROUP BY label, j
-         |), centarr AS (
-         |  SELECT cell, list(c ORDER BY j) AS ce FROM cent GROUP BY cell
-         |), en AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${DocsOracle.dotSql("embedding", "embedding")}) AS n
-         |  FROM embeddings
-         |), celldist AS (
-         |  SELECT en.vec_id, en.embedding, en.n, centarr.cell,
-         |    list_reduce(list_transform(generate_series(1, len(en.embedding)),
-         |      i -> (en.embedding[i]::DOUBLE - centarr.ce[i])
-         |           * (en.embedding[i]::DOUBLE - centarr.ce[i])),
-         |      (x, y) -> x + y) AS cdist
-         |  FROM en CROSS JOIN centarr
-         |), ranked_cells AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cdist, cell) AS crank
-         |  FROM celldist
-         |), assigned AS (
-         |  SELECT vec_id AS neighbor_id, embedding AS ce_v, n AS cn, cell
-         |  FROM ranked_cells WHERE crank = 1
-         |), probes AS (
-         |  SELECT vec_id AS query_id, embedding AS qe, n AS qn, cell
-         |  FROM ranked_cells WHERE crank <= 2 AND vec_id % 50 = 0
-         |), scored AS (
-         |  SELECT p.query_id, a.neighbor_id, a.cell,
-         |    ${DocsOracle.dotSql("p.qe", "a.ce_v")} / (p.qn * a.cn) AS cosine
-         |  FROM assigned a JOIN probes p ON a.cell = p.cell
-         |  WHERE a.neighbor_id <> p.query_id
-         |), ranked AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
+    // CTE chain shared from DocsOracle.ivfRankedCtes — one definition,
+    // no drift between consumers.
+    "ann_ivf" -> emb(DocsOracle.ivfRankedCtes,
       """SELECT query_id, rank, neighbor_id, cosine, cell FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
@@ -1941,6 +1953,43 @@ object DocQueries {
     },
 
     "search_bm25" -> DocsOracle.bm25Sql(Bm25Queries, 10, 1.2, 0.75),
+
+    // lexical (shingle-Jaccard) + semantic (ivfRankedCtes — the ONE
+    // shared IVF definition) fused by RRF k=60; mirrors the Spark plan
+    // term-for-term so the doubles agree exactly
+    "search_hybrid_rrf" -> docsWith(
+      s"""${DocsOracle.ivfRankedCtes},
+         |rrf_rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 1000),
+         |rrf_cap AS (SELECT s.doc_id, s.h FROM shh s JOIN rrf_rare USING (h)),
+         |rrf_sizes AS (SELECT doc_id, count(*) AS n FROM rrf_cap GROUP BY 1),
+         |rrf_shared AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS shared
+         |  FROM rrf_cap q JOIN rrf_cap d ON q.h = d.h AND q.doc_id <> d.doc_id
+         |  WHERE q.doc_id % 50 = 0 GROUP BY 1, 2),
+         |rrf_lexj AS (
+         |  SELECT query_id, rrf_shared.doc_id AS doc_id,
+         |    shared::DOUBLE / (sq.n + sd.n - shared) AS jaccard
+         |  FROM rrf_shared JOIN rrf_sizes sq ON query_id = sq.doc_id
+         |  JOIN rrf_sizes sd ON rrf_shared.doc_id = sd.doc_id),
+         |rrf_lextop AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY jaccard DESC, doc_id) AS INT) AS lex_rank
+         |  FROM rrf_lexj QUALIFY lex_rank <= 10),
+         |rrf_semtop AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank AS sem_rank
+         |  FROM ranked WHERE rank <= 10),
+         |rrf_fused AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0)
+         |      + coalesce(1.0::DOUBLE / (60 + s.sem_rank), 0) AS rrf_score,
+         |    l.lex_rank, s.sem_rank
+         |  FROM rrf_lextop l FULL JOIN rrf_semtop s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)""".stripMargin,
+      """SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+        |  doc_id, rrf_score, lex_rank, sem_rank
+        |FROM rrf_fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "text_tfidf" -> DocsOracle.tfidfSql(3),
 

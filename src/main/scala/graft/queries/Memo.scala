@@ -9,35 +9,67 @@ import org.apache.spark.sql.DataFrame
   * The reference materializes `core.trip_clean` / `mdl.fact_trip` once per
   * run and every downstream statement reads the table; the declared
   * queries are independent programs over the same fixtures, so without
-  * this each would rebuild the whole chain. `cache()` is the in-session
-  * analog of those materialized tables (at 100 TB: a persisted Parquet/
-  * Delta table written once per slice, exactly as [[graft.batch.Runner]]
-  * does).
+  * this each would rebuild the whole chain.
+  *
+  * Materialization is a scratch-parquet table (the same write-once
+  * read-many pattern as [[graft.batch.Runner]]), NOT a bare `cache()`:
+  * cached blocks evict under memory pressure and every consumer then
+  * silently re-pays the whole upstream chain — at 100 TB that turns O(1)
+  * reuse into O(chain) per query. With a scratch table the worst case
+  * after eviction is a columnar re-scan of the materialized result. The
+  * read-back frame is additionally cached so the steady-state hit is
+  * still in-memory.
   *
   * Entries are keyed by the owning SparkSession's identity as well, so a
   * harness that rebuilds its session never sees a frame bound to a
   * stopped one. */
 object Memo {
   private val frames = TrieMap.empty[(Int, String), DataFrame]
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Object]()
+
+  /** One scratch dir per JVM; harmless to leave behind (tmp), and keyed
+    * paths make concurrent sessions non-colliding. */
+  private lazy val scratch: String =
+    java.nio.file.Files.createTempDirectory("graft-memo").toString
+
+  private def sanitize(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Write once, read back, pin the (cheaply recomputable) scan. */
+  private def materialize(df: DataFrame, k: (Int, String)): DataFrame = {
+    val path = s"$scratch/${k._1}_${sanitize(k._2)}"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path).cache()
+  }
 
   /** A memo hit whose cache entry was dropped out from under it (an
-    * external `clearCache()`, memory-pressure eviction of the ENTRY —
-    * not just blocks — by a harness) would silently rebuild its chain on
-    * every downstream query; re-register instead. `storageLevel`
-    * consults the session's CacheManager, so this is a cheap lookup. */
+    * external `clearCache()`, memory-pressure eviction) re-registers the
+    * cache — recompute is only the scratch-parquet scan, never the
+    * original chain. `storageLevel` consults the session's CacheManager,
+    * so this is a cheap lookup. */
   private def healed(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.cache()
     df
   }
 
+  /** Per-key serialization: Verify runs queries 4-wide and racing
+    * builders must not overwrite the same scratch path concurrently
+    * (unlike the old racy-but-benign double `cache()`). */
+  private def memo(k: (Int, String), build: => DataFrame): DataFrame = {
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      healed(frames.getOrElseUpdate(k, materialize(build, k)))
+    }
+  }
+
   /** `build` is evaluated on every call (needed to learn the owning
-    * session) but the CACHED frame wins on a hit — fine for lazy plan
-    * builders. For builders that run jobs eagerly use [[of]]. */
+    * session) but the materialized frame wins on a hit — fine for lazy
+    * plan builders. For builders that run jobs eagerly use [[of]]. */
   def apply(key: String)(build: => DataFrame): DataFrame = {
     val df = build
-    val sessionId = System.identityHashCode(df.sparkSession)
-    healed(frames.getOrElseUpdate((sessionId, key), df.cache()))
+    memo((System.identityHashCode(df.sparkSession), key), df)
   }
 
   /** Session-explicit variant that does NOT evaluate `build` on a hit —
@@ -46,6 +78,5 @@ object Memo {
     * work. */
   def of(spark: org.apache.spark.sql.SparkSession, key: String)
         (build: => DataFrame): DataFrame =
-    healed(frames.getOrElseUpdate(
-      (System.identityHashCode(spark), key), build.cache()))
+    memo((System.identityHashCode(spark), key), build)
 }

@@ -142,11 +142,10 @@ object StreamQueries {
     // and the per-bin terms are DECIMAL-summed (order-free) — the same
     // pattern as every float-bearing query in this repo.
     "drift_psi" -> ((s, d) => {
-      val binned = graft.Tables(s, d, "events")
-        // ts is TIMESTAMP(NANOS) read as long (nanosAsLong) — same
-        // conversion as EventsModel.rawEvents.
+      val ev0 = graft.Tables(s, d, "events")
+      val binned = ev0
         .select(col("event_type"),
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"),
+          graft.Tables.eventTsNtz(ev0).as("ts"),
           col("value"))
         .withColumn("bin", least(floor(col("value") / 25.0), lit(19.0)).cast("int"))
         .withColumn("is_ref",
@@ -167,9 +166,10 @@ object StreamQueries {
     // (nanos div 1000 — DuckDB timestamps are µs, so the oracle computes
     // the same integers) keep the distance arithmetic exact.
     "join_asof_nearest" -> ((s, d) => {
-      val ev = graft.Tables(s, d, "events")
+      val ev0 = graft.Tables(s, d, "events")
+      val ev = ev0
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"), col("value"))
+          graft.Tables.eventTsMicros(ev0).as("ts_us"), col("value"))
       val left = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("ts_us").as("err_ts"))
       val right = ev.filter(col("event_type") === "purchase")
@@ -208,8 +208,10 @@ object StreamQueries {
     // is a distinct-user census per (cohort, offset) cell: all-integer,
     // two shuffles (user census + cell rollup), nothing float-bearing.
     "agg_retention_cohort" -> ((s, d) => {
-      val ev = graft.Tables(s, d, "events")
-        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val ev0 = graft.Tables(s, d, "events")
+      val ev = ev0
+        .select(col("user_id"), graft.Tables.eventTsMicros(ev0).as("ts_us"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
       ev.join(first, "user_id")
         .select(col("user_id"),
@@ -325,8 +327,10 @@ object StreamQueries {
     // per-user 30-minute-gap session ordinal — ops/Sessionize, one
     // exchange + one sort (lag + running count share the window spec)
     "win_sessionize" -> ((s, d) => {
-      val ev = graft.Tables(s, d, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev0 = graft.Tables(s, d, "events")
+      val ev = ev0
+        .select(col("event_id"), col("user_id"),
+          graft.Tables.eventTsMicros(ev0).as("ts_us"))
       graft.ops.Sessionize.assign(ev, Seq("user_id"), "ts_us",
           Seq("event_id"), 30L * 60 * 1000000)
         .orderBy("user_id", "ts_us", "event_id")
@@ -369,9 +373,10 @@ object StreamQueries {
     // (union + per-key winner window, no join)
     "source_cdc_apply" -> ((s, d) => {
       val cut = 1705276800000000L // 2024-01-15T00:00:00Z epoch micros
-      val ev = graft.Tables(s, d, "events")
+      val ev0 = graft.Tables(s, d, "events")
+      val ev = ev0
         .select(col("user_id"), col("event_type"), col("value"),
-          expr("ts div 1000").as("ts_us"), col("event_id"))
+          graft.Tables.eventTsMicros(ev0).as("ts_us"), col("event_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
       val snapshot = ev.filter(col("ts_us") < cut)
@@ -393,9 +398,10 @@ object StreamQueries {
     // ops/Scd2: lag-based change detection + lead-based validity share
     // ONE window spec → one shuffle on the key, no self-join.
     "scd2_history" -> ((s, d) => {
-      val ev = graft.Tables(s, d, "events")
+      val ev0 = graft.Tables(s, d, "events")
+      val ev = ev0
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
+          graft.Tables.eventTsMicros(ev0).as("ts_us"))
       graft.ops.Scd2.fromChangeLog(ev, Seq("user_id"),
           Seq("ts_us", "event_id"), Seq("event_type"), "ts_us")
         .select(col("user_id"), col("event_type"),

@@ -53,4 +53,55 @@ class CatalogSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
     assert(got == expected && got >= 0)
   }
+
+  test("asof_join is SQL-callable and matches the Scala API") {
+    val s = spark
+    import s.implicits._
+    Seq(("a", 10L, 1L), ("a", 25L, 2L), ("b", 5L, 3L), ("c", 7L, 4L))
+      .toDF("k", "ts", "row_id").createOrReplaceTempView("asof_l")
+    Seq(("a", 8L, 1.0, "x"), ("a", 20L, 2.0, "y"), ("b", 9L, 3.0, "z"))
+      .toDF("k", "vts", "rate", "src").createOrReplaceTempView("asof_r")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val viaSql = spark.sql(
+        s"""SELECT * FROM asof_join('asof_l', 'asof_r', 'k', 'ts', 'vts',
+           |                        'rate,src', '$dir')""".stripMargin)
+        .orderBy("row_id").collect().toSeq
+      val api = dir match {
+        case "backward" => graft.ops.AsofJoin.backward(
+          spark.table("asof_l"), spark.table("asof_r"),
+          Seq("k"), "ts", "vts", Seq("rate", "src"))
+        case "forward" => graft.ops.AsofJoin.forward(
+          spark.table("asof_l"), spark.table("asof_r"),
+          Seq("k"), "ts", "vts", Seq("rate", "src"))
+        case _ => graft.ops.AsofJoin.nearest(
+          spark.table("asof_l"), spark.table("asof_r"),
+          Seq("k"), "ts", "vts", Seq("rate", "src"))
+      }
+      assert(viaSql == api.orderBy("row_id").collect().toSeq, s"direction=$dir")
+    }
+    // sanity on the backward semantics through SQL: a@25 matches vts=20
+    val r = spark.sql(
+      """SELECT rate FROM asof_join('asof_l','asof_r','k','ts','vts','rate')
+        |WHERE row_id = 2""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 2.0)
+  }
+
+  test("BETWEEN range join is SQL-reachable (RangeJoinRule rewrite, no CartesianProduct)") {
+    val s = spark
+    import s.implicits._
+    Seq(1L, 5L, 12L, 23L).toDF("p").createOrReplaceTempView("rj_pts")
+    Seq((0L, 10L, "lo"), (10L, 20L, "mid"), (20L, 30L, "hi"))
+      .toDF("lo", "hi", "tag").createOrReplaceTempView("rj_ivs")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val q = spark.sql(
+        """SELECT p, tag FROM rj_pts JOIN rj_ivs
+          |ON p >= lo AND p < hi ORDER BY p""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"range join must bucketize, got:\n$plan")
+      assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "lo"), (5L, "lo"), (12L, "mid"), (23L, "hi")))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
 }
