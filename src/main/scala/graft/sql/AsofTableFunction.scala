@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.ops.AsofJoin
 
 /** SQL surface for the as-of join family (VERDICT r7 missing #4: the
-  * reference's audience is SQL-first — sql/batchELT/** — but as-of was
+  * reference's audience is SQL-first, sql/batchELT — but as-of was
   * Scala-only). Registered by [[graft.GraftExtensions]] as a table-valued
   * function:
   *

@@ -90,13 +90,13 @@ class CatalogSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     Seq(1L, 5L, 12L, 23L).toDF("p").createOrReplaceTempView("rj_pts")
-    Seq((0L, 10L, "lo"), (10L, 20L, "mid"), (20L, 30L, "hi"))
+    Seq((0L, 9L, "lo"), (10L, 19L, "mid"), (20L, 29L, "hi"))
       .toDF("lo", "hi", "tag").createOrReplaceTempView("rj_ivs")
     spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
     try {
       val q = spark.sql(
         """SELECT p, tag FROM rj_pts JOIN rj_ivs
-          |ON p >= lo AND p < hi ORDER BY p""".stripMargin)
+          |ON p >= lo AND p <= hi ORDER BY p""".stripMargin)
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
         s"range join must bucketize, got:\n$plan")
