@@ -21,7 +21,12 @@ object Bench {
     // first-run plan-compile cost are not the steady-state number a round
     // artifact should record — the median discards both
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = scala.collection.immutable.ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+    // optional regex filter (scale-sweep harness: run only the lanes whose
+    // row-scaling is well-defined on replicated fixtures)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+    val results = scala.collection.immutable.ListMap(selected: _*).map { case (name, fn) =>
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

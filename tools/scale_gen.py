@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Scale-sweep fixture generator (driver-side tooling, like oracle_check).
+
+Replicates the driver's sf0.1 fixtures K times with key shifts that
+preserve referential integrity, so time-vs-rows slopes can be measured
+beyond the largest driver-provided SF:
+
+  python3 tools/scale_gen.py 5 /tmp/sfscale/x5   # ~sf0.5
+
+Tables and key handling:
+  region, nation                  copied as-is (fixed domains)
+  customer  c_custkey             += copy * (max+1)
+  orders    o_orderkey, o_custkey += copy * (max+1 of each)
+  lineitem  l_orderkey, l_partkey, l_suppkey shifted to match
+  part      p_partkey             shifted
+  supplier  s_suppkey             shifted
+  events    event_id, user_id     shifted (ts kept: same time span,
+                                  K x the events per hour -- the correct
+                                  shape for a throughput sweep)
+  documents, embeddings           copied as-is (near-dup/ANN structure is
+                                  content-defined; replicating text K x
+                                  would quadratically inflate dup pairs --
+                                  a data artifact, not an engine slope.
+                                  The doc lane is excluded from the sweep
+                                  via SPARK_GRAFT_BENCH_FILTER instead.)
+"""
+import os
+import sys
+
+import duckdb
+
+K = int(sys.argv[1])
+OUT = sys.argv[2]
+SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+def copy_asis(name):
+    con.execute(f"COPY (SELECT * FROM '{SRC}/{name}.parquet') TO "
+                f"'{OUT}/{name}.parquet' (FORMAT PARQUET)")
+
+def span(table, key):
+    return con.execute(
+        f"SELECT max({key}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+def replicate(name, shifts):
+    """shifts: {col: span}; each copy c adds c*span to col."""
+    base = con.execute(
+        f"SELECT * FROM '{SRC}/{name}.parquet' LIMIT 0").df().columns
+    parts = []
+    for c in range(K):
+        cols = [f"({col} + {c * int(shifts[col])}) AS {col}"
+                if col in shifts else col for col in base]
+        parts.append(f"SELECT {', '.join(cols)} FROM '{SRC}/{name}.parquet'")
+    union = " UNION ALL ".join(parts)
+    con.execute(f"COPY ({union}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET)")
+
+copy_asis("region")
+copy_asis("nation")
+copy_asis("documents")
+copy_asis("embeddings")
+
+cust = span("customer", "c_custkey")
+orde = span("orders", "o_orderkey")
+part = span("part", "p_partkey")
+supp = span("supplier", "s_suppkey")
+evid = span("events", "event_id")
+usid = span("events", "user_id")
+
+replicate("customer", {"c_custkey": cust})
+replicate("orders", {"o_orderkey": orde, "o_custkey": cust})
+replicate("lineitem", {"l_orderkey": orde, "l_partkey": part, "l_suppkey": supp})
+replicate("part", {"p_partkey": part})
+replicate("supplier", {"s_suppkey": supp})
+replicate("events", {"event_id": evid, "user_id": usid})
+
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
+    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n}")
+print(f"wrote K={K} replica of {SRC} to {OUT}")
