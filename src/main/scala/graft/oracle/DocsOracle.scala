@@ -259,9 +259,10 @@ object DocsOracle {
   /** IVF ANN CTE chain (coarse quantizer from the label seed, 1-NN cell
     * assignment, nprobe=2 probes for the `vec_id % 50 = 0` query set,
     * cell-scoped cosine scoring) ending in `ranked(query_id, rank,
-    * neighbor_id, cosine, cell)`. The `ann_ivf` oracle interpolates this
-    * string (DocQueries.oracles), so the declared query and any future
-    * consumer rank against one definition. */
+    * neighbor_id, cosine, cell)`. Interpolated by BOTH consumers — the
+    * `ann_ivf` oracle and the `search_hybrid_rrf` oracle's semantic leg
+    * (DocQueries.oracles) — so the two rank against one definition and
+    * cannot drift. */
   val ivfRankedCtes: String =
     s"""pos AS (
        |  SELECT label, vec_id, j, embedding[j] AS x FROM embeddings,
