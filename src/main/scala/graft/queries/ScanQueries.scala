@@ -383,6 +383,38 @@ object ScanQueries {
         .orderBy("ship_month")
     }),
 
+    // Table-format time travel: two committed snapshot versions diffed by
+    // version-addressed reads — the corpus_snapshot_diff audit executed
+    // through the transactional layer itself (ops/SnapshotTable manifest
+    // commits), so the versions compared are real immutable commits, not
+    // conventionally-named dirs. The diff joins two narrow (id, n_chars)
+    // snapshots full-outer on the id — text bytes never enter the table.
+    "snapshot_time_travel" -> ((s, d) => {
+      val docs = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val dir = scratch("snap_tt")
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(dir), true) // clean 2-version history per run
+      val t = graft.ops.SnapshotTable(s, dir, docs.schema)
+      t.overwrite(docs.filter(col("doc_id") % 2 === 0))
+      t.overwrite(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 12 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars"))))
+      val v1 = t.readVersion(1)
+        .select(col("doc_id").as("id1"), col("n_chars").as("nc1"))
+      val v2 = t.readVersion(2)
+        .select(col("doc_id").as("id2"), col("n_chars").as("nc2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .withColumn("status",
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "removed")
+            .when(col("nc1") =!= col("nc2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -436,6 +468,21 @@ object ScanQueries {
         |  strftime(arrival_ts, '%H') AS p_hour, count(*) AS events
         |FROM ev_routed WHERE CAST(arrival_ts AS DATE) < DATE '2024-01-04'
         |GROUP BY 1, 2 ORDER BY p_date, p_hour""".stripMargin),
+
+    "snapshot_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 12 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), j AS (
+        |  SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |              WHEN v2.doc_id IS NULL THEN 'removed'
+        |              WHEN v1.n_chars <> v2.n_chars THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "list_files" -> stream(
       """SELECT DISTINCT 'p_date=' || strftime(arrival_ts, '%Y-%m-%d')
