@@ -312,6 +312,16 @@ object StreamQueries {
       graft.stream.WindowedStats.hourlyQualityCounts(routed(s, d))
         .orderBy("hour_start", "sink")),
 
+    // windowed mergeable quantile (stream/WindowedStats.windowedQuantile):
+    // per (hour, sink) p50 fare from the O(bins) histogram state a
+    // streaming agg can actually carry — WindowedStatsSpec proves the
+    // streaming run merges to this exact batch answer
+    "stream_quantile_window" -> ((s, d) =>
+      graft.stream.WindowedStats.windowedQuantile(
+          routed(s, d).filter(col("fare_amount").isNotNull),
+          "fare_amount", 0.0, 500.0, 50, 0.5)
+        .orderBy("hour_start", "sink")),
+
     // ASA HoppingWindow(hour,1,minute,30) analog: overlapping windows
     "stream_hopping_window" -> ((s, d) =>
       graft.stream.WindowedStats.hoppingQualityCounts(routed(s, d))
@@ -667,6 +677,28 @@ object StreamQueries {
       """SELECT date_trunc('hour', arrival_ts) AS hour_start, sink,
         |  count(*) AS events
         |FROM ev_routed GROUP BY 1, 2 ORDER BY hour_start, sink""".stripMargin),
+
+    // histogram-sketch p50 replay: identical bin/cum/interpolate math as
+    // WindowedStats.windowedQuantile (w=10, 50 bins over [0,500))
+    "stream_quantile_window" -> graft.oracle.StreamOracle.streamWith(
+      """qw_counts AS (
+        |  SELECT date_trunc('hour', arrival_ts) AS hour_start, sink,
+        |    least(49, greatest(0, CAST(floor(fare_amount / 10.0) AS INT))) AS bin,
+        |    count(*) AS c
+        |  FROM ev_routed WHERE fare_amount IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), qw_agg AS (
+        |  SELECT hour_start, sink, bin, c,
+        |    sum(c) OVER (PARTITION BY hour_start, sink ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY hour_start, sink) AS n
+        |  FROM qw_counts
+        |), qw_pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_start, sink
+        |    ORDER BY bin) AS rn
+        |  FROM qw_agg WHERE cum >= 0.5 * n)""".stripMargin,
+      """SELECT hour_start, sink, n,
+        |  0.0 + 10.0 * bin + 10.0 * (0.5 * n - (cum - c)) / c AS est
+        |FROM qw_pick WHERE rn = 1 ORDER BY hour_start, sink""".stripMargin),
 
     "stream_hopping_window" -> stream(
       """SELECT win_start, sink, count(*) AS events FROM (

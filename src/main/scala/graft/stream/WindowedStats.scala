@@ -33,6 +33,57 @@ object WindowedStats {
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("sink"), col("events"))
 
+  /** Windowed mergeable quantile — [[graft.ops.QuantileSketch]]'s
+    * fixed-bin histogram estimate as a SINGLE watermarked streaming
+    * aggregation: per (1-hour window, sink), `bins` conditional-sum
+    * counters accumulate in one agg (streaming forbids the batch
+    * helper's second assembly aggregation; the counters are the O(bins)
+    * mergeable state, exactly what t-digest/KLL would carry), and the
+    * q-quantile is interpolated from the in-row histogram by a stateless
+    * post-projection. Same static/streaming duality as the other windowed
+    * ops — WindowedStatsSpec pins streaming == batch == the batch
+    * QuantileSketch on the same groups, which is the mergeability proof:
+    * partial per-micro-batch states land on the identical histogram.
+    *
+    * Estimation error ≤ one bin width by construction; out-of-domain
+    * values clamp into the edge bins. */
+  def windowedQuantile(routed: DataFrame, valueCol: String, lo: Double,
+                       hi: Double, bins: Int, q: Double): DataFrame = {
+    require(bins > 0 && hi > lo && q > 0 && q < 1,
+      "need bins > 0, hi > lo, 0 < q < 1")
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / w).cast("int")))
+    val counters = (0 until bins).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"_b$b"))
+    val agged = routed
+      .withColumn("_evt", col("arrival_ts").cast("timestamp"))
+      .withWatermark("_evt", "2 hours")
+      .groupBy(window(col("_evt"), "1 hour"), col("sink"))
+      .agg(counters.head, counters.tail: _*)
+    val hist = array((0 until bins).map(b => col(s"_b$b")): _*)
+    // stateless assembly: cumulative counts over the in-row histogram
+    // (O(bins^2) adds per row — bins is a small constant), first bin with
+    // cum >= q*n owns the quantile, linear interpolation inside it
+    agged
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("sink"), hist.as("_h"))
+      .withColumn("n", aggregate(col("_h"), lit(0L), (a, x) => a + x))
+      .withColumn("_cum", transform(sequence(lit(0), lit(bins - 1)),
+        i => aggregate(slice(col("_h"), lit(1), i + 1), lit(0L), (a, x) => a + x)))
+      .withColumn("_target", lit(q) * col("n"))
+      .withColumn("_bin", aggregate(sequence(lit(bins - 1), lit(0), lit(-1)),
+        lit(bins - 1),
+        (acc, i) => when(element_at(col("_cum"), i + 1) >= col("_target"), i)
+          .otherwise(acc)))
+      .withColumn("_c", element_at(col("_h"), col("_bin") + 1))
+      .withColumn("_before",
+        element_at(col("_cum"), col("_bin") + 1) - col("_c"))
+      .select(col("hour_start"), col("sink"), col("n"),
+        (lit(lo) + lit(w) * col("_bin") +
+          lit(w) * (col("_target") - col("_before")) / col("_c")).as("est"))
+  }
+
   /** Hopping (sliding) window counts — the ASA `HoppingWindow(hour, 1,
     * minute, 30)` analog: every event lands in size/slide = 2 overlapping
     * windows. Same static/streaming duality as [[hourlyQualityCounts]]. */

@@ -56,6 +56,48 @@ class WindowedStatsSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty, "emitted windows match batch")
   }
 
+  test("windowedQuantile: streaming == batch == the batch QuantileSketch per group") {
+    val base = tmpDir("graft_winq")
+    val input = s"$base/landing"
+    EventsModel.envelopes(spark, sf()).select("json")
+      .coalesce(2).write.mode("overwrite").text(input)
+
+    def routedOf(df: org.apache.spark.sql.DataFrame) =
+      StreamTransforms.route(StreamTransforms.enrich(StreamTransforms.parse(df)))
+    def src(streaming: Boolean) = {
+      val r = if (streaming)
+        spark.readStream.text(input).withColumnRenamed("value", "json")
+      else spark.read.text(input).withColumnRenamed("value", "json")
+      routedOf(r.withColumn("arrival_ts",
+        get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz")))
+        .filter(col("fare_amount").isNotNull)
+    }
+
+    val q = WindowedStats.windowedQuantile(src(streaming = true),
+        "fare_amount", 0.0, 500.0, 50, 0.5)
+      .writeStream.format("memory").queryName("win_quant")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+    val got = spark.table("win_quant")
+
+    // 1. the same operator over the same data as a static frame
+    val batch = WindowedStats.windowedQuantile(src(streaming = false),
+      "fare_amount", 0.0, 500.0, 50, 0.5)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty, "emitted windows match the batch run")
+
+    // 2. mergeability: the independent batch sketch on (hour, sink) groups
+    //    lands on the identical histogram → identical interpolated est
+    val sketch = graft.ops.QuantileSketch.estimate(
+        src(streaming = false)
+          .withColumn("hour_start",
+            date_trunc("hour", col("arrival_ts")).cast("timestamp_ntz")),
+        Seq("hour_start", "sink"), "fare_amount", 0.0, 500.0, 50, 0.5)
+      .select("hour_start", "sink", "n", "est")
+    assert(got.exceptAll(sketch).isEmpty,
+      "streaming per-micro-batch partials merge to the batch sketch exactly")
+  }
+
   test("alert rules: streaming threshold evaluation equals the batch sweep") {
     val base = tmpDir("graft_alerts")
     val input = s"$base/landing"
