@@ -21,8 +21,32 @@ import graft.Tables
   */
 object EmbeddingOps {
 
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "embeddings")
+  /** The embeddings fixture normalized to the engine's vector contract:
+    * `vec_id` BIGINT, `embedding` ARRAY<FLOAT>. Same defense as
+    * [[graft.Tables.eventTsNtz]] (the round-7 events break class): the
+    * driver's fixture generation may drift — float64 lists, int32 ids —
+    * and a hard-assumed physical type turns that into an analysis error
+    * across the whole ANN lane. A float64 fixture whose values originated
+    * as float32 (the standard embedding dtype) casts losslessly, so
+    * oracle hash parity survives the dispatch. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val elem = e.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding must be an array, got $other")
+    }
+    val vecTyped = elem match {
+      case org.apache.spark.sql.types.FloatType => e
+      case _: org.apache.spark.sql.types.NumericType =>
+        e.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"unsupported embeddings element type $other")
+    }
+    if (vecTyped.schema("vec_id").dataType ==
+        org.apache.spark.sql.types.LongType) vecTyped
+    else vecTyped.withColumn("vec_id", col("vec_id").cast("long"))
+  }
 
   /** Embeddings plus exact-copy replays (vec_id % 29 == 0 re-ingested at a
     * shifted id) — the near-dup fixture (cosine 1.0 by construction). */
