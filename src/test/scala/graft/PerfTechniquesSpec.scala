@@ -277,4 +277,27 @@ class PerfTechniquesSpec extends SparkSpec {
     assert(plan.contains("InMemoryRelation"),
       s"join_fact_dims must read the cached fact memo:\n${plan.take(800)}")
   }
+
+  test("windowedQuantile carries its histogram in ONE aggregation (mergeable state)") {
+    // The streaming claim: O(bins) counters accumulate in a single agg and
+    // the quantile assembles statelessly — a second aggregate would make
+    // the op un-streamable (multiple stateful aggs are rejected) and a
+    // second shuffle at batch. Plan must show exactly one hash-partition
+    // exchange (the groupBy) before the final output sort.
+    val df = (1 to 1000).map(i => (f"2024-01-01T${i % 4}%02d:00:00", "curated",
+        (i % 97).toDouble))
+      .toDF("ts", "sink", "fare_amount")
+      .withColumn("arrival_ts", col("ts").cast("timestamp_ntz"))
+    val q = graft.stream.WindowedStats.windowedQuantile(
+      df, "fare_amount", 0.0, 100.0, 10, 0.5)
+    val plan = q.queryExecution.executedPlan.toString
+    val aggExchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(aggExchanges == 1,
+      s"expected exactly one hash exchange (the windowed groupBy), got $aggExchanges:\n${plan.take(1200)}")
+    // and the estimate is the sketch answer on the same group
+    val est = q.filter(col("sink") === "curated").orderBy("hour_start")
+      .select("est").collect().map(_.getDouble(0))
+    assert(est.nonEmpty && est.forall(e => e >= 0.0 && e <= 100.0))
+  }
 }
