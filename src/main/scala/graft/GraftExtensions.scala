@@ -23,7 +23,9 @@ import graft.functions.{FloatVecDot, KmvDistinct, Sha256Prefix64, VecDistSq}
   * `kmv_distinct(s, k)` — deterministic K-Minimum-Values distinct-count
   * sketch (k must be an INT literal).
   * `asof_join(l, r, keys, lts, rts, payload[, direction])` — table-valued
-  * as-of join over named tables/views ([[graft.sql.AsofTableFunction]]). */
+  * as-of join over named tables/views ([[graft.sql.AsofTableFunction]]).
+  * `range_join(l, r, point, lo, hi, binWidth)` — explicit bin-bucketized
+  * point-in-interval join ([[graft.sql.RangeTableFunction]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
@@ -47,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.AsofTableFunction.getClass.getName,
         graft.sql.AsofTableFunction.name),
       (args: Seq[Expression]) => graft.sql.AsofTableFunction.build(args)))
+    // explicit bin-width range join (the rule-independent SQL entry):
+    // SELECT * FROM range_join('pts','ivs','p','lo','hi', 10)
+    e.injectTableFunction((
+      new FunctionIdentifier(graft.sql.RangeTableFunction.name),
+      new ExpressionInfo(graft.sql.RangeTableFunction.getClass.getName,
+        graft.sql.RangeTableFunction.name),
+      (args: Seq[Expression]) => graft.sql.RangeTableFunction.build(args)))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -69,3 +69,50 @@ object AsofTableFunction {
     out.queryExecution.logical
   }
 }
+
+/** SQL surface for the explicit bin-bucketized range join — the sibling
+  * of [[graft.plans.RangeJoinRule]] for the cases the opt-in rewrite
+  * cannot express (caller-chosen bin width per query, non-BETWEEN
+  * compositions downstream):
+  *
+  * {{{
+  *   SELECT * FROM range_join('points', 'intervals', 'p', 'lo', 'hi', 10)
+  * }}}
+  *
+  * Args: left (points) table, right (intervals) table, point column,
+  * lo/hi columns on the right, bin width (positive integer literal).
+  * Returns the inclusive point-in-interval join via
+  * [[graft.ops.RangeJoin.pointInInterval]] — an equi-join on the bin id,
+  * never a nested-loop |L|x|R| scan. */
+object RangeTableFunction {
+
+  val name = "range_join"
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"range_join: $msg"))
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => fail(s"$what must be a string literal, got ${other.sql}")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    if (args.size != 6)
+      fail(s"expects 6 arguments (leftTable, rightTable, pointCol, loCol, " +
+        s"hiCol, binWidth), got ${args.size}")
+    val spark = SparkSession.active
+    val left = spark.table(str(args(0), "leftTable"))
+    val right = spark.table(str(args(1), "rightTable"))
+    val binWidth = args(5) match {
+      case Literal(v: Int, _)  => v.toLong
+      case Literal(v: Long, _) => v
+      case other => fail(s"binWidth must be an integer literal, got ${other.sql}")
+    }
+    graft.ops.RangeJoin.pointInInterval(left, right,
+        str(args(2), "pointCol"), str(args(3), "loCol"), str(args(4), "hiCol"),
+        binWidth)
+      .queryExecution.logical
+  }
+}

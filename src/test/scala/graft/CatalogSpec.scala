@@ -86,6 +86,23 @@ class CatalogSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0)
   }
 
+  test("range_join TVF is SQL-callable and matches the Scala API") {
+    val s = spark
+    import s.implicits._
+    Seq(1L, 5L, 12L, 23L, 35L).toDF("p").createOrReplaceTempView("rtf_pts")
+    Seq((0L, 9L, "lo"), (10L, 19L, "mid"), (20L, 30L, "hi"))
+      .toDF("lo", "hi", "tag").createOrReplaceTempView("rtf_ivs")
+    val viaSql = spark.sql(
+      "SELECT p, tag FROM range_join('rtf_pts','rtf_ivs','p','lo','hi', 7)")
+      .orderBy("p").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val api = graft.ops.RangeJoin.pointInInterval(
+        spark.table("rtf_pts"), spark.table("rtf_ivs"), "p", "lo", "hi", 7L)
+      .orderBy("p").select("p", "tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == api)
+    assert(viaSql == Seq((1L, "lo"), (5L, "lo"), (12L, "mid"), (23L, "hi")))
+  }
+
   test("BETWEEN range join is SQL-reachable (RangeJoinRule rewrite, no CartesianProduct)") {
     val s = spark
     import s.implicits._
