@@ -47,3 +47,20 @@ final case class FileJsonlSource(inputDir: String) extends StreamSource {
           get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"),
           current_timestamp().cast("timestamp_ntz")))
 }
+
+/** The offset-addressed segment log ([[graft.sources.SegmentLogProvider]])
+  * behind the same seam — the in-repo implementation of the message-bus
+  * contract (monotonic offsets, reproducible batch planning, exactly-once
+  * resume from the checkpoint), so [[Ingest.start]] runs against real
+  * offset semantics without a broker. */
+final case class SegmentLogStreamSource(dir: String) extends StreamSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.SegmentLogProvider].getName)
+      .option("path", dir).load()
+      .withColumnRenamed("value", "json")
+      .withColumn("arrival_ts",
+        coalesce(
+          get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"),
+          current_timestamp().cast("timestamp_ntz")))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.{SegmentLog, SegmentLogOffset, SegmentLogProvider}
+import graft.stream.SegmentLogStreamSource
+
+/** The DataSource V2 segment-log source: message-bus offset semantics
+  * (monotonic offsets, reproducible batch planning, exactly-once resume
+  * from the checkpoint) proven through real Structured Streaming runs. */
+class SegmentLogSourceSpec extends SparkSpec {
+
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop())
+    super.afterAll()
+  }
+
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(q.awaitTermination(120000), s"stream finished in time")
+    assert(q.exception.isEmpty, s"stream terminated cleanly: ${q.exception}")
+  }
+
+  private def writeSegment(dir: String, name: String, lines: Seq[String]): Unit = {
+    // the producer protocol the source's visibility rule enables: stage
+    // under a dot-name, rename in — a half-written segment is never read
+    val tmp = Paths.get(dir, s".tmp-$name")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, name))
+  }
+
+  test("reads segments as offset ranges with per-record (segment, offset) ids") {
+    val dir = tmpDir("seglog_read")
+    writeSegment(dir, "0001.seg", Seq("a", "b"))
+    writeSegment(dir, "0002.seg", Seq("c"))
+
+    val out = tmpDir("seglog_read_out")
+    val q = spark.readStream.format(classOf[SegmentLogProvider].getName)
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+
+    val got = spark.read.parquet(s"$out/data")
+      .orderBy("segment", "offset")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("a", "0001.seg", 0L), ("b", "0001.seg", 1L), ("c", "0002.seg", 0L)))
+  }
+
+  test("exactly-once resume: a restart from the checkpoint reads only new segments") {
+    val dir = tmpDir("seglog_resume")
+    val out = tmpDir("seglog_resume_out")
+    writeSegment(dir, "0001.seg", Seq("r1", "r2"))
+
+    def run(): Unit = {
+      val q = spark.readStream.format(classOf[SegmentLogProvider].getName)
+        .option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDone(q)
+    }
+    run()
+    assert(spark.read.parquet(s"$out/data").count() == 2)
+
+    // append beyond the committed offset, restart with the SAME checkpoint
+    writeSegment(dir, "0002.seg", Seq("r3"))
+    run()
+    val all = spark.read.parquet(s"$out/data")
+      .select("value").collect().map(_.getString(0)).sorted.toSeq
+    assert(all == Seq("r1", "r2", "r3"),
+      "each record delivered exactly once across the restart")
+  }
+
+  test("in-flight (dot/underscore) files are invisible until renamed in") {
+    val dir = tmpDir("seglog_vis")
+    writeSegment(dir, "0001.seg", Seq("ok"))
+    Files.write(Paths.get(dir, ".tmp-half"), "torn".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "_marker"), "meta".getBytes(StandardCharsets.UTF_8))
+    assert(SegmentLog.segments(dir).map(_.getFileName.toString) == Seq("0001.seg"))
+  }
+
+  test("offsets are monotone counts and round-trip their json form") {
+    val dir = tmpDir("seglog_off")
+    val stream = new graft.sources.SegmentLogStream(dir)
+    assert(stream.latestOffset() == SegmentLogOffset(0L))
+    writeSegment(dir, "0001.seg", Seq("x"))
+    assert(stream.latestOffset() == SegmentLogOffset(1L))
+    writeSegment(dir, "0002.seg", Seq("y"))
+    assert(stream.latestOffset() == SegmentLogOffset(2L))
+    val o = SegmentLogOffset(7L)
+    assert(stream.deserializeOffset(o.json()) == o)
+  }
+
+  test("the StreamSource seam runs the full ingest wire over the segment log") {
+    val dir = tmpDir("seglog_wire")
+    val envs = graft.model.EventsModel.envelopes(spark, sf())
+      .select("json").limit(50).collect().map(_.getString(0)).toSeq
+    writeSegment(dir, "0001.seg", envs)
+
+    val parsed = graft.stream.StreamTransforms.parse(
+      SegmentLogStreamSource(dir).load(spark))
+    val q = parsed.writeStream.format("memory").queryName("seglog_wire")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+    assert(spark.table("seglog_wire").count() == 50,
+      "all wire envelopes parse through the dual-key path")
+  }
+}
