@@ -97,6 +97,31 @@ class SegmentLogSourceSpec extends SparkSpec {
     assert(stream.deserializeOffset(o.json()) == o)
   }
 
+  test("the full 3-way ingest fan-out runs over the segment log, counts conserve") {
+    val base = tmpDir("seglog_ingest")
+    val dirs = graft.stream.Ingest.LakeDirs(
+      s"$base/raw", s"$base/curated", s"$base/dlq", s"$base/ckpt")
+    val segDir = tmpDir("seglog_ingest_log")
+    val envs = graft.model.EventsModel.envelopes(spark, sf())
+      .select("json").limit(200).collect().map(_.getString(0)).toSeq
+    // two producer batches = two sealed segments
+    writeSegment(segDir, "0001.seg", envs.take(120))
+    writeSegment(segDir, "0002.seg", envs.drop(120))
+
+    val q = graft.stream.Ingest.start(spark,
+      SegmentLogStreamSource(segDir), dirs, Trigger.AvailableNow())
+    awaitDone(q)
+
+    val raw = spark.read.text(dirs.raw).count()
+    val curated = spark.read
+      .schema(graft.stream.HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count()
+    val dlq = spark.read.text(dirs.dlq).count()
+    assert(raw == 200L, "raw sink is a full passthrough of the log")
+    assert(curated + dlq == 200L, "curated + dlq partition the log")
+    assert(curated > 0)
+  }
+
   test("the StreamSource seam runs the full ingest wire over the segment log") {
     val dir = tmpDir("seglog_wire")
     val envs = graft.model.EventsModel.envelopes(spark, sf())
