@@ -42,7 +42,11 @@ object QuantileSketch {
       .withColumn("_rn", row_number().over(ordered))
       .filter(col("_rn") === 1)
       .select(groupCols.map(col) :+ col("n") :+
-        (lit(lo) + lit(w) * col("bin") +
-          lit(w) * (target - (col("cum") - col("c"))) / col("c")).as("est"): _*)
+        // the interpolation divide is cancellation-exposed — round to 12
+        // decimals on engine and oracle alike (repo-wide determinism
+        // pattern; WindowedStats.windowedQuantile rounds identically so
+        // the streaming==batch==sketch spec equality survives)
+        round(lit(lo) + lit(w) * col("bin") +
+          lit(w) * (target - (col("cum") - col("c"))) / col("c"), 12).as("est"): _*)
   }
 }

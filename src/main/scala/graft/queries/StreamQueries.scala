@@ -697,7 +697,8 @@ object StreamQueries {
         |    ORDER BY bin) AS rn
         |  FROM qw_agg WHERE cum >= 0.5 * n)""".stripMargin,
       """SELECT hour_start, sink, n,
-        |  0.0 + 10.0 * bin + 10.0 * (0.5 * n - (cum - c)) / c AS est
+        |  round(0.0::DOUBLE + 10.0::DOUBLE * bin
+        |    + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c, 12) AS est
         |FROM qw_pick WHERE rn = 1 ORDER BY hour_start, sink""".stripMargin),
 
     "stream_hopping_window" -> stream(
@@ -761,8 +762,8 @@ object StreamQueries {
         |  FROM hist
         |), picked AS (
         |  SELECT event_type, CAST(n AS BIGINT) AS n,
-        |    0.0::DOUBLE + 10.0::DOUBLE * bin
-        |      + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c AS est,
+        |    round(0.0::DOUBLE + 10.0::DOUBLE * bin
+        |      + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c, 12) AS est,
         |    row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
         |  FROM cumed WHERE cum >= 0.5::DOUBLE * n
         |), exact AS (
