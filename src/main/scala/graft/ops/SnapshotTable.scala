@@ -21,16 +21,20 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   * Commit protocol (Iceberg-style, public knowledge):
   *   1. write the new data files under a fresh `data/c-<uuid>/` dir —
   *      invisible to readers (readers only follow manifests);
-  *   2. write the manifest to a temp name, then rename it to the next
-  *      `v%08d.json`. The RENAME is the commit point: it is atomic on
-  *      posix/HDFS, so a reader listing `_manifests` sees either the old
-  *      max version or the new one — never a torn multi-file view. A
-  *      crash before (2) leaves only orphan data files ([[vacuum]] reaps
-  *      them); there is no state in which half a snapshot is live.
-  *   3. rename-without-overwrite doubles as optimistic concurrency: two
-  *      racing committers both target vN+1, one rename wins, the loser
-  *      retries against the new latest (on an object store this rename
-  *      becomes a conditional PUT / CAS — same protocol).
+  *   2. write the manifest to a temp name, then atomically publish it as
+  *      the next `v%08d.json`. The PUBLISH is the commit point: it is
+  *      kernel/namenode-atomic, so a reader listing `_manifests` sees
+  *      either the old max version or the new one — never a torn
+  *      multi-file view. A crash before (2) leaves only orphan data files
+  *      ([[vacuum]] reaps them); there is no state in which half a
+  *      snapshot is live.
+  *   3. publish-without-overwrite doubles as optimistic concurrency: two
+  *      racing committers both target vN+1, one wins, the loser retries
+  *      against the new latest. The primitive is scheme-dispatched in
+  *      [[casPublish]]: POSIX `link(2)` locally (plain `rename(2)` would
+  *      silently replace the winner), `FileContext.rename(...,
+  *      Options.Rename.NONE)` on cluster filesystems, and a conditional
+  *      PUT / CAS on object stores — same protocol throughout.
   *
   * Reads are version-addressed ([[readVersion]]), which gives
   * `corpus_snapshot_diff`-style auditing real immutable versions to diff,
@@ -112,14 +116,48 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
       val out = fs.create(tmp, false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // rename-no-overwrite is the CAS: if vN already exists (a racer
-      // won), rename fails/refuses and we re-derive against the new tip
+      // atomic publish-no-overwrite is the CAS: if vN already exists (a
+      // racer won), the publish fails and we re-derive against the new
+      // tip. NOT check-then-rename: FileSystem.rename on the local scheme
+      // is POSIX rename(2), which silently REPLACES an existing target —
+      // two racers could both pass an exists() check and the loser would
+      // destroy the winner's manifest. The local-disk atomic
+      // no-overwrite primitive is link(2) (EEXIST is atomic in the
+      // kernel); cluster filesystems get FileContext.rename with
+      // Options.Rename.NONE (server-side atomic, throws on existing
+      // target); object-store deployments swap in a conditional PUT.
       val target = manifestPath(v)
-      val won = !fs.exists(target) && fs.rename(tmp, target)
+      val won = casPublish(tmp, target)
       if (won) committed = v else fs.delete(tmp, false)
     }
     committed
   }
+
+  /** Atomically publish `tmp` as `target` iff `target` does not exist.
+    * @return true = this committer won the version slot */
+  private[graft] def casPublish(tmp: Path, target: Path): Boolean =
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      // POSIX: link(2) then unlink the temp name — EEXIST on the link is
+      // the kernel-atomic lose signal (rename(2) would overwrite)
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
 
   /** Append: new snapshot = old dirs + one new commit dir. O(new data);
     * no existing file is touched. */

@@ -94,9 +94,40 @@ final class SegmentLogTable(dir: String) extends Table with SupportsRead {
     }
 }
 
-/** Offset = number of segments consumed (monotone, totally ordered). */
-final case class SegmentLogOffset(segments: Long) extends Offset {
-  override def json(): String = s"""{"segments":$segments}"""
+/** Offset = number of segments consumed (monotone, totally ordered),
+  * plus the HIGH-WATER segment name — the last name the count covers.
+  * The count alone is positional over a sorted listing, so a producer
+  * violating the append-only naming contract (publishing a name that
+  * sorts at or before an already-consumed one, e.g. `10.seg` after
+  * `9.seg`) would silently shift the offset→segment mapping and
+  * duplicate or skip records on retry/restart. Carrying the name makes
+  * the violation DETECTABLE: [[SegmentLogStream.planInputPartitions]]
+  * verifies the listing still places `highWater` at position
+  * `segments - 1` and fails the batch otherwise. `highWater = None` only
+  * for the empty log and offsets checkpointed by older builds (the check
+  * degrades to the positional contract there). */
+final case class SegmentLogOffset(segments: Long,
+                                  highWater: Option[String] = None) extends Offset {
+  override def json(): String = highWater match {
+    case Some(h) =>
+      s"""{"segments":$segments,"high":"${SegmentLogOffset.escape(h)}"}"""
+    case None => s"""{"segments":$segments}"""
+  }
+}
+
+object SegmentLogOffset {
+  private[sources] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private[sources] def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private val HighRe = """"high":"((?:[^"\\]|\\.)*)"""".r
+
+  def fromJson(json: String): SegmentLogOffset = {
+    val n = """"segments":(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad segment-log offset: $json")).group(1).toLong
+    SegmentLogOffset(n, HighRe.findFirstMatchIn(json).map(m => unescape(m.group(1))))
+  }
 }
 
 final case class SegmentLogPartition(path: String, segment: String)
@@ -106,20 +137,48 @@ final class SegmentLogStream(dir: String) extends MicroBatchStream {
 
   override def initialOffset(): Offset = SegmentLogOffset(0L)
 
-  override def latestOffset(): Offset =
-    SegmentLogOffset(SegmentLog.segments(dir).size.toLong)
+  override def latestOffset(): Offset = {
+    val segs = SegmentLog.segments(dir)
+    SegmentLogOffset(segs.size.toLong,
+      segs.lastOption.map(_.getFileName.toString))
+  }
 
   override def deserializeOffset(json: String): Offset =
-    SegmentLogOffset("\\d+".r.findFirstIn(json)
-      .getOrElse(sys.error(s"bad segment-log offset: $json")).toLong)
+    SegmentLogOffset.fromJson(json)
+
+  /** Fail loudly if `o`'s high-water name no longer sits at position
+    * `o.segments - 1` of the sorted listing — a producer published a
+    * segment sorting at or before a consumed name (naming-contract
+    * violation), which would otherwise silently remap every positional
+    * offset and duplicate/skip records on the next retry or restart. */
+  private def checkHighWater(all: Seq[Path], o: SegmentLogOffset): Unit =
+    o.highWater.foreach { h =>
+      val n = o.segments.toInt
+      val got =
+        if (all.size >= n && n > 0) Some(all(n - 1).getFileName.toString)
+        else None
+      if (!got.contains(h)) throw new IllegalStateException(
+        s"segment log '$dir' violated the append-only naming contract: " +
+          s"offset $n was committed with high-water segment '$h' but the " +
+          s"listing now puts ${got.fold("nothing")(g => s"'$g'")} at that " +
+          "position — a producer published a segment name sorting at or " +
+          "before an already-consumed name (or deleted a consumed " +
+          "segment). Refusing to plan the batch: consuming it would " +
+          "duplicate or skip records. Fix the producer to use " +
+          "monotonically-sorting segment names (e.g. zero-padded).")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[SegmentLogOffset].segments.toInt
-    val b = end.asInstanceOf[SegmentLogOffset].segments.toInt
+    val so = start.asInstanceOf[SegmentLogOffset]
+    val eo = end.asInstanceOf[SegmentLogOffset]
+    val all = SegmentLog.segments(dir)
     // the directory only ever appends and the listing is name-sorted, so
     // [a, b) addresses the same segments on every retry of this batch —
-    // reproducible planning, the property exactly-once rests on
-    SegmentLog.segments(dir).slice(a, b)
+    // reproducible planning, the property exactly-once rests on. The
+    // high-water names ENFORCE that contract instead of assuming it.
+    checkHighWater(all, so)
+    checkHighWater(all, eo)
+    all.slice(so.segments.toInt, eo.segments.toInt)
       .map(p => SegmentLogPartition(p.toString, p.getFileName.toString)
         : InputPartition)
       .toArray

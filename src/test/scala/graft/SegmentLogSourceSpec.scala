@@ -85,16 +85,43 @@ class SegmentLogSourceSpec extends SparkSpec {
     assert(SegmentLog.segments(dir).map(_.getFileName.toString) == Seq("0001.seg"))
   }
 
-  test("offsets are monotone counts and round-trip their json form") {
+  test("offsets are monotone counts + high-water names and round-trip their json form") {
     val dir = tmpDir("seglog_off")
     val stream = new graft.sources.SegmentLogStream(dir)
     assert(stream.latestOffset() == SegmentLogOffset(0L))
     writeSegment(dir, "0001.seg", Seq("x"))
-    assert(stream.latestOffset() == SegmentLogOffset(1L))
+    assert(stream.latestOffset() == SegmentLogOffset(1L, Some("0001.seg")))
     writeSegment(dir, "0002.seg", Seq("y"))
-    assert(stream.latestOffset() == SegmentLogOffset(2L))
-    val o = SegmentLogOffset(7L)
+    assert(stream.latestOffset() == SegmentLogOffset(2L, Some("0002.seg")))
+    val o = SegmentLogOffset(7L, Some("""we"ird\name.seg"""))
     assert(stream.deserializeOffset(o.json()) == o)
+    // checkpoints from builds before the high-water field still parse
+    assert(stream.deserializeOffset("""{"segments":3}""") == SegmentLogOffset(3L))
+  }
+
+  test("a segment name sorting before the consumed high-water fails the batch instead of remapping offsets") {
+    val dir = tmpDir("seglog_misname")
+    val stream = new graft.sources.SegmentLogStream(dir)
+    writeSegment(dir, "9.seg", Seq("a"))
+    val end1 = stream.latestOffset()
+    assert(end1 == SegmentLogOffset(1L, Some("9.seg")))
+    // consumed up to '9.seg'; a producer now publishes '10.seg' which
+    // sorts BEFORE it — positional offsets would silently re-read '10.seg'
+    // as if it were the consumed segment and skip real data
+    writeSegment(dir, "10.seg", Seq("b"))
+    val end2 = stream.latestOffset()
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(end1, end2)
+    }
+    assert(err.getMessage.contains("naming contract"))
+    // a correctly-sorting name keeps planning healthy
+    val dir2 = tmpDir("seglog_okname")
+    val s2 = new graft.sources.SegmentLogStream(dir2)
+    writeSegment(dir2, "0009.seg", Seq("a"))
+    val e1 = s2.latestOffset()
+    writeSegment(dir2, "0010.seg", Seq("b"))
+    val parts = s2.planInputPartitions(e1, s2.latestOffset())
+    assert(parts.length == 1)
   }
 
   test("the full 3-way ingest fan-out runs over the segment log, counts conserve") {

@@ -73,4 +73,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L))
   }
+
+  test("casPublish: barrier-raced committers to ONE version slot — exactly one wins, winner's bytes survive") {
+    // The old check-then-rename protocol fails this: all racers pass the
+    // exists() check at the barrier, then POSIX rename(2) lets the LAST
+    // renamer silently replace the winner's manifest (lost commit). The
+    // link(2)-based CAS admits exactly one winner kernel-atomically.
+    import org.apache.hadoop.fs.Path
+    val t = table()
+    val fs = new Path(t.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"${t.dir}/_manifests/v99999999.json")
+    fs.mkdirs(target.getParent)
+    val n = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        val tmp = new Path(s"${t.dir}/_manifests/.tmp-racer-$i.json")
+        val out = fs.create(tmp, false)
+        try out.write(s"""{"racer": $i}""".getBytes("UTF-8")) finally out.close()
+        barrier.await() // maximal contention: all publish at once
+        val won = t.casPublish(tmp, target)
+        if (!won) fs.delete(tmp, false)
+        wins.put(i, won): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val winners = (0 until n).filter(wins.get(_))
+    assert(winners.size == 1, s"exactly one CAS winner, got $winners")
+    val body = {
+      val in = fs.open(target)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(body == s"""{"racer": ${winners.head}}""",
+      "the surviving manifest is the winner's, not a later overwriter's")
+    fs.delete(target, false): Unit
+  }
 }
