@@ -143,7 +143,7 @@ object Maintenance {
     * proc's contract: rejects keepDays < 1, pre-counts the purged rows,
     * returns (rows_deleted, cutoff_date). NULL-dated partitions are kept,
     * matching SQL `< cutoff` three-valued logic. */
-  def retentionPurge(table: graft.ops.ParquetTable, keepDays: Int,
+  def retentionPurge(table: graft.ops.PartitionedTableOps, keepDays: Int,
                      today: java.time.LocalDate): PurgeResult = {
     require(keepDays >= 1, "keepDays must be >= 1")
     val cutoff = today.minusDays(keepDays.toLong)
@@ -185,8 +185,14 @@ object Maintenance {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) None // partial warehouse: analyze what exists
       else {
+        // snapshot-committed tables (graft.ops.SnapshotTable): the table
+        // root also holds superseded commit dirs — the external table must
+        // point at the LATEST snapshot's files, never the root. Full-
+        // overwrite warehouse tables have exactly one live dir per version.
+        val loc = graft.ops.SnapshotTable.latestDataDirs(spark, dir.toString)
+          .collect { case Seq(one) => new Path(one) }.getOrElse(dir)
         spark.sql(s"DROP TABLE IF EXISTS $name") // external: data untouched
-        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
         if (cols.nonEmpty)
           spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")

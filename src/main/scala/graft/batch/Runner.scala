@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 import graft.model.TaxiModel
-import graft.ops.{ParquetTable, RunLog}
+import graft.ops.{RunLog, SnapshotTable}
 import graft.quality.Checks
 import graft.quality.Checks._
 
@@ -13,16 +13,20 @@ import graft.quality.Checks._
   * (dim upserts, fact load, ModelDQ gate 54000), one run id end-to-end,
   * every stage logged and DQ-gated into persisted ops tables.
   *
-  * Stage boundaries are write actions on dir-backed parquet tables; the
-  * per-file ForEach of the reference collapses into one partitioned read
+  * Stage boundaries are write actions on manifest-committed snapshot
+  * tables ([[graft.ops.SnapshotTable]]): each stage's overwrite is ONE
+  * atomic manifest publish, so a concurrent reader (or a crashed run's
+  * resume) sees a stage's output entirely or not at all — the analog of
+  * the reference's warehouse transaction per stored proc. The per-file
+  * ForEach of the reference collapses into one partitioned read
   * (parallelism is native), per-file audit comes from `input_file_name`.
   */
 final case class Runner(spark: SparkSession, warehouseDir: String) {
 
   val log = RunLog(spark, warehouseDir)
 
-  private def table(name: String, df: DataFrame): ParquetTable =
-    ParquetTable(spark, s"$warehouseDir/$name", df.schema)
+  private def table(name: String, df: DataFrame): SnapshotTable =
+    SnapshotTable(spark, s"$warehouseDir/$name", df.schema)
 
   /** Conditional row count usable inside `observe`/single-pass aggs
     * (null-safe on an empty frame, unlike a bare `sum`). */
@@ -127,7 +131,7 @@ final case class Runner(spark: SparkSession, warehouseDir: String) {
   /** Stages 3-4 (core → mdl, post-load stats), shared by the fresh and
     * resume paths. */
   private def runModelStages(sfDir: String, runId: String, done: Set[String],
-                             stg: ParquetTable, stgRows: Long,
+                             stg: SnapshotTable, stgRows: Long,
                              coreRows: Long, errRows: Long): (Long, Long) = {
     val core = table("core_trip_clean",
       TaxiModel.deduped(TaxiModel.cleaned(stg.read,

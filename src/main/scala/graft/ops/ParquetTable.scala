@@ -26,7 +26,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   * never silently reads as empty after it has been written once.
   */
 final case class ParquetTable(spark: SparkSession, dir: String, schema: StructType,
-                              partitionCols: Seq[String] = Nil) {
+                              partitionCols: Seq[String] = Nil)
+  extends PartitionedTableOps {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -101,32 +102,11 @@ final case class ParquetTable(spark: SparkSession, dir: String, schema: StructTy
       .map(s => (s.getPath.getName.stripPrefix(partitionCols.head + "="), s.getPath))
   }
 
-  /** Undo Hive/Spark partition-path escaping (`ExternalCatalogUtils
-    * .escapePathName` semantics): `%xx` hex sequences ONLY. NOT URL
-    * decoding — Hive leaves `+` literal, URLDecoder would turn it into a
-    * space and a partition value containing '+' could dodge (or wrongly
-    * match) a retention predicate. */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = try Integer.parseInt(s.substring(i + 1, i + 3), 16) catch {
-          case _: NumberFormatException => -1
-        }
-        if (hex >= 0) { sb.append(hex.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
   /** Partitions `drop` selects — the exact set a [[dropPartitions]] call
     * with the same predicate deletes — as (rawDirValue, path). */
   private def selectPartitions(drop: Option[String] => Boolean): Seq[(String, Path)] =
     partitions.filter { case (v, _) =>
-      val decoded = unescapePathName(v)
+      val decoded = HivePaths.unescape(v)
       drop(if (decoded == "__HIVE_DEFAULT_PARTITION__") None else Some(decoded))
     }
 

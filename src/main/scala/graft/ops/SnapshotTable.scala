@@ -14,7 +14,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *
   * Layout:
   * {{{
-  *   dir/_manifests/v00000001.json   // JSON: snapshot = list of data dirs
+  *   dir/_manifests/v00000001.json    // JSON: snapshot = dirs (or part map)
   *   dir/data/c-<uuid>/part-*.parquet // one immutable dir per commit
   * }}}
   *
@@ -36,25 +36,47 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *      Options.Rename.NONE)` on cluster filesystems, and a conditional
   *      PUT / CAS on object stores — same protocol throughout.
   *
+  * With `partitionCols` set, commits are hive-partitioned and the manifest
+  * maps each leaf partition path (`p_date=…/p_hour=…`) to the commit dirs
+  * that own its live files. [[overwritePartitions]] is then an ATOMIC
+  * dynamic partition overwrite — the multi-partition merge commit the
+  * hourly lane needs ([[graft.stream.HourLoad]]): one manifest publish
+  * flips every touched partition at once, so a concurrent reader sees the
+  * whole pre-merge table or the whole post-merge table, never a mix (the
+  * torn window `ParquetTable.overwritePartitions` leaves open while it
+  * deletes+rewrites partition dirs in place). Retention
+  * ([[purgePartitions]]) becomes a metadata-only manifest commit — data
+  * files outlive it until [[vacuum]], keeping old versions readable.
+  *
   * Reads are version-addressed ([[readVersion]]), which gives
   * `corpus_snapshot_diff`-style auditing real immutable versions to diff,
   * and makes every read repeatable (a long job planning over v7 is
   * unaffected by a commit of v8 mid-job — old files are immutable until
-  * [[vacuum]]).
+  * [[vacuum]]). Immutability also simplifies merge plans: a rewrite whose
+  * input READS this table needs no defensive staging pass (cf.
+  * `ParquetTable.overwritePartitionsStaged`) because the files the plan
+  * scans are never the files the commit deletes.
   *
-  * At 100 TB: manifests stay O(commits + files) metadata; data files are
-  * never rewritten on append; overwrite/delete rewrite only what they
-  * logically replace. This is deliberately the minimal subset of a table
-  * format (single table, no schema evolution, file-level granularity) —
-  * the call sites swap to Delta/Iceberg without semantic change.
+  * At 100 TB: manifests stay O(commits + partitions) metadata; data files
+  * are never rewritten on append; overwrite/delete rewrite only what they
+  * logically replace; the partitioned read plans one parquet relation per
+  * live commit dir (bounded by distinct merges still owning a partition —
+  * compaction folds them back to one). This is deliberately the minimal
+  * subset of a table format (single table, no schema evolution, file-level
+  * granularity) — the call sites swap to Delta/Iceberg without semantic
+  * change.
   */
-final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructType) {
+final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructType,
+                               partitionCols: Seq[String] = Nil)
+  extends PartitionedTableOps {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val manifestDir = new Path(dir, "_manifests")
   private val dataDir = new Path(dir, "data")
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%08d.json")
+
+  def exists: Boolean = latestVersion.isDefined
 
   /** Committed versions, ascending (complete manifests only — a temp or
     * half-renamed file never matches the `v*.json` name shape). */
@@ -68,16 +90,29 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
 
   def latestVersion: Option[Long] = versions.lastOption
 
-  /** Data dirs of snapshot `v` (relative to the table root). */
-  private def snapshotDirs(v: Long): Seq[String] = {
-    val txt = {
-      val in = fs.open(manifestPath(v))
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    // manifest JSON is written by us with a fixed shape — a full JSON
-    // parser would be dead weight; extract the quoted dir entries
-    "\"(data/c-[^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  private def manifestText(v: Long): String = {
+    val in = fs.open(manifestPath(v))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  // manifest JSON is written by us with a fixed shape — a full JSON
+  // parser would be dead weight; extract the quoted entries
+  private val dirRe = "\"(data/c-[^\"]+)\"".r
+
+  /** Data dirs of snapshot `v` (relative to the table root) — every
+    * commit dir the snapshot references, regardless of shape. */
+  private def snapshotDirs(v: Long): Seq[String] =
+    dirRe.findAllMatchIn(manifestText(v)).map(_.group(1)).toSeq.distinct
+
+  /** Partitioned-manifest shape: leaf partition path → commit dirs owning
+    * its live files. Empty map for unpartitioned manifests. */
+  private def snapshotParts(v: Long): Map[String, Seq[String]] = {
+    val entry = """"([^"]+)"\s*:\s*\[([^\]]*)\]""".r
+    entry.findAllMatchIn(manifestText(v)).collect {
+      case m if m.group(1) != "files" =>
+        m.group(1) -> dirRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+    }.toMap
   }
 
   private def emptyDf: DataFrame =
@@ -85,33 +120,73 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
 
   def read: DataFrame = latestVersion.map(readVersion).getOrElse(emptyDf)
 
-  def readVersion(v: Long): DataFrame = {
-    val dirs = snapshotDirs(v)
-    if (dirs.isEmpty) emptyDf
-    else spark.read.schema(schema).parquet(dirs.map(d => s"$dir/$d"): _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-  }
+  def readVersion(v: Long): DataFrame =
+    if (partitionCols.isEmpty) {
+      val dirs = snapshotDirs(v)
+      if (dirs.isEmpty) emptyDf
+      else spark.read.schema(schema).parquet(dirs.map(d => s"$dir/$d"): _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    } else {
+      val parts = snapshotParts(v)
+      if (parts.isEmpty) emptyDf
+      else {
+        // one parquet relation per commit dir (its basePath recovers the
+        // partition columns from the dir names); paths = only the
+        // partitions live FROM that commit — superseded files in the same
+        // dir are never listed, let alone read
+        val byDir = parts.toSeq
+          .flatMap { case (k, ds) => ds.map(d => d -> k) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+        byDir.map { case (cdir, keys) =>
+          spark.read.option("basePath", s"$dir/$cdir").schema(schema)
+            .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+        }.reduce(_ unionByName _)
+      }
+    }
 
   /** Write `df` as a fresh immutable commit dir; returns its relative
     * path. Nothing is visible until a manifest referencing it lands. */
   private def writeDataDir(df: DataFrame): String = {
     val rel = s"data/c-${UUID.randomUUID()}"
-    df.select(schema.fieldNames.map(col).toSeq: _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+    val w = df.select(schema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/$rel")
     rel
   }
 
-  /** Commit `dirs` as the next snapshot: temp write + atomic rename, CAS
-    * retry on a lost race. Returns the committed version. */
-  private def commit(next: Seq[Long] => Seq[String]): Long = {
+  /** Leaf partition paths (relative, `col=v[/col2=v2]`) present under a
+    * commit dir — the partitions a just-written commit touched. */
+  private def leafPartDirs(rel: String): Seq[String] = {
+    def rec(p: Path, depth: Int): Seq[String] =
+      if (depth == partitionCols.length) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partitionCols(depth) + "="))
+        .flatMap(s => rec(s.getPath, depth + 1).map(rest =>
+          if (rest.isEmpty) s.getPath.getName else s"${s.getPath.getName}/$rest"))
+    rec(new Path(s"$dir/$rel"), 0).sorted
+  }
+
+  private def filesBody(dirs: Seq[String]): String =
+    dirs.map(d => s""""$d"""").mkString(""""files": [""", ", ", "]")
+
+  private def partsBody(parts: Map[String, Seq[String]]): String =
+    parts.toSeq.sortBy(_._1).map { case (k, ds) =>
+      ds.map(d => s""""$d"""").mkString(s""""$k": [""", ", ", "]")
+    }.mkString(""""parts": {""", ", ", "}")
+
+  /** Commit the manifest body `next` derives from the base version: temp
+    * write + atomic publish, CAS retry on a lost race. Returns the
+    * committed version. */
+  private def commit(next: Option[Long] => String): Long = {
     fs.mkdirs(manifestDir)
     var committed = -1L
     while (committed < 0) {
-      val base = versions
-      val v = base.lastOption.getOrElse(0L) + 1
-      val dirs = next(base)
-      val body = dirs.map(d => s""""$d"""").mkString(
-        s"""{"version": $v, "files": [""", ", ", "]}")
+      val base = versions.lastOption
+      val v = base.getOrElse(0L) + 1
+      val body = s"""{"version": $v, ${next(base)}}"""
       val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -159,24 +234,114 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
       }
     }
 
-  /** Append: new snapshot = old dirs + one new commit dir. O(new data);
-    * no existing file is touched. */
+  private def baseParts(base: Option[Long]): Map[String, Seq[String]] =
+    base.map(snapshotParts).getOrElse(Map.empty)
+
+  /** Append: new snapshot = old snapshot + one new commit dir (on a
+    * partitioned table, touched partitions gain the dir; others are
+    * untouched). O(new data); no existing file is touched. */
   def append(df: DataFrame): Long = {
     val rel = writeDataDir(df)
-    commit(base => base.lastOption.map(snapshotDirs).getOrElse(Nil) :+ rel)
+    if (partitionCols.isEmpty)
+      commit(base => filesBody(base.map(snapshotDirs).getOrElse(Nil) :+ rel))
+    else {
+      val touched = leafPartDirs(rel)
+      commit { base =>
+        val old = baseParts(base)
+        partsBody(old ++ touched.map(k => k -> (old.getOrElse(k, Nil) :+ rel)))
+      }
+    }
   }
 
   /** Full replace: new snapshot = exactly one new commit dir. Old files
     * stay on disk (readable via [[readVersion]]) until [[vacuum]]. */
   def overwrite(df: DataFrame): Long = {
     val rel = writeDataDir(df)
-    commit(_ => Seq(rel))
+    if (partitionCols.isEmpty) commit(_ => filesBody(Seq(rel)))
+    else commit(_ => partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
+  }
+
+  /** ATOMIC dynamic partition overwrite: replaces ONLY the partitions
+    * present in `df`; every other partition keeps its current files. The
+    * single manifest publish is the commit point — a concurrent reader
+    * sees all touched partitions flip at once (the multi-partition MERGE
+    * atomicity of usp_upsert_trip_clean_from_slice_streaming.sql:11-57).
+    * Safe even when `df`'s plan reads THIS table: the scan addresses
+    * immutable old-version files that the commit never deletes. */
+  def overwritePartitions(df: DataFrame): Long = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val rel = writeDataDir(df)
+    val touched = leafPartDirs(rel)
+    if (touched.isEmpty) { // empty frame: dynamic overwrite is a no-op
+      fs.delete(new Path(s"$dir/$rel"), true)
+      latestVersion.getOrElse(0L)
+    } else commit { base =>
+      partsBody(baseParts(base) ++ touched.map(_ -> Seq(rel)))
+    }
   }
 
   /** DELETE WHERE cond (logical rewrite of the survivors into one commit
     * dir; null conditions keep the row — SQL DELETE semantics). */
   def deleteWhere(cond: Column): Long =
     overwrite(read.filter(not(coalesce(cond, lit(false)))))
+
+  /** Live leaf partition paths of the latest snapshot. */
+  def partitions: Seq[String] = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    latestVersion.map(snapshotParts(_).keys.toSeq.sorted).getOrElse(Seq.empty)
+  }
+
+  private def selectPartKeys(drop: Option[String] => Boolean,
+                             parts: Map[String, Seq[String]]): Seq[String] =
+    parts.keys.toSeq
+      .filter(k => drop(HivePaths.decodeFirstValue(k, partitionCols.head)))
+      .sorted
+
+  /** Rows inside the partitions `drop` selects (parquet-footer count, no
+    * data read — partition columns resolve to null in the count scan,
+    * which counting never looks at). */
+  def countPartitions(drop: Option[String] => Boolean): Long = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val parts = latestVersion.map(snapshotParts).getOrElse(Map.empty)
+    val paths = selectPartKeys(drop, parts)
+      .flatMap(k => parts(k).map(d => s"$dir/$d/$k"))
+    if (paths.isEmpty) 0L
+    else spark.read.schema(schema).parquet(paths: _*).count()
+  }
+
+  /** Count-then-drop of whole first-level partitions: a METADATA-ONLY
+    * manifest commit (no data file is touched — [[vacuum]] reaps them
+    * once no retained version references them), so retention is atomic
+    * and old versions stay readable. Returns (rowsDeleted, dropped raw
+    * first-level partition values). */
+  def purgePartitions(drop: Option[String] => Boolean): (Long, Seq[String]) = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val parts = latestVersion.map(snapshotParts).getOrElse(Map.empty)
+    val selected = selectPartKeys(drop, parts)
+    if (selected.isEmpty) return (0L, Seq.empty)
+    val paths = selected.flatMap(k => parts(k).map(d => s"$dir/$d/$k"))
+    val rows = spark.read.schema(schema).parquet(paths: _*).count()
+    commit { base =>
+      // re-select against the tip under CAS: the drop is by PREDICATE, so
+      // a racing commit that re-created a qualifying partition still drops
+      val cur = baseParts(base)
+      partsBody(cur -- selectPartKeys(drop, cur))
+    }
+    (rows, selected.map(HivePaths.rawFirstValue(_, partitionCols.head)).distinct)
+  }
+
+  /** Drop whole first-level partitions without counting (metadata-only
+    * manifest commit). Returns the dropped raw partition values. */
+  def dropPartitions(drop: Option[String] => Boolean): Seq[String] = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val parts = latestVersion.map(snapshotParts).getOrElse(Map.empty)
+    val selected = selectPartKeys(drop, parts)
+    if (selected.nonEmpty) commit { base =>
+      val cur = baseParts(base)
+      partsBody(cur -- selectPartKeys(drop, cur))
+    }
+    selected.map(HivePaths.rawFirstValue(_, partitionCols.head)).distinct
+  }
 
   /** Drop data dirs referenced by NO retained manifest and manifests older
     * than the newest `keepVersions`. Returns deleted paths. Safe against
@@ -195,5 +360,46 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         .map(_.getPath)
     val deadManifests = vs.dropRight(math.max(1, keepVersions)).map(manifestPath)
     (deadData ++ deadManifests).map { p => fs.delete(p, true); p.toString }
+  }
+}
+
+object SnapshotTable {
+
+  /** Latest snapshot's data dirs (absolute), without needing the schema —
+    * the catalog-registration seam ([[graft.batch.Maintenance
+    * .analyzeTables]] points external tables at live files, never at the
+    * table root, which also holds superseded commits). None = no manifest
+    * (not a snapshot table, or never committed). */
+  def latestDataDirs(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val t = SnapshotTable(spark, dir, StructType(Nil))
+    t.latestVersion.map(v => t.snapshotDirs(v).map(d => s"$dir/$d"))
+  }
+
+  /** Version-addressed read WITHOUT a declared schema — the SQL
+    * time-travel entry ([[graft.sql.SnapshotTableFunction]]), where the
+    * caller names only the table dir. Schema comes from the snapshot's
+    * own parquet footers; partition columns are recovered from the hive
+    * dir names per commit dir (`basePath`), exactly like the typed read.
+    * None = the table has no such version (including "no manifest at
+    * all"). `version` None = latest. */
+  def readVersionInferred(spark: SparkSession, dir: String,
+                          version: Option[Long]): Option[DataFrame] = {
+    val t = SnapshotTable(spark, dir, StructType(Nil))
+    val vs = t.versions
+    version.orElse(vs.lastOption).filter(vs.contains).map { v =>
+      val parts = t.snapshotParts(v)
+      if (parts.nonEmpty) {
+        val byDir = parts.toSeq
+          .flatMap { case (k, ds) => ds.map(d => d -> k) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+        byDir.map { case (cdir, keys) =>
+          spark.read.option("basePath", s"$dir/$cdir")
+            .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
+        }.reduce(_ unionByName _)
+      } else {
+        val dirs = t.snapshotDirs(v)
+        spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+      }
+    }
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.ops.ParquetTable
+import graft.ops.SnapshotTable
 
 /** Lake → warehouse hourly micro-batch (SURVEY.md §3.3; ref
   * pl_streaming_curated_to_stg_core_mdl.json + the five streaming procs).
@@ -27,8 +27,14 @@ import graft.ops.ParquetTable
   * by `pickup_date_key`, and each hourly merge (a) reads only the target
   * partitions whose dates appear in the slice (partition-pruned scan),
   * (b) full-outer-joins the slice against just that subset, and (c)
-  * commits via *dynamic partition overwrite* — untouched date partitions
-  * are never read or rewritten. The partition key is `pickup_date` rather
+  * commits via an ATOMIC dynamic partition overwrite on the
+  * manifest-committed [[graft.ops.SnapshotTable]] — untouched date
+  * partitions are never read or rewritten, and the single manifest
+  * publish flips every touched partition at once, so a concurrent reader
+  * sees the whole pre-merge table or the whole post-merge table, never a
+  * torn mix (the MERGE atomicity the reference gets from its warehouse,
+  * usp_upsert_trip_clean_from_slice_streaming.sql:11-57; proven by
+  * StreamingSpec's mid-merge reader). The partition key is `pickup_date` rather
   * than the reference's `ingest_date` column because the merge key
   * `trip_id` hashes `event_id|pickupISO|dropoffISO`
   * (usp_upsert_trips_from_streaming.sql:14-16): pickup_date is
@@ -115,18 +121,22 @@ object HourLoad {
     "run_id STRING, p_date STRING, p_hour STRING, blob_path STRING, " +
       "rows_copied BIGINT, status STRING")
 
+  /** All warehouse tables ride the manifest-committed snapshot layer:
+    * every stage boundary is one atomic manifest publish, concurrent
+    * readers get version isolation, and retention purges are metadata-only
+    * commits (data files reaped later by vacuum). */
   final case class Warehouse(spark: SparkSession, dir: String) {
-    val stg: ParquetTable =
-      ParquetTable(spark, s"$dir/stg_trips_streaming", stgSchema, Seq("p_date", "p_hour"))
-    val slice: ParquetTable = ParquetTable(spark, s"$dir/core_trip_clean_slice", coreSchema)
-    val core: ParquetTable =
-      ParquetTable(spark, s"$dir/core_trip_clean", coreSchema, Seq("pickup_date"))
-    val dimVendor: ParquetTable = ParquetTable(spark, s"$dir/dim_vendor", dimVendorSchema)
-    val fact: ParquetTable =
-      ParquetTable(spark, s"$dir/fact_trip", factSchema, Seq("pickup_date_key"))
-    val audit: ParquetTable = ParquetTable(spark, s"$dir/ingest_audit", auditSchema)
-    val fileAudit: ParquetTable =
-      ParquetTable(spark, s"$dir/ingest_file_audit", fileAuditSchema)
+    val stg: SnapshotTable =
+      SnapshotTable(spark, s"$dir/stg_trips_streaming", stgSchema, Seq("p_date", "p_hour"))
+    val slice: SnapshotTable = SnapshotTable(spark, s"$dir/core_trip_clean_slice", coreSchema)
+    val core: SnapshotTable =
+      SnapshotTable(spark, s"$dir/core_trip_clean", coreSchema, Seq("pickup_date"))
+    val dimVendor: SnapshotTable = SnapshotTable(spark, s"$dir/dim_vendor", dimVendorSchema)
+    val fact: SnapshotTable =
+      SnapshotTable(spark, s"$dir/fact_trip", factSchema, Seq("pickup_date_key"))
+    val audit: SnapshotTable = SnapshotTable(spark, s"$dir/ingest_audit", auditSchema)
+    val fileAudit: SnapshotTable =
+      SnapshotTable(spark, s"$dir/ingest_file_audit", fileAuditSchema)
   }
 
   final case class HourResult(files: Long, rowsCopied: Long, inserted: Long,
@@ -134,13 +144,14 @@ object HourLoad {
 
   /** Update-then-insert merge of `staged` into the partitions of `target`
     * that share `staged`'s values of `partCol` (all on `trip_id`).
-    * Returns (inserted, updated) and commits via dynamic partition
-    * overwrite — untouched partitions are never read or written.
+    * Returns (inserted, updated) and commits via the snapshot table's
+    * ATOMIC dynamic partition overwrite — untouched partitions are never
+    * read or written, and readers see the merge all-or-nothing.
     *
     * Column semantics: explicit existence markers per join side; a matched
     * row takes every column from the source (reference UPDATE-all-columns,
     * usp_upsert_trip_clean_from_slice_streaming.sql:37-44). */
-  private def scopedMerge(table: ParquetTable, staged: DataFrame,
+  private def scopedMerge(table: SnapshotTable, staged: DataFrame,
                           partCol: String): (Long, Long) = {
     val partVals = staged.select(partCol).distinct().collect().map(_.get(0))
     val nonNull = partVals.filter(_ != null)
@@ -162,10 +173,11 @@ object HourLoad {
     val actions = joined.select(
       when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
       .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // staged commit: the overwrite job reads the staged temp files, never
-    // the live dir it is deleting from — correctness no longer rests on
-    // the persist() surviving executor/cache-block loss
-    table.overwritePartitionsStaged(merged)
+    // snapshot commit: the overwrite job reads immutable old-version
+    // files that the commit never deletes — no defensive staging pass
+    // needed (the ParquetTable-era hazard of a re-read racing the
+    // delete+rewrite is structurally gone)
+    table.overwritePartitions(merged)
     joined.unpersist()
     (actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L))
   }
@@ -214,7 +226,7 @@ object HourLoad {
     val survivors = wh.stg.read
       .filter(col("p_date") === date && col("p_hour") === hour)
       .filter(!col("_blobPath").isin(blobs.toSeq: _*))
-    wh.stg.overwritePartitionsStaged(survivors.unionByName(typed))
+    wh.stg.overwritePartitions(survivors.unionByName(typed))
 
     // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
     // dedupe. The (p_date, p_hour) filter partition-prunes the stg scan to

@@ -12,15 +12,21 @@ import graft.quality.Checks.DqGateException
   * invariants (SURVEY §5), persisted ops tables, and gate fail-stop. */
 class RunnerSpec extends SparkSpec {
 
+  /** Read a warehouse table through its snapshot manifest (the table root
+    * also holds superseded commit dirs — raw root reads would double). */
+  private def readWh(wh: String, name: String) =
+    spark.read.parquet(
+      graft.ops.SnapshotTable.latestDataDirs(spark, s"$wh/$name").get: _*)
+
   test("runDaily: stg→core→mdl with all gates green and invariants held") {
     val wh = tmpDir("graft_batch_wh")
     val runner = Runner(spark, wh)
     val (coreRows, factRows) = runner.runDaily(sf(), "run-e2e-1")
 
-    val stg = spark.read.parquet(s"$wh/stg_trip")
-    val core = spark.read.parquet(s"$wh/core_trip_clean")
-    val err = spark.read.parquet(s"$wh/err_trip")
-    val fact = spark.read.parquet(s"$wh/fact_trip")
+    val stg = readWh(wh, "stg_trip")
+    val core = readWh(wh, "core_trip_clean")
+    val err = readWh(wh, "err_trip")
+    val fact = readWh(wh, "fact_trip")
 
     assert(coreRows > 0 && factRows == coreRows)
     // conservation: core + err ≤ stg (dupes removed by dedupe)

@@ -74,6 +74,75 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  // ---- hive-partitioned snapshots (the hourly-merge commit shape) ----
+
+  private def partedTable() =
+    SnapshotTable(spark, tmpDir("snap_part"), schema, Seq("part"))
+
+  test("partitioned: overwritePartitions atomically replaces only touched partitions") {
+    val t = partedTable()
+    val v1 = t.overwrite(df(1L -> "a", 2L -> "b", 3L -> "c"))
+    // inputFiles reports the relation's whole file set (filters don't
+    // prune it) — select partition b's live files by path
+    val bFiles = t.read.inputFiles.filter(_.contains("/part=b/")).toSet
+    assert(bFiles.nonEmpty)
+
+    val v2 = t.overwritePartitions(df(10L -> "a", 30L -> "c"))
+    assert(v2 == v1 + 1)
+    val now = t.read.select("k", "part").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(now == Seq(2L -> "b", 10L -> "a", 30L -> "c"))
+    // the untouched partition is served by the SAME files (re-referenced,
+    // never rewritten), and the pre-merge version stays readable
+    assert(t.read.inputFiles.filter(_.contains("/part=b/")).toSet == bFiles)
+    assert(t.readVersion(v1).select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("partitioned: a fully-written but uncommitted merge dir is invisible (torn window closed)") {
+    val t = partedTable()
+    t.overwrite(df(1L -> "a", 2L -> "b"))
+    // the exact crash window of a 2-partition merge: all data files
+    // written (both partitions), manifest publish not yet happened
+    df(100L -> "a", 200L -> "b").write.partitionBy("part")
+      .parquet(s"${t.dir}/data/c-inflight-merge")
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "reader sees the whole pre-merge table, not a mix")
+  }
+
+  test("partitioned: append accumulates commit dirs per partition; read unions them") {
+    val t = partedTable()
+    t.append(df(1L -> "a"))
+    t.append(df(2L -> "a", 3L -> "b"))
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(t.partitions == Seq("part=a", "part=b"))
+  }
+
+  test("partitioned: purgePartitions is a metadata-only commit; vacuum reaps the files") {
+    val t = partedTable()
+    t.overwrite(df(1L -> "2024-01-01", 2L -> "2024-01-01", 3L -> "2024-06-01"))
+    val oldFiles = t.read.inputFiles.toSet
+    val (rows, dropped) = t.purgePartitions(_.exists(_ < "2024-03"))
+    assert(rows == 2L && dropped == Seq("2024-01-01"))
+    assert(t.read.select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // metadata-only: every pre-purge file still on disk (old version
+    // readable) until vacuum
+    val fs = new org.apache.hadoop.fs.Path(t.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    oldFiles.foreach(f => assert(fs.exists(new org.apache.hadoop.fs.Path(f))))
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.read.select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("partitioned: null partition values round-trip the hive default slot") {
+    val t = partedTable()
+    t.overwrite(df(1L -> null, 2L -> "kept"))
+    val (rows, dropped) = t.purgePartitions(v => v.isEmpty) // drop null slot only
+    assert(rows == 1L && dropped == Seq("__HIVE_DEFAULT_PARTITION__"))
+    assert(t.read.select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("casPublish: barrier-raced committers to ONE version slot — exactly one wins, winner's bytes survive") {
     // The old check-then-rename protocol fails this: all racers pass the
     // exists() check at the barrier, then POSIX rename(2) lets the LAST

@@ -267,37 +267,92 @@ class StreamingSpec extends SparkSpec {
     val before = snapshot(s"$base/wh/core_trip_clean")
     assert(before.nonEmpty)
     val stgBefore = snapshot(s"$base/wh/stg_trips_streaming")
-    assert(stgBefore.keySet.exists(_.startsWith(s"p_date=$d1/")))
+    assert(stgBefore.keySet.exists(_.contains(s"p_date=$d1/")))
+    // which FILES serve hour 1's stg partition right now (inputFiles
+    // reports the whole live file set — select the partition by path)
+    def stgHour1Live() = wh.stg.read.inputFiles
+      .filter(_.contains(s"p_date=$d1/p_hour=$h1/")).toSet
+    val stgHour1Files = stgHour1Live()
+    assert(stgHour1Files.nonEmpty)
 
     // partitions hour 2 will touch = its slice's pickup dates
     HourLoad.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
 
-    // stg is (p_date, p_hour)-partitioned: loading hour 2 must leave hour
-    // 1's staging partition files byte-identical (no full-table rewrite)
+    // snapshot commits never rewrite ANY pre-existing data file — every
+    // file of the hour-1 state is byte-identical after the hour-2 load
+    // (immutability is the whole-table guarantee the ParquetTable-era
+    // byte-identity check only gave untouched partitions)
     val stgAfter = snapshot(s"$base/wh/stg_trips_streaming")
-    stgBefore.keys.filter(_.startsWith(s"p_date=$d1/")).foreach { rel =>
+    stgBefore.keys.filterNot(_.startsWith("_manifests")).foreach { rel =>
       assert(stgAfter.get(rel).contains(stgBefore(rel)),
-        s"hour-1 stg partition file $rel was rewritten by the hour-2 load")
+        s"stg file $rel was rewritten by the hour-2 load")
     }
+    val after = snapshot(s"$base/wh/core_trip_clean")
+    before.keys.filterNot(_.startsWith("_manifests")).foreach { rel =>
+      assert(after.get(rel).contains(before(rel)),
+        s"core file $rel was rewritten by the hour-2 load")
+    }
+
+    // and the LIVE snapshot still serves hour 1's stg partition from the
+    // exact same files — the hour-2 commit re-references them, it never
+    // re-writes them (no full-table rewrite, O(hour) commit)
+    assert(stgHour1Live() == stgHour1Files,
+      "hour-1 stg partition is served by re-referenced, not rewritten, files")
+
+    // untouched core date partitions: same live files before vs after
     val touched = wh.core.read
       .filter(col("_runId") === s"run-$d2-$h2")
       .select(col("pickup_date").cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
-      .toSet
-    val after = snapshot(s"$base/wh/core_trip_clean")
-
-    val untouchedFiles = before.keySet.filter { rel =>
-      !touched.exists(d => rel.startsWith(s"pickup_date=$d/"))
-    }
-    assert(untouchedFiles.nonEmpty,
+      .collect().flatMap(r => Option(r.getString(0))).toSet
+    val untouchedDates = wh.core.read
+      .select(col("pickup_date").cast("string")).distinct()
+      .collect().flatMap(r => Option(r.getString(0))).toSet -- touched
+    assert(untouchedDates.nonEmpty,
       s"fixture must leave ≥1 untouched partition (touched=$touched)")
-    untouchedFiles.foreach { rel =>
-      assert(after.get(rel).contains(before(rel)),
-        s"untouched partition file $rel was rewritten")
-    }
 
     // and the merge itself stayed correct across the two loads
     assert(wh.core.read.select("trip_id").distinct().count() == wh.core.read.count())
+  }
+
+  test("mid-merge reader isolation: a concurrent reader sees pre- or post-commit, never torn") {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    landEnvelopes(input)
+    awaitDone(Ingest.start(spark, input, dirs))
+
+    val wh = HourLoad.Warehouse(spark, s"$base/wh")
+    val hours = curatedHours(dirs)
+    val (d1, h1) = hours(0)
+    val (d2, h2) = hours(1)
+    HourLoad.runHour(wh, dirs.curated, d1, h1, s"run-$d1-$h1")
+    val pre = wh.core.read.count()
+    val preVersion = wh.core.latestVersion.get
+
+    // poll the table from a concurrent reader for the whole duration of
+    // the hour-2 load: under the snapshot layer every observed state must
+    // be a committed version's row count — a torn multi-partition view
+    // (partition deleted, replacement not yet visible: the
+    // dynamic-partition-overwrite hazard) can never appear
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() =>
+      try while (!stop.get()) seen.add(wh.core.read.count())
+      catch { case t: Throwable => readerErr.set(t) })
+    reader.start()
+    val r2 = HourLoad.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
+    stop.set(true); reader.join()
+    assert(readerErr.get() == null,
+      s"concurrent reader never errors mid-merge: ${readerErr.get()}")
+    val post = wh.core.read.count()
+    assert(post == pre + r2.inserted)
+    assert(seen.size() > 0, "reader sampled the table during the merge")
+    seen.forEach(c => assert(c == pre || c == post,
+      s"reader observed a torn state: $c not in {$pre, $post}"))
+
+    // version isolation: a job planned over the pre-merge version reads
+    // it unchanged after the merge commits (repeatable reads)
+    assert(wh.core.readVersion(preVersion).count() == pre)
   }
 
   test("backfill range re-runs are no-ops on core") {
