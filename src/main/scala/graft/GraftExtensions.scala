@@ -25,7 +25,9 @@ import graft.functions.{FloatVecDot, KmvDistinct, Sha256Prefix64, VecDistSq}
   * `asof_join(l, r, keys, lts, rts, payload[, direction])` — table-valued
   * as-of join over named tables/views ([[graft.sql.AsofTableFunction]]).
   * `range_join(l, r, point, lo, hi, binWidth)` — explicit bin-bucketized
-  * point-in-interval join ([[graft.sql.RangeTableFunction]]). */
+  * point-in-interval join ([[graft.sql.RangeTableFunction]]).
+  * `snapshot_at(dir[, version])` — VERSION-AS-OF time travel over
+  * [[graft.ops.SnapshotTable]] dirs ([[graft.sql.SnapshotTableFunction]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArity(name: String, expected: Int, args: Seq[Expression]): Unit =
@@ -56,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.RangeTableFunction.getClass.getName,
         graft.sql.RangeTableFunction.name),
       (args: Seq[Expression]) => graft.sql.RangeTableFunction.build(args)))
+    // snapshot time travel (VERSION AS OF) over SnapshotTable dirs:
+    // SELECT * FROM snapshot_at('/wh/core_trip_clean', 3)
+    e.injectTableFunction((
+      new FunctionIdentifier(graft.sql.SnapshotTableFunction.name),
+      new ExpressionInfo(graft.sql.SnapshotTableFunction.getClass.getName,
+        graft.sql.SnapshotTableFunction.name),
+      (args: Seq[Expression]) => graft.sql.SnapshotTableFunction.build(args)))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

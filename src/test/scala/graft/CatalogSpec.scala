@@ -103,6 +103,43 @@ class CatalogSpec extends SparkSpec {
     assert(viaSql == Seq((1L, "lo"), (5L, "lo"), (12L, "mid"), (23L, "hi")))
   }
 
+  test("snapshot_at TVF: SQL time travel matches the Scala readVersion API") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("k BIGINT, part STRING")
+    // two-version unpartitioned table
+    val dir = tmpDir("snap_sql")
+    val t = graft.ops.SnapshotTable(spark, dir, schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "part"))
+    t.overwrite(Seq((9L, "z")).toDF("k", "part"))
+    def ks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("k")).sorted.toSeq
+    assert(ks(spark.sql(s"SELECT * FROM snapshot_at('$dir', 1)").collect()) ==
+      ks(t.readVersion(1).collect()))
+    assert(ks(spark.sql(s"SELECT * FROM snapshot_at('$dir', 1)").collect()) == Seq(1L, 2L))
+    // no version argument = latest
+    assert(ks(spark.sql(s"SELECT * FROM snapshot_at('$dir')").collect()) == Seq(9L))
+
+    // partitioned table: partition column recovered, untouched partition
+    // served across versions
+    val pdir = tmpDir("snap_sql_part")
+    val pt = graft.ops.SnapshotTable(spark, pdir, schema, Seq("part"))
+    pt.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "part"))
+    pt.overwritePartitions(Seq((10L, "a")).toDF("k", "part"))
+    val got = spark.sql(s"SELECT k, part FROM snapshot_at('$pdir')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(2L -> "b", 10L -> "a"))
+    assert(ks(spark.sql(s"SELECT * FROM snapshot_at('$pdir', 1)").collect()) ==
+      Seq(1L, 2L))
+
+    // unknown version raises AnalysisException naming the committed ones
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM snapshot_at('$dir', 42)").collect()
+    }
+    assert(ex.getMessage.contains("committed versions"))
+  }
+
   test("BETWEEN range join is SQL-reachable (RangeJoinRule rewrite, no CartesianProduct)") {
     val s = spark
     import s.implicits._
