@@ -12,27 +12,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // labeled warm-up phase: materialize shared memo chains first so each
     // query's number is steady-state, not chain-build attribution noise.
-    // The chains (taxi / docs / events) are independent — run them
-    // concurrently so warm wall-clock is max(chain), not sum(chain); the
-    // scheduler interleaves their jobs across the shared local[N] pool.
-    val warmPool = java.util.concurrent.Executors.newFixedThreadPool(
-      SparkEntry.warmups.size.max(1))
-    implicit val warmEc: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(warmPool)
+    // The chains (taxi / docs / events) are independent jobs sharing one
+    // local[N] pool. Measured both orders twice each at sf0.1 on an idle
+    // machine (round 9): concurrent wall 20.6/22.8 s vs sequential
+    // 52.8/67.9 s — each chain alone leaves most of the 32 cores idle
+    // (many small stages), so overlap ≈ max(chain) not sum(chain).
+    // Concurrent stays the default; SPARK_GRAFT_WARM_MODE=seq selects the
+    // serial order (useful to attribute per-chain cost without overlap).
     val warmT0 = System.nanoTime()
-    val warmFutures = SparkEntry.warmups.toSeq.sortBy(_._1).map { case (name, fn) =>
-      scala.concurrent.Future {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val warmEntries = SparkEntry.warmups.toSeq.sortBy(_._1)
+    def timed(name: String, fn: (SparkSession, String) => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir) } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val warm = scala.collection.immutable.ListMap(
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(warmFutures),
-        scala.concurrent.duration.Duration.Inf): _*)
+    val warm: Map[String, Double] =
+      if (!sys.env.get("SPARK_GRAFT_WARM_MODE").contains("seq")) {
+        val warmPool = java.util.concurrent.Executors.newFixedThreadPool(
+          warmEntries.size.max(1))
+        implicit val warmEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(warmPool)
+        val fut = warmEntries.map { case (n, f) =>
+          scala.concurrent.Future(timed(n, f))
+        }
+        val res = scala.collection.immutable.ListMap(
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fut),
+            scala.concurrent.duration.Duration.Inf): _*)
+        warmPool.shutdown()
+        res
+      } else scala.collection.immutable.ListMap(
+        warmEntries.map { case (n, f) => timed(n, f) }: _*)
     val warmWall = (System.nanoTime() - warmT0) / 1e9
-    warmPool.shutdown()
     // p50-of-N per query (default 3): one-off machine-load spikes and the
     // first-run plan-compile cost are not the steady-state number a round
     // artifact should record — the median discards both

@@ -27,9 +27,25 @@ import graft.stream.StreamTransforms
   */
 object EventsModel {
 
-  /** Typed pre-envelope event fields (what the producer knows). */
+  /** Typed pre-envelope event fields (what the producer knows).
+    *
+    * The fixture is one single-row-group parquet file, so the scan is one
+    * task no matter what maxPartitionBytes says — and everything derived
+    * here (to_json envelope build, from_json parse, DQ routing) would run
+    * single-threaded on a 32-core session. One hash repartition on
+    * event_id (deterministic row→partition mapping) spreads the synthetic
+    * producer derivation across the pool; it costs a shuffle of the tiny
+    * raw scan only, and only on this fixture-synthesis lane — the
+    * production ingest path ([[graft.stream.Ingest]]) reads many landing
+    * files and parallelizes at the source. The partition count is pinned
+    * (REPARTITION_BY_NUM) because the shuffled bytes are tiny and AQE
+    * would coalesce the exchange back to one partition — the point is
+    * spreading downstream CPU, not balancing shuffle bytes. */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir, "events")
+    val ev0 = Tables(spark, sfDir, "events")
+    val ev = ev0.repartition(
+      ev0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col("event_id"))
     // ts physical type varies by fixture generation (nanos-as-long vs
     // micros-timestamp) — Tables.eventTsNtz dispatches on the read schema.
     val arrival = Tables.eventTsNtz(ev)

@@ -149,6 +149,76 @@ class SegmentLogSourceSpec extends SparkSpec {
     assert(curated > 0)
   }
 
+  test("kill mid-batch + restart from checkpoint: exactly-once through ingest → stg → core") {
+    // The broker contract end-to-end: segment log → 3-way ingest, killed
+    // INSIDE a batch's sink-commit sequence (after raw committed, before
+    // dlq), restarted from the same checkpoint, then the warehouse hour
+    // loads — total row counts must come out exactly-once at every layer.
+    val base = tmpDir("seglog_e2e")
+    val dirs = graft.stream.Ingest.LakeDirs(
+      s"$base/raw", s"$base/curated", s"$base/dlq", s"$base/ckpt")
+    val segDir = tmpDir("seglog_e2e_log")
+    val envs = graft.model.EventsModel.envelopes(spark, sf())
+      .select("json").collect().map(_.getString(0)).toSeq
+    val n = envs.length
+    writeSegment(segDir, "0001.seg", envs.take(n / 2))
+    writeSegment(segDir, "0002.seg", envs.drop(n / 2))
+
+    // Block the THIRD sink of the batch: a regular file at the dlq root
+    // makes its staging write fail after raw + curated already committed —
+    // the crash lands inside writeBatch's per-sink commit window.
+    Files.write(Paths.get(base, "dlq"), "blocker".getBytes(StandardCharsets.UTF_8))
+    val q1 = graft.stream.Ingest.start(spark,
+      SegmentLogStreamSource(segDir), dirs, Trigger.AvailableNow())
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    assert(Files.exists(Paths.get(dirs.raw, "_graft_commits", "batch-0")),
+      "crash window is real: raw committed its share of batch 0 before the kill")
+    assert(!Files.isDirectory(Paths.get(dirs.dlq)), "dlq never materialized")
+
+    // Operator fixes the sink, restarts from the SAME checkpoint: the
+    // failed batch replays with its WAL offsets; committed sinks skip via
+    // markers, the dlq share lands once.
+    Files.delete(Paths.get(base, "dlq"))
+    val q2 = graft.stream.Ingest.start(spark,
+      SegmentLogStreamSource(segDir), dirs, Trigger.AvailableNow())
+    awaitDone(q2)
+
+    val rawDf = spark.read.text(dirs.raw)
+    assert(rawDf.count() == n, "raw passthrough delivered exactly once")
+    val curated = spark.read.schema(graft.stream.HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+    val curatedN = curated.count()
+    val dlqN = spark.read.text(dirs.dlq).count()
+    assert(curatedN + dlqN == n, "curated + dlq partition the log exactly once")
+    assert(curated.select("c_event_id").distinct().count() == curatedN,
+      "no curated event delivered twice across the restart")
+
+    // Warehouse micro-batches over every landed hour: core ends exactly-once
+    val wh = graft.stream.HourLoad.Warehouse(spark, s"$base/wh")
+    val hours = spark.read.schema(graft.stream.HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
+        regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
+      .distinct().orderBy("d", "h").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val results = hours.map { case (d, h) =>
+      graft.stream.HourLoad.runHour(wh, dirs.curated, d, h, runId = s"$d-$h")
+    }
+    assert(results.map(_.inserted).sum == curatedN,
+      "every curated trip inserted exactly once across the hour loads")
+    assert(wh.core.read.count() == curatedN)
+
+    // replaying one hour with its original runId is absorbed: updates, no
+    // inserts, core count unchanged
+    val (d0, h0) = hours.head
+    val replay = graft.stream.HourLoad.runHour(wh, dirs.curated, d0, h0,
+      runId = s"$d0-$h0")
+    assert(replay.inserted == 0 && replay.updated == replay.total)
+    assert(wh.core.read.count() == curatedN, "hour replay is a no-op on core")
+  }
+
   test("the StreamSource seam runs the full ingest wire over the segment log") {
     val dir = tmpDir("seglog_wire")
     val envs = graft.model.EventsModel.envelopes(spark, sf())
