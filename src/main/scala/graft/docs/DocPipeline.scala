@@ -818,6 +818,37 @@ object DocPipeline {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** Temperature-scaled source mixture (the multilingual-sampling
+    * standard, public knowledge: q_i ∝ p_i^alpha — alpha=1 keeps the
+    * corpus's natural proportions, alpha→0 flattens toward uniform):
+    * per-source natural BPE-token share `p`, scaled share `q`, and the
+    * repetition factor `rep_weight` = q/p that [[weightedMix]] consumes
+    * as its per-source weight. Census-sized throughout — the corpus
+    * collapses in the first token-mass groupBy, everything after runs on
+    * one row per source (two 1-row broadcasts for the totals).
+    *
+    * Determinism: `p` is one IEEE division (bit-identical across
+    * engines); pow is rounded to 12 decimals BEFORE the normalizer sum
+    * (libm pow may differ in the last ulp between runtimes), and that
+    * sum is decimal-exact so row order can't move it. */
+  def temperatureWeights(docs: DataFrame, alpha: Double): DataFrame = {
+    val bySrc = tokenCounts(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("tokens"))
+    val tot = bySrc.agg(sum(col("tokens")).as("_total"))
+    val withP = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("tokens").cast("double") / col("_total"))
+      .withColumn("pw", round(pow(col("p"), lit(alpha)), 12))
+    val z = withP.agg(
+      sum(col("pw").cast("decimal(20,15)")).cast("double").as("_z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("q", round(col("pw") / col("_z"), 12))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 12).as("p"), col("q"),
+        round(col("q") / col("p"), 12).as("rep_weight"))
+  }
+
   /** Fluency scoring without a model artifact: an add-one-smoothed
     * bigram LM trained on the scored corpus ITSELF (the standard
     * KenLM-perplexity-filter stand-in when no external LM ships with the

@@ -128,22 +128,50 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         .select(schema.fieldNames.map(col).toSeq: _*)
     } else {
       val parts = snapshotParts(v)
-      if (parts.isEmpty) emptyDf
-      else {
-        // one parquet relation per commit dir (its basePath recovers the
-        // partition columns from the dir names); paths = only the
-        // partitions live FROM that commit — superseded files in the same
-        // dir are never listed, let alone read
-        val byDir = parts.toSeq
-          .flatMap { case (k, ds) => ds.map(d => d -> k) }
-          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
-        byDir.map { case (cdir, keys) =>
-          spark.read.option("basePath", s"$dir/$cdir").schema(schema)
-            .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
-            .select(schema.fieldNames.map(col).toSeq: _*)
-        }.reduce(_ unionByName _)
-      }
+      if (parts.isEmpty) emptyDf else partitionedRead(parts)
     }
+
+  // one parquet relation per commit dir (its basePath recovers the
+  // partition columns from the dir names); paths = only the partitions
+  // live FROM that commit — superseded files in the same dir are never
+  // listed, let alone read
+  private def partitionedRead(parts: Map[String, Seq[String]]): DataFrame = {
+    val byDir = parts.toSeq
+      .flatMap { case (k, ds) => ds.map(d => d -> k) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+    byDir.map { case (cdir, keys) =>
+      spark.read.option("basePath", s"$dir/$cdir").schema(schema)
+        .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Manifest-level partition pruning: a read planned over ONLY the leaf
+    * partitions `keep` selects (keys are relative hive paths,
+    * `col=v[/col2=v2]`). On a table with thousands of commits, a
+    * partition-scoped read plans O(selected partitions) parquet relations
+    * instead of O(live commit dirs) — the table-format move of pruning in
+    * METADATA before Catalyst ever sees a scan. A `read.filter(part ===
+    * v)` still prunes FILES correctly, but its plan carries every live
+    * commit dir as a union branch, and per-operation planning cost then
+    * grows with table history: an hourly pipeline that appends one commit
+    * per hour pays O(hours) planning per hour, O(hours²) over its life —
+    * exactly the overhead this entry point removes (Spark can't do it for
+    * us: the manifest, not the filesystem, knows which dirs own which
+    * partitions). */
+  def readPartitions(keep: String => Boolean): DataFrame = {
+    require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    latestVersion.map { v =>
+      val parts = snapshotParts(v).filter { case (k, _) => keep(k) }
+      if (parts.isEmpty) emptyDf else partitionedRead(parts)
+    }.getOrElse(emptyDf)
+  }
+
+  /** [[readPartitions]] keyed on the DECODED first-level partition value
+    * (None = the hive null slot) — the same predicate shape
+    * [[purgePartitions]]/[[countPartitions]] take. */
+  def readPartitionsByFirstValue(keep: Option[String] => Boolean): DataFrame =
+    readPartitions(k => keep(HivePaths.decodeFirstValue(k, partitionCols.head)))
 
   /** Write `df` as a fresh immutable commit dir; returns its relative
     * path. Nothing is visible until a manifest referencing it lands. */
@@ -178,15 +206,18 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     }.mkString(""""parts": {""", ", ", "}")
 
   /** Commit the manifest body `next` derives from the base version: temp
-    * write + atomic publish, CAS retry on a lost race. Returns the
+    * write + atomic publish, CAS retry on a lost race. `op` and a wall
+    * timestamp are recorded in the manifest for [[history]] (audit
+    * metadata only — never part of any query result). Returns the
     * committed version. */
-  private def commit(next: Option[Long] => String): Long = {
+  private def commit(op: String)(next: Option[Long] => String): Long = {
     fs.mkdirs(manifestDir)
     var committed = -1L
     while (committed < 0) {
       val base = versions.lastOption
       val v = base.getOrElse(0L) + 1
-      val body = s"""{"version": $v, ${next(base)}}"""
+      val body =
+        s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, ${next(base)}}"""
       val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -243,10 +274,10 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   def append(df: DataFrame): Long = {
     val rel = writeDataDir(df)
     if (partitionCols.isEmpty)
-      commit(base => filesBody(base.map(snapshotDirs).getOrElse(Nil) :+ rel))
+      commit("append")(base => filesBody(base.map(snapshotDirs).getOrElse(Nil) :+ rel))
     else {
       val touched = leafPartDirs(rel)
-      commit { base =>
+      commit("append") { base =>
         val old = baseParts(base)
         partsBody(old ++ touched.map(k => k -> (old.getOrElse(k, Nil) :+ rel)))
       }
@@ -257,8 +288,8 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * stay on disk (readable via [[readVersion]]) until [[vacuum]]. */
   def overwrite(df: DataFrame): Long = {
     val rel = writeDataDir(df)
-    if (partitionCols.isEmpty) commit(_ => filesBody(Seq(rel)))
-    else commit(_ => partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
+    if (partitionCols.isEmpty) commit("overwrite")(_ => filesBody(Seq(rel)))
+    else commit("overwrite")(_ => partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
   }
 
   /** ATOMIC dynamic partition overwrite: replaces ONLY the partitions
@@ -275,7 +306,7 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     if (touched.isEmpty) { // empty frame: dynamic overwrite is a no-op
       fs.delete(new Path(s"$dir/$rel"), true)
       latestVersion.getOrElse(0L)
-    } else commit { base =>
+    } else commit("overwrite_partitions") { base =>
       partsBody(baseParts(base) ++ touched.map(_ -> Seq(rel)))
     }
   }
@@ -321,7 +352,7 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     if (selected.isEmpty) return (0L, Seq.empty)
     val paths = selected.flatMap(k => parts(k).map(d => s"$dir/$d/$k"))
     val rows = spark.read.schema(schema).parquet(paths: _*).count()
-    commit { base =>
+    commit("purge_partitions") { base =>
       // re-select against the tip under CAS: the drop is by PREDICATE, so
       // a racing commit that re-created a qualifying partition still drops
       val cur = baseParts(base)
@@ -336,11 +367,103 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     require(partitionCols.nonEmpty, s"$dir is not partitioned")
     val parts = latestVersion.map(snapshotParts).getOrElse(Map.empty)
     val selected = selectPartKeys(drop, parts)
-    if (selected.nonEmpty) commit { base =>
+    if (selected.nonEmpty) commit("drop_partitions") { base =>
       val cur = baseParts(base)
       partsBody(cur -- selectPartKeys(drop, cur))
     }
     selected.map(HivePaths.rawFirstValue(_, partitionCols.head)).distinct
+  }
+
+  /** Distinct live commit dirs in the latest snapshot — the read-plan
+    * bound ([[readVersion]] plans one parquet relation per commit dir). */
+  def liveCommitDirs: Int = latestVersion.map { v =>
+    if (partitionCols.isEmpty) snapshotDirs(v).size
+    else snapshotParts(v).values.flatten.toSeq.distinct.size
+  }.getOrElse(0)
+
+  /** Fold snapshots owned by many commit dirs back into one (the
+    * maintenance pass the read-plan bound assumes: every append / merge
+    * adds a commit dir, and a partitioned read plans one parquet relation
+    * per live dir, so heavy append traffic degrades planning and
+    * small-files the scan until compaction folds it back). Logical
+    * content is unchanged — the committed version reads identically to
+    * the base snapshot; superseded files stay on disk (old versions
+    * remain readable) until [[vacuum]].
+    *
+    * Only the multi-dir portion is rewritten: an unpartitioned table with
+    * one live dir, or a partition owned by one dir, is untouched. The
+    * rewrite shuffles by the partition columns (AQE folds the small
+    * groups; a deployment at scale would size output tasks by bytes) so
+    * each compacted partition lands as one file.
+    *
+    * CAS-safe against concurrent writers by the rewrite-validation rule
+    * (Iceberg RewriteFiles, public knowledge): the commit closure
+    * re-derives against the tip, and a fold is applied only where EVERY
+    * source dir it compacted is still live at the tip — a concurrently
+    * APPENDED dir survives alongside the compacted one; a concurrent
+    * OVERWRITE of the partition (source dirs gone) wins and that
+    * partition's rewrite is discarded as stale (its orphan files are
+    * [[vacuum]] food). Returns the committed version, or the current one
+    * when nothing needed folding. */
+  def compact(): Long = compactHook(() => ())
+
+  /** [[compact]] with a test seam between the data rewrite and the
+    * manifest commit — the window a concurrent committer races. */
+  private[graft] def compactHook(beforeCommit: () => Unit): Long =
+    latestVersion match {
+      case None => 0L
+      case Some(baseV) if partitionCols.isEmpty =>
+        val src = snapshotDirs(baseV)
+        if (src.lengthCompare(1) <= 0) baseV
+        else {
+          val rel = writeDataDir(
+            spark.read.schema(schema).parquet(src.map(d => s"$dir/$d"): _*)
+              .coalesce(1))
+          beforeCommit()
+          commit("compact") { base =>
+            val cur = base.map(snapshotDirs).getOrElse(Nil)
+            if (src.forall(cur.contains))
+              filesBody(cur.filterNot(src.contains) :+ rel)
+            else filesBody(cur) // stale rewrite: the tip replaced a source
+          }
+        }
+      case Some(baseV) =>
+        val parts = snapshotParts(baseV)
+        val multi = parts.filter(_._2.lengthCompare(1) > 0)
+        if (multi.isEmpty) baseV
+        else {
+          // read ONLY the multi-dir partitions, one relation per commit
+          // dir (basePath recovers the partition columns), rewrite
+          // hive-partitioned under one fresh commit dir
+          val byDir = multi.toSeq.flatMap { case (k, ds) => ds.map(d => d -> k) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+          val df = byDir.map { case (cdir, keys) =>
+            spark.read.option("basePath", s"$dir/$cdir").schema(schema)
+              .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+          }.reduce(_ unionByName _)
+          val rel = writeDataDir(df.repartition(partitionCols.map(col): _*))
+          beforeCommit()
+          commit("compact") { base =>
+            val cur = baseParts(base)
+            partsBody(cur ++ multi.collect {
+              case (k, srcDirs)
+                if cur.get(k).exists(now => srcDirs.forall(now.contains)) =>
+                k -> (cur(k).filterNot(srcDirs.contains) :+ rel)
+            })
+          }
+        }
+    }
+
+  /** Commit audit trail, ascending by version ("unknown" op for manifests
+    * written before op metadata existed). */
+  def history: Seq[SnapshotTable.CommitInfo] = versions.map { v =>
+    val txt = manifestText(v)
+    val op = SnapshotTable.opRe.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("unknown")
+    val ts = SnapshotTable.tsRe.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(0L)
+    SnapshotTable.CommitInfo(v, op, ts)
   }
 
   /** Drop data dirs referenced by NO retained manifest and manifests older
@@ -364,6 +487,12 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
 }
 
 object SnapshotTable {
+
+  /** One [[SnapshotTable.history]] entry. */
+  final case class CommitInfo(version: Long, op: String, ts: Long)
+
+  private val opRe = """"op"\s*:\s*"([^"]+)"""".r
+  private val tsRe = """"ts"\s*:\s*(\d+)""".r
 
   /** Latest snapshot's data dirs (absolute), without needing the schema —
     * the catalog-registration seam ([[graft.batch.Maintenance

@@ -591,6 +591,13 @@ object DocQueries {
       .select("doc_id", "source", "copy_id", "mix_bucket")
       .orderBy("doc_id", "copy_id")),
 
+    // temperature-scaled mixture weights (q_i ∝ p_i^α, α=0.5): the
+    // per-source repetition factors a multilingual/domain-balanced
+    // training run feeds into sample_mix_weighted — natural share p from
+    // BPE-token mass, flattened share q, rep_weight = q/p
+    "sample_temperature" -> ((s, dir) =>
+      DocPipeline.temperatureWeights(d(s, dir), 0.5).orderBy("source")),
+
     // context-window chunking: 32-token windows, stride 24 (8-token
     // overlap); every token covered, last chunk may run short
     "chunk_fixed_tokens" -> ((s, dir) => DocPipeline.chunkTokens(d(s, dir), 32, 24)
@@ -1782,6 +1789,27 @@ object DocQueries {
         |       WHEN NOT ok_symbols THEN 'symbols'
         |       WHEN NOT ok_alpha THEN 'alpha' END AS fail_reason
         |FROM gf ORDER BY doc_id""".stripMargin),
+
+    "sample_temperature" -> docsWith(
+      """tw_tok AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+        |  FROM documents),
+        |tw_src AS (
+        |  SELECT source, count(*) AS n_docs, sum(bpe_tokens) AS tokens
+        |  FROM tw_tok GROUP BY source),
+        |tw_tot AS (SELECT sum(tokens) AS total FROM tw_src),
+        |tw_p AS (
+        |  SELECT source, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) / total AS p,
+        |    round(pow(CAST(tokens AS DOUBLE) / total, 0.5), 12) AS pw
+        |  FROM tw_src, tw_tot),
+        |tw_z AS (
+        |  SELECT CAST(sum(CAST(pw AS DECIMAL(20,15))) AS DOUBLE) AS z FROM tw_p)""".stripMargin,
+      """SELECT source, n_docs, tokens, round(p, 12) AS p,
+        |  round(pw / z, 12) AS q,
+        |  round(round(pw / z, 12) / p, 12) AS rep_weight
+        |FROM tw_p, tw_z ORDER BY source""".stripMargin),
 
     "sample_mix_weighted" -> docsWith(
       s"""wts AS (

@@ -434,6 +434,37 @@ object ScanQueries {
         .orderBy("status")
     }),
 
+    // Compaction as a first-class table op: three appends leave every
+    // ship-month partition owned by three commit dirs, so a read plans
+    // three parquet relations; compact() folds each partition back to one
+    // dir while committing a logically identical snapshot (CAS-validated
+    // against concurrent writers — ops/SnapshotTable.compact). The result
+    // aggregates the COMPACTED read and carries the live-commit-dir count
+    // as a column, so the oracle (same aggregate straight from lineitem,
+    // live_dirs = 1) hash-fails if either the rewrite changed content or
+    // the fold didn't actually happen.
+    "snapshot_compact" -> ((s, d) => {
+      // one ship-year of the fact is plenty to prove the fold — the
+      // rewrite cost is the op under test, not the corpus size
+      val li = graft.Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") < lit("1996-01-01").cast("date"))
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_quantity").cast("decimal(18,3)").as("qty"),
+          substring(col("l_shipdate").cast("date").cast("string"), 1, 7)
+            .as("ship_month"))
+      val dir = scratch("snap_compact")
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(dir), true) // clean history per run
+      val t = graft.ops.SnapshotTable(s, dir, li.schema, Seq("ship_month"))
+      (0 to 2).foreach(i => t.append(li.filter(col("okey") % 3 === i)))
+      t.compact()
+      t.read.groupBy("ship_month")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).cast("string").as("qty_sum"))
+        .withColumn("live_dirs", lit(t.liveCommitDirs))
+        .orderBy("ship_month")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -502,6 +533,14 @@ object ScanQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "snapshot_compact" -> taxi(
+      """SELECT substr(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), 1, 7) AS ship_month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS qty_sum,
+        |  1 AS live_dirs
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin),
 
     "list_files" -> stream(
       """SELECT DISTINCT 'p_date=' || strftime(arrival_ts, '%Y-%m-%d')

@@ -154,11 +154,15 @@ object HourLoad {
   private def scopedMerge(table: SnapshotTable, staged: DataFrame,
                           partCol: String): (Long, Long) = {
     val partVals = staged.select(partCol).distinct().collect().map(_.get(0))
-    val nonNull = partVals.filter(_ != null)
+    val keepVals = partVals.filter(_ != null).map(_.toString).toSet
     val hasNull = partVals.exists(_ == null)
-    val prune0 = if (nonNull.nonEmpty) col(partCol).isin(nonNull.toSeq: _*) else lit(false)
-    val prune = if (hasNull) prune0 || col(partCol).isNull else prune0
-    val target = table.read.filter(prune) // partition-pruned target subset
+    // manifest-pruned target subset: the merge plan references ONLY the
+    // commit dirs owning the touched partitions, so per-merge planning is
+    // O(touched), not O(table history)
+    val target = table.readPartitionsByFirstValue {
+      case Some(v) => keepVals.contains(v)
+      case None    => hasNull
+    }
 
     val sEx = col("s._s_exists").isNotNull
     val tEx = col("t._t_exists").isNotNull
@@ -222,17 +226,19 @@ object HourLoad {
     // encodes, so DELETE-by-blob + append collapses to a dynamic overwrite
     // of this hour's partition: survivors from other blobs of the same hour
     // + the fresh copy. Other hours' partition dirs are never read or
-    // written (byte-identity asserted in StreamingSpec).
-    val survivors = wh.stg.read
-      .filter(col("p_date") === date && col("p_hour") === hour)
+    // written (byte-identity asserted in StreamingSpec). The read prunes
+    // at the MANIFEST (readPartitions), not just at the file listing: an
+    // hourly pipeline accumulates one commit dir per hour, and a plain
+    // read.filter would plan every one of them as a union branch — O(hours)
+    // planning per hour, quadratic over the table's life.
+    val hourKey = s"p_date=$date/p_hour=$hour"
+    val survivors = wh.stg.readPartitions(_ == hourKey)
       .filter(!col("_blobPath").isin(blobs.toSeq: _*))
     wh.stg.overwritePartitions(survivors.unionByName(typed))
 
     // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
-    // dedupe. The (p_date, p_hour) filter partition-prunes the stg scan to
-    // this hour's dir before the _runId filter runs.
-    val staged = wh.stg.read
-      .filter(col("p_date") === date && col("p_hour") === hour)
+    // dedupe. The manifest-pruned read plans this hour's dirs only.
+    val staged = wh.stg.readPartitions(_ == hourKey)
       .filter(col("_runId") === runId)
       .withColumn("trip_id", StreamTransforms.streamTripId)
     val w = Window.partitionBy(col("trip_id"))

@@ -195,20 +195,27 @@ class SegmentLogSourceSpec extends SparkSpec {
     assert(curated.select("c_event_id").distinct().count() == curatedN,
       "no curated event delivered twice across the restart")
 
-    // Warehouse micro-batches over every landed hour: core ends exactly-once
+    // Warehouse micro-batches over the FIRST DAY's landed hours (the
+    // fixture spans a month — a day of hourly loads proves the loop
+    // without 480 micro-batch jobs): core ends exactly-once for that day
     val wh = graft.stream.HourLoad.Warehouse(spark, s"$base/wh")
-    val hours = spark.read.schema(graft.stream.HourLoad.curatedReadSchema)
+    val allHours = spark.read.schema(graft.stream.HourLoad.curatedReadSchema)
       .option("header", "false").csv(dirs.curated)
       .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
         regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
       .distinct().orderBy("d", "h").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    val day0 = allHours.head._1
+    val hours = allHours.filter(_._1 == day0)
+    assert(hours.size > 1, "first day spans multiple hours")
+    val day0N = curated
+      .filter(input_file_name().contains(s"p_date=$day0/")).count()
     val results = hours.map { case (d, h) =>
       graft.stream.HourLoad.runHour(wh, dirs.curated, d, h, runId = s"$d-$h")
     }
-    assert(results.map(_.inserted).sum == curatedN,
-      "every curated trip inserted exactly once across the hour loads")
-    assert(wh.core.read.count() == curatedN)
+    assert(results.map(_.inserted).sum == day0N,
+      "every curated trip of the day inserted exactly once across the hour loads")
+    assert(wh.core.read.count() == day0N)
 
     // replaying one hour with its original runId is absorbed: updates, no
     // inserts, core count unchanged
@@ -216,7 +223,22 @@ class SegmentLogSourceSpec extends SparkSpec {
     val replay = graft.stream.HourLoad.runHour(wh, dirs.curated, d0, h0,
       runId = s"$d0-$h0")
     assert(replay.inserted == 0 && replay.updated == replay.total)
-    assert(wh.core.read.count() == curatedN, "hour replay is a no-op on core")
+    assert(wh.core.read.count() == day0N, "hour replay is a no-op on core")
+
+    // a day of hourly loads appended one commit dir per hour to the audit
+    // table (hours + the replay); maintenance compaction folds them to ONE
+    // without changing a row — and the next hour load merges cleanly on top
+    assert(wh.audit.liveCommitDirs == hours.size + 1)
+    val auditN = wh.audit.read.count()
+    wh.audit.compact()
+    assert(wh.audit.liveCommitDirs == 1,
+      "compaction folded the per-hour audit appends")
+    assert(wh.audit.read.count() == auditN, "compaction is a logical no-op")
+    val nextHours = allHours.filter(_._1 != day0).take(1)
+    nextHours.foreach { case (d, h) =>
+      val r = graft.stream.HourLoad.runHour(wh, dirs.curated, d, h, runId = s"$d-$h")
+      assert(r.inserted > 0, "post-compaction hour load merges new rows")
+    }
   }
 
   test("the StreamSource seam runs the full ingest wire over the segment log") {

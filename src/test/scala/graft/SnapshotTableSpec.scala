@@ -178,4 +178,75 @@ class SnapshotTableSpec extends SparkSpec {
       "the surviving manifest is the winner's, not a later overwriter's")
     fs.delete(target, false): Unit
   }
+
+  // ---- compaction + history ----
+
+  test("compact folds multi-dir snapshots to one commit dir; content identical; old versions readable") {
+    val t = partedTable()
+    t.append(df(1L -> "a", 2L -> "b"))
+    t.append(df(3L -> "a"))
+    t.append(df(4L -> "a", 5L -> "b"))
+    assert(t.liveCommitDirs == 3)
+    val before = t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val v = t.compact()
+    assert(v == 4L)
+    assert(t.liveCommitDirs == 1, "every multi-dir partition folded into the one rewrite dir")
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq == before,
+      "compaction is a logical no-op on content")
+    // each compacted partition is one file now
+    Seq("a", "b").foreach { p =>
+      assert(t.read.inputFiles.count(_.contains(s"/part=$p/")) == 1)
+    }
+    // pre-compaction version still readable until vacuum
+    assert(t.readVersion(3).select("k").collect().map(_.getLong(0)).sorted.toSeq == before)
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq == before)
+  }
+
+  test("compact leaves single-dir portions untouched (no needless rewrite)") {
+    val t = partedTable()
+    t.append(df(1L -> "a", 9L -> "c"))
+    t.append(df(2L -> "a"))
+    val cFiles = t.read.inputFiles.filter(_.contains("/part=c/")).toSet
+    t.compact()
+    assert(t.read.inputFiles.filter(_.contains("/part=c/")).toSet == cFiles,
+      "partition c (one dir) keeps its original files — only part=a was rewritten")
+    val un = table()
+    un.append(df(1L -> "x"))
+    assert(un.compact() == 1L, "single-dir unpartitioned table: compact is a no-op, no new version")
+  }
+
+  test("compact is CAS-safe: a concurrent append survives; a concurrent overwrite wins") {
+    // append race: lands between the rewrite and the commit — its dir is
+    // not in the fold's source set, so it survives alongside the rewrite
+    val t = partedTable()
+    t.append(df(1L -> "a"))
+    t.append(df(2L -> "a"))
+    t.compactHook(() => { t.append(df(3L -> "a")): Unit })
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L), "the racing append is not lost to the fold")
+
+    // overwrite race: replaces the partition mid-compaction — the fold's
+    // source dirs are gone at the tip, so the stale rewrite is discarded
+    val t2 = partedTable()
+    t2.append(df(1L -> "a"))
+    t2.append(df(2L -> "a"))
+    t2.compactHook(() => { t2.overwritePartitions(df(9L -> "a")): Unit })
+    assert(t2.read.select("k").collect().map(_.getLong(0)).toSeq == Seq(9L),
+      "the concurrent overwrite wins; the stale rewrite never resurrects replaced rows")
+  }
+
+  test("history records one op per version in commit order") {
+    val t = partedTable()
+    t.append(df(1L -> "a"))
+    t.append(df(2L -> "a"))
+    t.compact()
+    t.overwritePartitions(df(3L -> "a"))
+    t.dropPartitions(_ => true)
+    val h = t.history
+    assert(h.map(_.version) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(h.map(_.op) ==
+      Seq("append", "append", "compact", "overwrite_partitions", "drop_partitions"))
+    assert(h.forall(_.ts > 0L))
+  }
 }
