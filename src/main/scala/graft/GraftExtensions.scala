@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.SnapshotTableFunction.getClass.getName,
         graft.sql.SnapshotTableFunction.name),
       (args: Seq[Expression]) => graft.sql.SnapshotTableFunction.build(args)))
+    // snapshot commit audit trail (DESCRIBE HISTORY):
+    // SELECT * FROM snapshot_history('/wh/core_trip_clean')
+    e.injectTableFunction((
+      new FunctionIdentifier(graft.sql.SnapshotHistoryFunction.name),
+      new ExpressionInfo(graft.sql.SnapshotHistoryFunction.getClass.getName,
+        graft.sql.SnapshotHistoryFunction.name),
+      (args: Seq[Expression]) => graft.sql.SnapshotHistoryFunction.build(args)))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -409,35 +409,52 @@ object EmbeddingOps {
     * Scale shape: codes are a pure projection (codebook is driver-side
     * k × dim, tiny by design); the scan side never shuffles — the only
     * wide op is the per-query top-k window, partitioned by query. */
-  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int): DataFrame = {
+  /** Seed codebook: per cell, the subvectors of the cell's lowest-vec_id
+    * member (`min_by`, one partial-aggregated pass) — raw float data, so
+    * ADC distances stay float→double exact (see [[adcTopK]] doc). */
+  private def seedCodebook(corpus: DataFrame): Array[(Any, Seq[Double])] = {
     val cb = corpus.groupBy(col("label").as("cell"))
       .agg(min_by(col("embedding"), col("vec_id")).as("ce"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1.toString)
     require(cb.nonEmpty, "codebook requires at least one cell")
-    val dim = cb.head._2.length
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
-    def subDist(i: Int, ce: Seq[Double]): Column =
-      graft.functions.VecDistSq.distSq(
-        slice(col("embedding"), i * sub + 1, sub),
-        typedLit(ce.slice(i * sub, (i + 1) * sub)))
-    // corpus → m codes: nearest seed per subspace, ties by (dist, cell)
-    val codeCols = (0 until m).map { i =>
+    cb
+  }
+
+  private def pqSubDist(sub: Int)(i: Int, ce: Seq[Double]): Column =
+    graft.functions.VecDistSq.distSq(
+      slice(col("embedding"), i * sub + 1, sub),
+      typedLit(ce.slice(i * sub, (i + 1) * sub)))
+
+  /** corpus → m codes: nearest seed per subspace, ties by (dist, cell). */
+  private def pqCodeCols(cb: Array[(Any, Seq[Double])], m: Int): Seq[Column] = {
+    val sub = cb.head._2.length / m
+    (0 until m).map { i =>
       val scored = array(cb.map { case (cell, ce) =>
-        struct(subDist(i, ce).as("cdist"), lit(cell).as("cell"))
+        struct(pqSubDist(sub)(i, ce).as("cdist"), lit(cell).as("cell"))
       }.toSeq: _*)
       element_at(array_sort(scored), 1).getField("cell").as(s"code_$i")
     }
-    val codes = corpus.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
-    // query → m distance tables: cell → d²(query subvector, codebook entry)
-    val qTabs = (0 until m).map { i =>
+  }
+
+  /** query → m distance tables: cell → d²(query subvector, codebook
+    * entry). */
+  private def pqQueryTabs(cb: Array[(Any, Seq[Double])], m: Int): Seq[Column] = {
+    val sub = cb.head._2.length / m
+    (0 until m).map { i =>
       map_from_entries(array(cb.map { case (cell, ce) =>
-        struct(lit(cell), subDist(i, ce))
+        struct(lit(cell), pqSubDist(sub)(i, ce))
       }.toSeq: _*)).as(s"dtab_$i")
     }
-    val q = queries.select(col("vec_id").as("query_id") +: qTabs: _*)
+  }
+
+  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int): DataFrame = {
+    val cb = seedCodebook(corpus)
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val codes = corpus.select(col("vec_id").as("neighbor_id") +: pqCodeCols(cb, m): _*)
+    val q = queries.select(col("vec_id").as("query_id") +: pqQueryTabs(cb, m): _*)
     val adc = codes.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dist",
@@ -462,6 +479,54 @@ object EmbeddingOps {
     top.join(exact, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
+  /** IVF+PQ composite search (the FAISS IndexIVFPQ shape; Jégou et al.
+    * 2011 §V — published method): the coarse quantizer restricts each
+    * query to its `nprobe` nearest inverted-file cells, and candidates
+    * INSIDE a probed cell are scored by PQ asymmetric distance — m table
+    * lookups per vector — instead of a full-precision scan. This is the
+    * billion-vector layout both compressions compose into: the corpus
+    * hash-partitions by cell (each query touches nprobe partitions, not
+    * the corpus), the scan reads m bytes per vector (not 4·d), and the
+    * only wide op is the per-query top-k window. [[ivfTopK]] alone still
+    * reads full vectors; [[adcTopK]] alone still scans every vector —
+    * the composite does neither.
+    *
+    * Same determinism boundaries as the parts: decimal-mean coarse
+    * centroids ([[ivfCentroids]]), float-exact seed codebooks
+    * ([[seedCodebook]]), left-to-right ADC sums, ties by
+    * (adc_dist, neighbor_id). Output: query_id, rank, neighbor_id,
+    * adc_dist, cell. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int,
+                nprobe: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus).cache()
+    val assigned = nearestCells(
+      corpus.select(col("vec_id"), col("embedding")), centroids, 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+    val probes = nearestCells(
+      queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("cell"))
+    centroids.unpersist(false)
+    val cb = seedCodebook(corpus)
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    // inverted file of codes: a pure projection, partitionable by cell
+    val codes = assigned.select(
+      col("neighbor_id") +: col("cell") +: pqCodeCols(cb, m): _*)
+    // the query census rides the broadcast: nprobe rows per query, each
+    // carrying the m per-subspace distance tables
+    val q = probes.select(
+      col("query_id") +: col("cell") +: pqQueryTabs(cb, m): _*)
+    val adc = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(i => element_at(col(s"dtab_$i"), col(s"code_$i")))
+          .reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist", "cell")
   }
 
   /** Near-duplicate pairs by cosine ≥ threshold, candidates from the

@@ -67,6 +67,41 @@ object AsofJoin {
              else Seq(rightTs)): _*)
   }
 
+  /** [[backward]] bounded by a maximum gap (pandas `merge_asof`
+    * `tolerance`, public semantics): a match farther than `tolerance`
+    * behind the left timestamp is discarded — the payload reverts to
+    * NULL, preserving left-join row counts. Timestamps must be numeric
+    * (epoch days/seconds/micros), like [[nearest]], so the gap compares
+    * as a plain integer. Same one-shuffle union+window plan: the bound
+    * is a narrow post-projection, not a join-shape change. */
+  def backwardTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String, payload: Seq[String],
+                        tolerance: Long): DataFrame =
+    bounded(left, right, keys, leftTs, rightTs, payload, tolerance, fwd = false)
+
+  /** [[forward]] bounded by a maximum gap ahead (see
+    * [[backwardTolerance]]). */
+  def forwardTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       tolerance: Long): DataFrame =
+    bounded(left, right, keys, leftTs, rightTs, payload, tolerance, fwd = true)
+
+  private def bounded(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, payload: Seq[String],
+                      tolerance: Long, fwd: Boolean): DataFrame = {
+    val p2 = (payload :+ rightTs).distinct
+    val j = joinAsof(left, right, keys, leftTs, rightTs, p2, fwd)
+    val gap = if (fwd) col(rightTs) - col(leftTs) else col(leftTs) - col(rightTs)
+    // materialize the verdict BEFORE clearing: when the caller asked for
+    // rightTs itself as payload, clearing it first must not blind the
+    // gap check for the remaining columns
+    val j2 = j.withColumn("_asof_ok", col(rightTs).isNotNull && gap <= tolerance)
+    val cleared = payload.foldLeft(j2)((df, c) =>
+      df.withColumn(c, when(col("_asof_ok"), col(c))))
+    (if (payload.contains(rightTs)) cleared else cleared.drop(rightTs))
+      .drop("_asof_ok")
+  }
+
   private def joinAsof(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String, payload: Seq[String],
                        fwd: Boolean): DataFrame = {

@@ -256,6 +256,15 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF + PQ composed (FAISS IndexIVFPQ): nprobe=2 coarse cells per
+    // query, ADC scoring (m=4 seed codebooks) inside probed cells only
+    "ann_ivfpq" -> ((s, dir) => {
+      val all = e(s, dir)
+      EmbeddingOps.ivfpqTopK(all.filter(col("vec_id") % 50 === 0), all,
+          m = 4, k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-dimension corpus moments — the normalization profile computed
     // before whitening/quantization/drift checks; a dims-bounded census
     "embedding_dim_stats" -> ((s, dir) =>
@@ -1978,6 +1987,46 @@ object DocQueries {
           |FROM ranked r LEFT JOIN exact x
           |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
           |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin)
+    },
+
+    "ann_ivfpq" -> {
+      def sl(v: String) = s"list_slice($v, s.i * 16 + 1, (s.i + 1) * 16)"
+      emb(
+        s"""${DocsOracle.ivfRankedCtes},
+           |pq_cb AS (
+           |  SELECT label AS cell, min_by(embedding, vec_id) AS ce
+           |  FROM embeddings GROUP BY label
+           |), pq_codes AS (
+           |  SELECT vec_id AS neighbor_id, sub_i, cell AS code FROM (
+           |    SELECT e.vec_id, s.i AS sub_i, pq_cb.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id, s.i ORDER BY
+           |        ${DocsOracle.dist2Sql(sl("e.embedding"), sl("pq_cb.ce"))},
+           |        pq_cb.cell) AS rn
+           |    FROM embeddings e CROSS JOIN pq_cb,
+           |      unnest(generate_series(0, 3)) AS s(i)) r
+           |  WHERE rn = 1
+           |), pq_qd AS (
+           |  SELECT q.vec_id AS query_id, s.i AS sub_i, pq_cb.cell AS code,
+           |    ${DocsOracle.dist2Sql(sl("q.embedding"), sl("pq_cb.ce"))} AS qdist
+           |  FROM embeddings q CROSS JOIN pq_cb,
+           |    unnest(generate_series(0, 3)) AS s(i)
+           |  WHERE q.vec_id % 50 = 0
+           |), ivfpq_adc AS (
+           |  SELECT p.query_id, a.neighbor_id, a.cell,
+           |    list_reduce(list(qd.qdist ORDER BY qd.sub_i), (x, y) -> x + y)
+           |      AS adc_dist
+           |  FROM assigned a JOIN probes p ON a.cell = p.cell
+           |  JOIN pq_codes c ON c.neighbor_id = a.neighbor_id
+           |  JOIN pq_qd qd ON qd.query_id = p.query_id
+           |    AND qd.sub_i = c.sub_i AND qd.code = c.code
+           |  WHERE a.neighbor_id <> p.query_id
+           |  GROUP BY p.query_id, a.neighbor_id, a.cell
+           |), ivfpq_ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank FROM ivfpq_adc)""".stripMargin,
+        """SELECT query_id, rank, neighbor_id, adc_dist, cell
+          |FROM ivfpq_ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin)
     },
 
     "search_bm25" -> DocsOracle.bm25Sql(Bm25Queries, 10, 1.2, 0.75),

@@ -304,6 +304,27 @@ object TaxiQueries {
         .orderBy("trip_src_id", "vendor_code", "day_rate")
     }),
 
+    // Tolerance-bounded as-of (pandas merge_asof tolerance): the latest
+    // daily rate counts only within the last 2 days of the pickup — a
+    // staler match is discarded and the trip keeps NULL rate (row count
+    // preserved). Day-granularity numeric timestamps; the oracle mirrors
+    // with native ASOF + an explicit gap guard.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ded = dedupedDf(s, d).filter(col("vendor_code").isNotNull)
+      val rates = ded.groupBy(col("vendor_code"), col("ingest_date"))
+        .agg((dsum("fare_amount") / count(lit(1))).as("day_rate"))
+        .select(col("vendor_code"),
+          datediff(col("ingest_date"), lit("1970-01-01").cast("date"))
+            .as("rate_day"), col("day_rate"))
+      val left = ded.select(col("trip_src_id"), col("vendor_code"),
+        datediff(to_date(col("pickup_ts_utc")), lit("1970-01-01").cast("date"))
+          .as("pickup_day"))
+      graft.ops.AsofJoin.backwardTolerance(left, rates, Seq("vendor_code"),
+          "pickup_day", "rate_day", Seq("day_rate"), tolerance = 2L)
+        .select(col("trip_src_id"), col("vendor_code"), col("day_rate"))
+        .orderBy("trip_src_id", "vendor_code", "day_rate")
+    }),
+
     // Forward as-of: each trip picks the vendor's NEXT daily rate at or
     // after pickup — the settlement-lookup direction (mirror of join_asof).
     "join_asof_fwd" -> ((s, d) => {
@@ -1151,6 +1172,22 @@ object TaxiQueries {
         |ASOF LEFT JOIN rates r
         |  ON d.vendor_code = r.vendor_code AND d.pickup_ts_utc >= r.rate_ts
         |ORDER BY d.trip_src_id, d.vendor_code, r.day_rate""".stripMargin),
+
+    "join_asof_tolerance" -> taxiWith(
+      s"""rates AS (
+         |  SELECT vendor_code,
+         |    CAST(ingest_date AS DATE) - DATE '1970-01-01' AS rate_day,
+         |    ${dsumSql("fare_amount")} / count(*) AS day_rate
+         |  FROM deduped WHERE vendor_code IS NOT NULL
+         |  GROUP BY vendor_code, ingest_date)""".stripMargin,
+      """SELECT d.trip_src_id, d.vendor_code,
+        |  CASE WHEN d.pickup_day - r.rate_day <= 2 THEN r.day_rate END AS day_rate
+        |FROM (SELECT trip_src_id, vendor_code,
+        |        CAST(pickup_ts_utc AS DATE) - DATE '1970-01-01' AS pickup_day
+        |      FROM deduped WHERE vendor_code IS NOT NULL) d
+        |ASOF LEFT JOIN rates r
+        |  ON d.vendor_code = r.vendor_code AND d.pickup_day >= r.rate_day
+        |ORDER BY d.trip_src_id, d.vendor_code, day_rate""".stripMargin),
 
     "join_asof_fwd" -> taxiWith(
       s"""rates AS (

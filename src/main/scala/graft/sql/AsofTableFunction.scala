@@ -21,8 +21,10 @@ import graft.ops.AsofJoin
   * Args: left table/view name, right table/view name, comma-separated key
   * columns, left ts column, right ts column, comma-separated payload
   * columns, direction ('backward' | 'forward' | 'nearest', optional —
-  * default 'backward'). All must be string literals (they name catalog
-  * objects, so there is nothing to defer).
+  * default 'backward'), tolerance (optional integer literal: maximum
+  * allowed gap in the ts unit — pandas merge_asof semantics; backward /
+  * forward only). All must be literals (they name catalog objects or fix
+  * the plan shape, so there is nothing to defer).
   *
   * The builder runs at analysis time: it resolves the named tables
   * through the active session's catalog and returns the logical plan of
@@ -47,10 +49,18 @@ object AsofTableFunction {
   private def csv(e: Expression, what: String): Seq[String] =
     str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _)    => v
+    case Literal(v: Int, _)     => v.toLong
+    case Literal(v: Short, _)   => v.toLong
+    case Literal(v: Byte, _)    => v.toLong
+    case other => fail(s"$what must be an integer literal, got ${other.sql}")
+  }
+
   def build(args: Seq[Expression]): LogicalPlan = {
-    if (args.size < 6 || args.size > 7)
-      fail(s"expects 6 or 7 arguments (leftTable, rightTable, keysCsv, " +
-        s"leftTs, rightTs, payloadCsv[, direction]), got ${args.size}")
+    if (args.size < 6 || args.size > 8)
+      fail(s"expects 6 to 8 arguments (leftTable, rightTable, keysCsv, " +
+        s"leftTs, rightTs, payloadCsv[, direction[, tolerance]]), got ${args.size}")
     val spark = SparkSession.active
     val left = spark.table(str(args(0), "leftTable"))
     val right = spark.table(str(args(1), "rightTable"))
@@ -59,12 +69,22 @@ object AsofTableFunction {
     val rightTs = str(args(4), "rightTs")
     val payload = csv(args(5), "payloadCsv")
     val direction =
-      if (args.size == 7) str(args(6), "direction").toLowerCase else "backward"
-    val out = direction match {
-      case "backward" => AsofJoin.backward(left, right, keys, leftTs, rightTs, payload)
-      case "forward"  => AsofJoin.forward(left, right, keys, leftTs, rightTs, payload)
-      case "nearest"  => AsofJoin.nearest(left, right, keys, leftTs, rightTs, payload)
-      case other => fail(s"unknown direction '$other' (backward|forward|nearest)")
+      if (args.size >= 7) str(args(6), "direction").toLowerCase else "backward"
+    val tolerance = if (args.size == 8) Some(longLit(args(7), "tolerance")) else None
+    val out = (direction, tolerance) match {
+      case ("backward", None) =>
+        AsofJoin.backward(left, right, keys, leftTs, rightTs, payload)
+      case ("forward", None) =>
+        AsofJoin.forward(left, right, keys, leftTs, rightTs, payload)
+      case ("nearest", None) =>
+        AsofJoin.nearest(left, right, keys, leftTs, rightTs, payload)
+      case ("backward", Some(t)) =>
+        AsofJoin.backwardTolerance(left, right, keys, leftTs, rightTs, payload, t)
+      case ("forward", Some(t)) =>
+        AsofJoin.forwardTolerance(left, right, keys, leftTs, rightTs, payload, t)
+      case ("nearest", Some(_)) =>
+        fail("tolerance is not defined for direction 'nearest'")
+      case (other, _) => fail(s"unknown direction '$other' (backward|forward|nearest)")
     }
     out.queryExecution.logical
   }

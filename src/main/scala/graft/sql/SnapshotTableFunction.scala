@@ -59,3 +59,44 @@ object SnapshotTableFunction {
       .queryExecution.logical
   }
 }
+
+/** DESCRIBE-HISTORY surface over [[graft.ops.SnapshotTable]]: one row per
+  * committed version from the manifests' audit metadata — the SQL twin of
+  * the Scala `history` call.
+  *
+  * {{{
+  *   SELECT * FROM snapshot_history('/wh/core_trip_clean')
+  *   -- version BIGINT, op STRING, commit_ts TIMESTAMP
+  * }}}
+  *
+  * Manifests written before op metadata existed surface as op='unknown',
+  * commit_ts NULL. A dir with no manifests raises AnalysisException (it
+  * is not a snapshot table — an empty result would mask a typo'd path).
+  */
+object SnapshotHistoryFunction {
+
+  val name = "snapshot_history"
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"snapshot_history: $msg"))
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    if (args.size != 1)
+      fail(s"expects 1 argument (tableDir), got ${args.size}")
+    val dir = args.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"tableDir must be a string literal, got ${other.sql}")
+    }
+    val spark = SparkSession.active
+    val h = SnapshotTable(spark, dir,
+      org.apache.spark.sql.types.StructType(Nil)).history
+    if (h.isEmpty) fail(s"no snapshot manifests at $dir")
+    import spark.implicits._
+    h.map(c => (c.version, c.op,
+        if (c.ts > 0L) new java.sql.Timestamp(c.ts) else null))
+      .toDF("version", "op", "commit_ts")
+      .queryExecution.logical
+  }
+}

@@ -101,4 +101,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(200L) == ((None, None)), "no right side stays NULL")
     assert(got.size == 5, "left-join semantics")
   }
+
+  test("tolerance bounds the gap: stale matches revert to NULL, rows survive") {
+    val left = Seq(
+      ("a", 10L, 100L), // version at 10, gap 0 -> match
+      ("a", 14L, 101L), // latest version 12, gap 2 -> match (inclusive bound)
+      ("a", 16L, 102L), // latest version 12, gap 4 -> too stale -> NULL
+      ("b", 9L, 200L)   // no earlier version -> NULL either way
+    ).toDF("k", "ts", "row_id")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 12L, 2.0), ("b", 50L, 9.0)).toDF("k", "vts", "rate")
+
+    val got = AsofJoin.backwardTolerance(
+        left, right, Seq("k"), "ts", "vts", Seq("rate"), tolerance = 2L)
+      .select("row_id", "rate").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(100L).contains(1.0))
+    assert(got(101L).contains(2.0), "gap == tolerance is inside the bound")
+    assert(got(102L).isEmpty, "gap 4 > tolerance 2 -> payload cleared")
+    assert(got(200L).isEmpty)
+    assert(got.size == 4, "left-join row count preserved")
+
+    val fwd = AsofJoin.forwardTolerance(
+        left, right, Seq("k"), "ts", "vts", Seq("rate"), tolerance = 2L)
+      .select("row_id", "rate").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd(100L).contains(1.0), "version AT ts, gap 0")
+    assert(fwd(102L).isEmpty, "no version within 2 ahead of 16")
+    assert(fwd(200L).isEmpty, "next version at 50 is 41 ahead -> cleared")
+
+    // requesting the right-ts itself as payload still clears correctly
+    val withTs = AsofJoin.backwardTolerance(
+        left, right, Seq("k"), "ts", "vts", Seq("rate", "vts"), tolerance = 2L)
+      .select("row_id", "vts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(withTs(101L).contains(12L))
+    assert(withTs(102L).isEmpty, "out-of-tolerance right ts cleared too")
+  }
 }

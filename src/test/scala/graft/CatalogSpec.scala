@@ -84,6 +84,28 @@ class CatalogSpec extends SparkSpec {
       """SELECT rate FROM asof_join('asof_l','asof_r','k','ts','vts','rate')
         |WHERE row_id = 2""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 2.0)
+
+    // 8th arg = tolerance: SQL == API, and the stale match (a@25 vs
+    // vts=20, gap 5 > 3) reverts to NULL while the row survives
+    for (dir <- Seq("backward", "forward")) {
+      val viaSql = spark.sql(
+        s"""SELECT * FROM asof_join('asof_l', 'asof_r', 'k', 'ts', 'vts',
+           |                        'rate,src', '$dir', 3)""".stripMargin)
+        .orderBy("row_id").collect().toSeq
+      val api = (if (dir == "backward") graft.ops.AsofJoin.backwardTolerance _
+                 else graft.ops.AsofJoin.forwardTolerance _)(
+        spark.table("asof_l"), spark.table("asof_r"),
+        Seq("k"), "ts", "vts", Seq("rate", "src"), 3L)
+      assert(viaSql == api.orderBy("row_id").collect().toSeq, s"direction=$dir tol=3")
+    }
+    val tol = spark.sql(
+      """SELECT row_id, rate
+        |FROM asof_join('asof_l','asof_r','k','ts','vts','rate','backward', 3)
+        |ORDER BY row_id""".stripMargin).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tol(1L).contains(1.0), "a@10 matches vts=8, gap 2 <= 3")
+    assert(tol(2L).isEmpty, "a@25's latest version (20) is 5 behind -> cleared")
+    assert(tol.size == 4, "left-join row count preserved through the bound")
   }
 
   test("range_join TVF is SQL-callable and matches the Scala API") {
@@ -138,6 +160,28 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM snapshot_at('$dir', 42)").collect()
     }
     assert(ex.getMessage.contains("committed versions"))
+  }
+
+  test("snapshot_history TVF: SQL audit trail matches the Scala history API") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("k BIGINT, part STRING")
+    val dir = tmpDir("snap_hist_sql")
+    val t = graft.ops.SnapshotTable(spark, dir, schema, Seq("part"))
+    t.append(Seq((1L, "a")).toDF("k", "part"))
+    t.append(Seq((2L, "a")).toDF("k", "part"))
+    t.compact()
+    val rows = spark.sql(s"SELECT * FROM snapshot_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      t.history.map(c => (c.version, c.op)))
+    assert(rows.map(_._2).toSeq == Seq("append", "append", "compact"))
+    assert(rows.forall(_._3 != null), "commit timestamps recorded")
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM snapshot_history('${dir}_nope')").collect()
+    }
+    assert(ex2.getMessage.contains("no snapshot manifests"))
   }
 
   test("BETWEEN range join is SQL-reachable (RangeJoinRule rewrite, no CartesianProduct)") {
