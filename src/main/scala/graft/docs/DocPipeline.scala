@@ -818,6 +818,32 @@ object DocPipeline {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** Character-level Shannon entropy per document (nats): the cheap
+    * gibberish / encoding-garbage detector that complements the
+    * token-level quality scores — near-zero entropy is a repeated-char
+    * run, ~log(alphabet) is random bytes; natural prose sits in a narrow
+    * band between. One narrow char explode into (doc, char) counts + two
+    * map-side-combined groupBys — |doc|×|alphabet| rows through the
+    * shuffle, never raw text. Each −p·ln p term is rounded to 12
+    * decimals BEFORE the DECIMAL sum so ln (the one libm op) can't shift
+    * the hash and row order can't move the total (the bigramLogprob
+    * pattern). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct_chars"))
+    counts.join(totals, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("total"))
+      .withColumn("term", round(-(col("p") * log(col("p"))), 12))
+      .groupBy("doc_id")
+      .agg(max(col("total")).as("n_chars"),
+        max(col("distinct_chars")).as("distinct_chars"),
+        sum(col("term").cast("decimal(27,12)")).cast("double").as("entropy"))
+  }
+
   /** Temperature-scaled source mixture (the multilingual-sampling
     * standard, public knowledge: q_i ∝ p_i^alpha — alpha=1 keeps the
     * corpus's natural proportions, alpha→0 flattens toward uniform):

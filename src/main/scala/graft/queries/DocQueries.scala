@@ -160,6 +160,10 @@ object DocQueries {
     "text_repetition" -> ((s, dir) => DocPipeline.repetitionStats(d(s, dir))
       .orderBy("doc_id")),
 
+    // char-level Shannon entropy (nats): the gibberish/garbage band check
+    "text_entropy" -> ((s, dir) => DocPipeline.charEntropy(d(s, dir))
+      .orderBy("doc_id")),
+
     // corpus-trained add-one bigram LM — the perplexity-filter analog;
     // logp rounded to 12 decimals then DECIMAL-summed (order-independent)
     // so the one libm-sensitive op (ln) can't shift the hash
@@ -1281,6 +1285,25 @@ object DocQueries {
       """SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.mean_logprob
         |FROM documents d LEFT JOIN lmper p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "text_entropy" -> docsWith(
+      """te_counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |  GROUP BY doc_id, ch),
+        |te_tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |    count(*) AS distinct_chars
+        |  FROM te_counts GROUP BY doc_id),
+        |te_terms AS (
+        |  SELECT c.doc_id, t.total, t.distinct_chars,
+        |    round(-((c.c::DOUBLE / t.total) * ln(c.c::DOUBLE / t.total)), 12)
+        |      AS term
+        |  FROM te_counts c JOIN te_tot t USING (doc_id))""".stripMargin,
+      """SELECT doc_id, max(total) AS n_chars,
+        |  max(distinct_chars) AS distinct_chars,
+        |  CAST(sum(CAST(term AS DECIMAL(27,12))) AS DOUBLE) AS entropy
+        |FROM te_terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "text_repetition" -> docsWith(
       """bg AS (
