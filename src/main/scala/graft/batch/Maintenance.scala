@@ -99,6 +99,26 @@ object Maintenance {
     CompactResult(parts.length, after, bytes, compacted = true)
   }
 
+  final case class SnapshotCompactResult(table: String, dirsBefore: Int,
+                                         dirsAfter: Int, version: Long)
+
+  /** Transactional compaction sweep over named snapshot tables — the
+    * [[compactDir]] shape with its documented torn-rename caveat CLOSED:
+    * each fold is one atomic manifest commit
+    * ([[graft.ops.SnapshotTable.compact]]), so readers see the old or
+    * the new snapshot, never a gap, and a concurrent writer is handled
+    * by the commit's rewrite validation instead of a rename race.
+    * Already-compact tables commit nothing (idempotent scheduled sweep,
+    * like [[retentionPurge]]/[[sweepCommitMarkers]]); pair with each
+    * table's `vacuum` to reap the superseded files. */
+  def compactSnapshots(tables: Seq[(String, graft.ops.SnapshotTable)])
+      : Seq[SnapshotCompactResult] =
+    tables.map { case (name, t) =>
+      val before = t.liveCommitDirs
+      val v = t.compact()
+      SnapshotCompactResult(name, before, t.liveCommitDirs, v)
+    }
+
   final case class VacuumResult(kept: Seq[String], removed: Seq[String],
                                 dryRun: Boolean)
 

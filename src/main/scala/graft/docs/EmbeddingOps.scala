@@ -464,10 +464,20 @@ object EmbeddingOps {
       .orderBy(col("adc_dist"), col("neighbor_id"))
     val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
-    // full-precision truth set: exact L2 top-k over the same pairs
+    top.join(exactL2TopK(queries, corpus, k), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
+  /** Full-precision truth set: exact L2 top-k per query over the whole
+    * corpus — `(query_id, neighbor_id, in_exact=true)`, the membership
+    * frame the compressed paths left-join to expose their recall. The
+    * crossJoin is `broadcast(queries)` against a fixed small query
+    * census — the intentional exact baseline, not a scale path. */
+  def exactL2TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val qf = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => x.cast("double")).as("qe"))
-    val exact = corpus
+    corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(qf))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -476,9 +486,6 @@ object EmbeddingOps {
         .orderBy(col("d2"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
-    top.join(exact, Seq("query_id", "neighbor_id"), "left")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
 
   /** IVF+PQ composite search (the FAISS IndexIVFPQ shape; Jégou et al.

@@ -261,11 +261,19 @@ object DocQueries {
     }),
 
     // IVF + PQ composed (FAISS IndexIVFPQ): nprobe=2 coarse cells per
-    // query, ADC scoring (m=4 seed codebooks) inside probed cells only
+    // query, ADC scoring (m=4 seed codebooks) inside probed cells only;
+    // in_exact marks membership in the full-precision L2 top-10, so the
+    // composite's recall (coarse-probe loss + PQ compression loss
+    // together) is one aggregation away
     "ann_ivfpq" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.ivfpqTopK(all.filter(col("vec_id") % 50 === 0), all,
-          m = 4, k = 10, nprobe = 2)
+      val qs = all.filter(col("vec_id") % 50 === 0)
+      EmbeddingOps.ivfpqTopK(qs, all, m = 4, k = 10, nprobe = 2)
+        .join(EmbeddingOps.exactL2TopK(qs, all, 10),
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"), col("cell"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2046,10 +2054,21 @@ object DocQueries {
            |  GROUP BY p.query_id, a.neighbor_id, a.cell
            |), ivfpq_ranked AS (
            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank FROM ivfpq_adc)""".stripMargin,
-        """SELECT query_id, rank, neighbor_id, adc_dist, cell
-          |FROM ivfpq_ranked WHERE rank <= 10
-          |ORDER BY query_id, rank""".stripMargin)
+           |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank FROM ivfpq_adc
+           |), ivfpq_exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${DocsOracle.dist2Sql("e.embedding", "q.embedding")},
+           |        e.vec_id) AS xr
+           |    FROM embeddings e CROSS JOIN embeddings q
+           |    WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id) t
+           |  WHERE xr <= 10)""".stripMargin,
+        """SELECT r.query_id, r.rank, r.neighbor_id, r.adc_dist, r.cell,
+          |  (x.neighbor_id IS NOT NULL) AS in_exact
+          |FROM ivfpq_ranked r LEFT JOIN ivfpq_exact x
+          |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+          |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin)
     },
 
     "search_bm25" -> DocsOracle.bm25Sql(Bm25Queries, 10, 1.2, 0.75),

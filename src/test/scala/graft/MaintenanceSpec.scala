@@ -164,6 +164,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(again.deleted.isEmpty && again.hot == 1 && again.cool == 1)
   }
 
+  test("compactSnapshots folds multi-dir tables atomically; already-compact tables commit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("k BIGINT, part STRING")
+    val multi = graft.ops.SnapshotTable(spark, tmpDir("mnt_snap_a"), schema, Seq("part"))
+    multi.append(Seq((1L, "a"), (2L, "b")).toDF("k", "part"))
+    multi.append(Seq((3L, "a"), (4L, "b")).toDF("k", "part"))
+    val tidy = graft.ops.SnapshotTable(spark, tmpDir("mnt_snap_b"), schema)
+    tidy.append(Seq((9L, "z")).toDF("k", "part"))
+
+    val res = Maintenance.compactSnapshots(Seq("multi" -> multi, "tidy" -> tidy))
+      .map(r => r.table -> r).toMap
+    assert(res("multi").dirsBefore == 2 && res("multi").dirsAfter == 1)
+    assert(res("multi").version == 3L, "fold committed as a new version")
+    assert(multi.read.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), "content identical")
+    assert(res("tidy").dirsBefore == 1 && res("tidy").dirsAfter == 1)
+    assert(res("tidy").version == 1L, "already-compact: no new version")
+    assert(multi.history.last.op == "compact")
+  }
+
   test("withUnknownMember seeds -1/UNKNOWN once (insert-if-absent)") {
     import spark.implicits._
     val dim = Seq(("v1", 1), ("v2", 2)).toDF("vendor_nk", "vendor_sk")
