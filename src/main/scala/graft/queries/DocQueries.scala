@@ -827,6 +827,24 @@ object DocQueries {
         .orderBy("lang")
     }),
 
+    // quality-ordered training curriculum: global position by (quality
+    // desc, doc_id) + NTILE(10) stage — the easy→hard schedule a
+    // curriculum run feeds the trainer. Numbering is the scalable
+    // two-pass GlobalRowNumber (one range shuffle; only the per-partition
+    // count vector reaches the driver) and the stage is arithmetic over
+    // (pos, n) — no partition-less window anywhere in the plan.
+    "corpus_curriculum" -> ((s, dir) => {
+      val scored = DocPipeline.qualityScores(d(s, dir))
+        .select(col("doc_id"), col("quality_score"))
+      val (ranked, n) = graft.ops.GlobalRowNumber.withRowNumberExprCounted(
+        scored, "curriculum_pos",
+        Seq(col("quality_score").desc, col("doc_id")), 8)
+      ranked.withColumn("stage", graft.ops.GlobalRowNumber.ntileFromRank(
+          col("curriculum_pos"), lit(n), 10))
+        .select("curriculum_pos", "stage", "doc_id", "quality_score")
+        .orderBy("curriculum_pos")
+    }),
+
     // deterministic training-order shuffle: position = rank of
     // sha256-prefix(seed:doc_id) — reproducible across runs/engines (no
     // rand()), stable to re-execution, and the global numbering is the
@@ -897,6 +915,23 @@ object DocQueries {
         |  least(1.0, n_tokens / 100.0) * 0.5
         |    + (stop_hits::DOUBLE / n_tokens) * 0.5 AS quality_score
         |FROM q ORDER BY doc_id""".stripMargin),
+
+    "corpus_curriculum" -> docsWith(
+      s"""ccq AS (
+         |  SELECT d.doc_id,
+         |    least(1.0, len(t.t) / 100.0) * 0.5
+         |      + (len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)}))::DOUBLE
+         |         / len(t.t)) * 0.5 AS quality_score
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+         |ccr AS (
+         |  SELECT doc_id, quality_score,
+         |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |      AS BIGINT) AS curriculum_pos,
+         |    CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INT)
+         |      AS stage
+         |  FROM ccq)""".stripMargin,
+      """SELECT curriculum_pos, stage, doc_id, quality_score
+        |FROM ccr ORDER BY curriculum_pos""".stripMargin),
 
     "quality_logreg_score" -> docsWith(
       s"""q AS (
