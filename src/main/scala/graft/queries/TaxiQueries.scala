@@ -823,6 +823,32 @@ object TaxiQueries {
         .orderBy("location_id")
     }),
 
+    // multiset difference (EXCEPT ALL): pickup visits minus dropoff
+    // visits per location KEEPING multiplicity — the per-location net
+    // surplus the distinct-semantics setop_except cannot express; the
+    // count regroup makes the multiplicities visible in the result
+    "setop_except_all" -> ((s, d) => {
+      val t = trips(s, d)
+      t.select(col("pu_location_id").as("location_id"))
+        .filter(col("location_id").isNotNull)
+        .exceptAll(t.select(col("do_location_id").as("location_id"))
+          .filter(col("location_id").isNotNull))
+        .groupBy("location_id").agg(count(lit(1)).as("surplus"))
+        .orderBy("location_id")
+    }),
+
+    // multiset intersection (INTERSECT ALL): min(pickup visits, dropoff
+    // visits) per location — the balanced-traffic count
+    "setop_intersect_all" -> ((s, d) => {
+      val t = trips(s, d)
+      t.select(col("pu_location_id").as("location_id"))
+        .filter(col("location_id").isNotNull)
+        .intersectAll(t.select(col("do_location_id").as("location_id"))
+          .filter(col("location_id").isNotNull))
+        .groupBy("location_id").agg(count(lit(1)).as("common_visits"))
+        .orderBy("location_id")
+    }),
+
     "setop_union_all" -> ((s, d) => {
       // DQ-gate result set built as a UNION ALL chain (CoreDQ_Gate shape).
       val t = trips(s, d)
@@ -1582,6 +1608,22 @@ object TaxiQueries {
         |EXCEPT
         |SELECT do_location_id FROM trips WHERE do_location_id IS NOT NULL
         |ORDER BY location_id""".stripMargin),
+
+    "setop_except_all" -> taxi(
+      """SELECT location_id, count(*) AS surplus FROM (
+        |  SELECT pu_location_id AS location_id FROM trips
+        |  WHERE pu_location_id IS NOT NULL
+        |  EXCEPT ALL
+        |  SELECT do_location_id FROM trips WHERE do_location_id IS NOT NULL)
+        |GROUP BY location_id ORDER BY location_id""".stripMargin),
+
+    "setop_intersect_all" -> taxi(
+      """SELECT location_id, count(*) AS common_visits FROM (
+        |  SELECT pu_location_id AS location_id FROM trips
+        |  WHERE pu_location_id IS NOT NULL
+        |  INTERSECT ALL
+        |  SELECT do_location_id FROM trips WHERE do_location_id IS NOT NULL)
+        |GROUP BY location_id ORDER BY location_id""".stripMargin),
 
     "setop_union_all" -> taxiWith(
       """agg AS (
