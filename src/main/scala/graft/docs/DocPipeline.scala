@@ -408,7 +408,7 @@ object DocPipeline {
     for (_ <- 1 to iters) {
       ranks = ed.join(ranks, col("src") === col("id"))
         .select(col("dst"),
-          round(col("rank") / col("deg"), 12).cast("decimal(30,15)").as("c"))
+          round(col("rank") / col("deg"), 12).cast("decimal(27,12)").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("id"),
@@ -854,25 +854,34 @@ object DocPipeline {
     * one row per source (two 1-row broadcasts for the totals).
     *
     * Determinism: `p` is one IEEE division (bit-identical across
-    * engines); pow is rounded to 12 decimals BEFORE the normalizer sum
-    * (libm pow may differ in the last ulp between runtimes), and that
-    * sum is decimal-exact so row order can't move it. */
+    * engines); for alpha=0.5 the scaling is `sqrt` — IEEE-754 requires
+    * sqrt to be CORRECTLY rounded, so JVM and any other conforming engine
+    * produce the identical bits with no rounding needed. Only the
+    * normalizer sum is order-exposed, so only it goes through the
+    * decimal-exact path; q and rep_weight are then single IEEE divides of
+    * identical inputs. (General alpha falls back to libm pow, which is
+    * NOT correctly rounded — there the input is snapped to a 12-decimal
+    * grid first so both engines feed pow the same dyadic and last-ulp
+    * divergence stays confined to pow itself; see FLOATS.md.) */
   def temperatureWeights(docs: DataFrame, alpha: Double): DataFrame = {
     val bySrc = tokenCounts(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("tokens"))
     val tot = bySrc.agg(sum(col("tokens")).as("_total"))
+    val pwCol =
+      if (alpha == 0.5) sqrt(col("p"))
+      else pow(round(col("p"), 12), lit(alpha))
     val withP = bySrc.crossJoin(broadcast(tot))
       .withColumn("p", col("tokens").cast("double") / col("_total"))
-      .withColumn("pw", round(pow(col("p"), lit(alpha)), 12))
+      .withColumn("pw", pwCol)
     val z = withP.agg(
       sum(col("pw").cast("decimal(20,15)")).cast("double").as("_z"))
     withP.crossJoin(broadcast(z))
-      .withColumn("q", round(col("pw") / col("_z"), 12))
+      .withColumn("q", col("pw") / col("_z"))
       .select(col("source"), col("n_docs"), col("tokens"),
-        round(col("p"), 12).as("p"), col("q"),
-        round(col("q") / col("p"), 12).as("rep_weight"))
+        col("p"), col("q"),
+        (col("q") / col("p")).as("rep_weight"))
   }
 
   /** Fluency scoring without a model artifact: an add-one-smoothed
@@ -912,8 +921,11 @@ object DocPipeline {
       .join(uniCnt, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
+        // scale 12, not 15: the terms carry only 12 decimals, and the sum's
+        // UNSCALED value must stay < 2^53 or a foreign engine's decimal→
+        // double conversion double-rounds (observed as a 1-ulp mean drift)
         round(log((col("c12") + 1).cast("double") / (col("c1") + col("vocab"))), 12)
-          .cast("decimal(30,15)"))
+          .cast("decimal(27,12)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("logp")).cast("double") / count(lit(1))).as("mean_logprob"))
@@ -939,7 +951,7 @@ object DocPipeline {
     * so the only fact-sized shuffle is the final per-doc sum.
     * Determinism: the probability ratios divide identical exact
     * integers, ln rounds to 12 decimals, and the per-doc sum runs in
-    * DECIMAL(30,15) (order-free) — the bigramLogprob pattern. */
+    * DECIMAL(27,12) (order-free, unscaled < 2^53 so the decimal→double cast is exact in any engine) — the bigramLogprob pattern. */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
                   buckets: Int = 256): DataFrame = {
     val words = docs.select(col("doc_id"), col("lang"), tokens.as("t"))
@@ -960,7 +972,7 @@ object DocPipeline {
     val perDoc = words.join(broadcast(table), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("logw").cast("decimal(30,15)")).cast("double").as("log_weight"))
+        sum(col("logw").cast("decimal(27,12)")).cast("double").as("log_weight"))
     docs.select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("log_weight"))
@@ -1191,7 +1203,7 @@ object DocPipeline {
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) +
             lit(b) * col("dl") / (col("total").cast("double") / col("n")))), 12)
-        .cast("decimal(30,15)"))
+        .cast("decimal(27,12)"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("s")).cast("double").as("score"))
     scored

@@ -42,11 +42,12 @@ object QuantileSketch {
       .withColumn("_rn", row_number().over(ordered))
       .filter(col("_rn") === 1)
       .select(groupCols.map(col) :+ col("n") :+
-        // the interpolation divide is cancellation-exposed — round to 12
-        // decimals on engine and oracle alike (repo-wide determinism
-        // pattern; WindowedStats.windowedQuantile rounds identically so
-        // the streaming==batch==sketch spec equality survives)
-        round(lit(lo) + lit(w) * col("bin") +
-          lit(w) * (target - (col("cum") - col("c"))) / col("c"), 12).as("est"): _*)
+        // every term is dyadic (integer counts, q*n, one IEEE divide) —
+        // identical bits in any IEEE-754 engine, so NO rounding; rounding a
+        // double to 12 decimals is the cross-engine divergence mechanism
+        // (WindowedStats.windowedQuantile is unrounded identically so the
+        // streaming==batch==sketch spec equality survives)
+        (lit(lo) + lit(w) * col("bin") +
+          lit(w) * (target - (col("cum") - col("c"))) / col("c")).as("est"): _*)
   }
 }

@@ -210,14 +210,28 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * timestamp are recorded in the manifest for [[history]] (audit
     * metadata only — never part of any query result). Returns the
     * committed version. */
-  private def commit(op: String)(next: Option[Long] => String): Long = {
+  private def commit(op: String)(next: Option[Long] => String): Long =
+    commitIfChanged(op)(base => Some(next(base)))
+
+  /** [[commit]] whose closure may conclude there is nothing to publish
+    * (e.g. a compaction whose every fold was invalidated by a concurrent
+    * overwrite): `None` aborts the commit — no manifest is written, no
+    * version is burned — and the tip version at derivation time is
+    * returned. A `None` is final: the closure already re-derived against
+    * the tip, so retrying could only re-observe the same emptiness. */
+  private def commitIfChanged(op: String)(
+      next: Option[Long] => Option[String]): Long = {
     fs.mkdirs(manifestDir)
     var committed = -1L
     while (committed < 0) {
       val base = versions.lastOption
       val v = base.getOrElse(0L) + 1
+      val bodyTail = next(base) match {
+        case Some(t) => t
+        case None => return base.getOrElse(0L)
+      }
       val body =
-        s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, ${next(base)}}"""
+        s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, $bodyTail}"""
       val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -420,11 +434,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
             spark.read.schema(schema).parquet(src.map(d => s"$dir/$d"): _*)
               .coalesce(1))
           beforeCommit()
-          commit("compact") { base =>
+          commitIfChanged("compact") { base =>
             val cur = base.map(snapshotDirs).getOrElse(Nil)
             if (src.forall(cur.contains))
-              filesBody(cur.filterNot(src.contains) :+ rel)
-            else filesBody(cur) // stale rewrite: the tip replaced a source
+              Some(filesBody(cur.filterNot(src.contains) :+ rel))
+            // stale rewrite (the tip replaced a source): abort rather than
+            // publish a contentless version — no history churn on a no-op
+            else None
           }
         }
       case Some(baseV) =>
@@ -444,13 +460,17 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
           }.reduce(_ unionByName _)
           val rel = writeDataDir(df.repartition(partitionCols.map(col): _*))
           beforeCommit()
-          commit("compact") { base =>
+          commitIfChanged("compact") { base =>
             val cur = baseParts(base)
-            partsBody(cur ++ multi.collect {
+            val survived = multi.collect {
               case (k, srcDirs)
                 if cur.get(k).exists(now => srcDirs.forall(now.contains)) =>
                 k -> (cur(k).filterNot(srcDirs.contains) :+ rel)
-            })
+            }
+            // every fold invalidated by concurrent overwrites → abort:
+            // publishing partsBody(cur) would burn a version for a no-op
+            if (survived.isEmpty) None
+            else Some(partsBody(cur ++ survived))
           }
         }
     }

@@ -146,7 +146,7 @@ object DocsOracle {
          |    CAST(round(round(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)), 12)
          |      * (tf.tf * $k1p1)
          |      / (tf.tf + $k1 * ($oneMinusB + $b * dl.dl
-         |          / (st.total::DOUBLE / st.n))), 12) AS DECIMAL(30,15)) AS s
+         |          / (st.total::DOUBLE / st.n))), 12) AS DECIMAL(27,12)) AS s
          |  FROM tf JOIN dft USING (query_id, w) JOIN dl USING (doc_id)
          |  CROSS JOIN st),
          |ag AS (

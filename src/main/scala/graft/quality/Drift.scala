@@ -70,7 +70,7 @@ object Drift {
       .withColumn("term",
         (col("p_cur") - col("p_ref")) * round(log(col("p_cur") / col("p_ref")), 12))
     terms.groupBy(groupCol, "tot_ref", "tot_cur").agg(
-        sum(col("term").cast("decimal(30,15)")).cast("double").as("psi"))
+        sum(col("term").cast("decimal(27,12)")).cast("double").as("psi"))
       .select(col(groupCol), col("tot_ref").as("n_ref"),
         col("tot_cur").as("n_cur"), col("psi"),
         (col("psi") >= threshold).as("drifted"))

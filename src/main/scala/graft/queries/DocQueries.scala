@@ -137,7 +137,7 @@ object DocQueries {
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(det.agg(count(lit(1)).as("n_detected")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit"),
-          sum(col("abs_err").cast("decimal(30,15)")).as("sum_err")))
+          sum(col("abs_err").cast("decimal(27,12)")).as("sum_err")))
         .select(col("n_truth"), col("n_detected"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_detected")).as("prec"),
           (col("n_hit").cast("double") / col("n_truth")).as("recall"),
@@ -1031,7 +1031,7 @@ object DocQueries {
           |    / (SELECT count(*) FROM ldet) AS prec,
           |  (SELECT count(*) FROM lhit)::DOUBLE
           |    / (SELECT count(*) FROM ltruth) AS recall,
-          |  CAST((SELECT SUM(CAST(abs_err AS DECIMAL(30,15))) FROM lhit) AS DOUBLE)
+          |  CAST((SELECT SUM(CAST(abs_err AS DECIMAL(27,12))) FROM lhit) AS DOUBLE)
           |    / (SELECT count(*) FROM lhit) AS mean_abs_err""".stripMargin)
     },
 
@@ -1130,7 +1130,7 @@ object DocQueries {
         |  FROM dcr LEFT JOIN dct USING (b) CROSS JOIN dtot
         |), dper AS (
         |  SELECT doc_id, count(*) AS n_tokens,
-        |    CAST(SUM(CAST(logw AS DECIMAL(30,15))) AS DOUBLE) AS log_weight
+        |    CAST(SUM(CAST(logw AS DECIMAL(27,12))) AS DOUBLE) AS log_weight
         |  FROM dw JOIN dtab USING (b) GROUP BY 1)""".stripMargin,
       """SELECT d.doc_id, d.lang,
         |  COALESCE(n_tokens, 0) AS n_tokens, log_weight
@@ -1319,7 +1319,7 @@ object DocQueries {
         |lm AS (
         |  SELECT b.doc_id,
         |    CAST(round(ln((bic.c12 + 1)::DOUBLE / (uni.c1 + voc.vocab)), 12)
-        |      AS DECIMAL(30,15)) AS logp
+        |      AS DECIMAL(27,12)) AS logp
         |  FROM big b JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
         |), lmper AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -1756,7 +1756,7 @@ object DocQueries {
         s"""$out AS (
            |  SELECT e.dst AS id,
            |    0.15 + 0.85 * CAST(sum(CAST(round(r.rank / d.deg, 12)
-           |      AS DECIMAL(30,15))) AS DOUBLE) AS rank
+           |      AS DECIMAL(27,12))) AS DOUBLE) AS rank
            |  FROM pre e JOIN $prev r ON e.src = r.id JOIN predeg d ON e.src = d.src
            |  GROUP BY e.dst)""".stripMargin
       docsWith(
@@ -1877,13 +1877,13 @@ object DocQueries {
         |tw_p AS (
         |  SELECT source, n_docs, tokens,
         |    CAST(tokens AS DOUBLE) / total AS p,
-        |    round(pow(CAST(tokens AS DOUBLE) / total, 0.5), 12) AS pw
+        |    sqrt(CAST(tokens AS DOUBLE) / total) AS pw
         |  FROM tw_src, tw_tot),
         |tw_z AS (
         |  SELECT CAST(sum(CAST(pw AS DECIMAL(20,15))) AS DOUBLE) AS z FROM tw_p)""".stripMargin,
-      """SELECT source, n_docs, tokens, round(p, 12) AS p,
-        |  round(pw / z, 12) AS q,
-        |  round(round(pw / z, 12) / p, 12) AS rep_weight
+      """SELECT source, n_docs, tokens, p,
+        |  pw / z AS q,
+        |  (pw / z) / p AS rep_weight
         |FROM tw_p, tw_z ORDER BY source""".stripMargin),
 
     "sample_mix_weighted" -> docsWith(

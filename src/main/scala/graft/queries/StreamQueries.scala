@@ -529,8 +529,8 @@ object StreamQueries {
         |                 / ((c_ref + 1) / (tot_ref + 20.0))), 12) AS term
         |  FROM ptot)""".stripMargin,
       """SELECT event_type, tot_ref AS n_ref, tot_cur AS n_cur,
-        |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) AS psi,
-        |  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) >= 0.1 AS drifted
+        |  CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) AS psi,
+        |  CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) >= 0.1 AS drifted
         |FROM pterms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin),
 
     "join_asof_nearest" -> streamWith(
@@ -697,8 +697,8 @@ object StreamQueries {
         |    ORDER BY bin) AS rn
         |  FROM qw_agg WHERE cum >= 0.5 * n)""".stripMargin,
       """SELECT hour_start, sink, n,
-        |  round(0.0::DOUBLE + 10.0::DOUBLE * bin
-        |    + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c, 12) AS est
+        |  0.0::DOUBLE + 10.0::DOUBLE * bin
+        |    + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c AS est
         |FROM qw_pick WHERE rn = 1 ORDER BY hour_start, sink""".stripMargin),
 
     "stream_hopping_window" -> stream(
@@ -762,8 +762,8 @@ object StreamQueries {
         |  FROM hist
         |), picked AS (
         |  SELECT event_type, CAST(n AS BIGINT) AS n,
-        |    round(0.0::DOUBLE + 10.0::DOUBLE * bin
-        |      + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c, 12) AS est,
+        |    0.0::DOUBLE + 10.0::DOUBLE * bin
+        |      + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c AS est,
         |    row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
         |  FROM cumed WHERE cum >= 0.5::DOUBLE * n
         |), exact AS (

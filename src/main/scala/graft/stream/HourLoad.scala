@@ -151,11 +151,20 @@ object HourLoad {
     * Column semantics: explicit existence markers per join side; a matched
     * row takes every column from the source (reference UPDATE-all-columns,
     * usp_upsert_trip_clean_from_slice_streaming.sql:37-44). */
-  private def scopedMerge(table: SnapshotTable, staged: DataFrame,
-                          partCol: String): (Long, Long) = {
-    val partVals = staged.select(partCol).distinct().collect().map(_.get(0))
-    val keepVals = partVals.filter(_ != null).map(_.toString).toSet
-    val hasNull = partVals.exists(_ == null)
+  private[graft] def scopedMerge(table: SnapshotTable, staged: DataFrame,
+                                 partCol: String): (Long, Long) = {
+    // Encode the staged partition values with Spark's OWN partition-path
+    // formatting: the writer builds `col=v` fragments by SQL-casting the
+    // value to string (PartitioningUtils.getPathFragment), so the same
+    // cast here is the only encoding that round-trips for EVERY key type.
+    // JVM-side toString does not — java.sql.Timestamp appends ".0", so a
+    // TIMESTAMP-partitioned merge would match no target dir, read an
+    // empty target, misclassify every row as an insert, and the partition
+    // overwrite would silently drop existing unmatched rows.
+    val partVals = staged.select(col(partCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0)))
+    val keepVals = partVals.flatten.toSet
+    val hasNull = partVals.contains(None)
     // manifest-pruned target subset: the merge plan references ONLY the
     // commit dirs owning the touched partitions, so per-merge planning is
     // O(touched), not O(table history)

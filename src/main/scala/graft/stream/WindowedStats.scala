@@ -80,11 +80,12 @@ object WindowedStats {
       .withColumn("_before",
         element_at(col("_cum"), col("_bin") + 1) - col("_c"))
       .select(col("hour_start"), col("sink"), col("n"),
-        // interpolation divide is the one cancellation-exposed double in
-        // this file — round to 12 decimals on both engine and oracle (the
-        // repo-wide libm/division determinism pattern, cf. agg_linreg)
-        round(lit(lo) + lit(w) * col("_bin") +
-          lit(w) * (col("_target") - col("_before")) / col("_c"), 12).as("est"))
+        // every term is dyadic (integer counts, q*n, one IEEE divide) —
+        // both engines hit the identical bits, so NO rounding: round(d, 12)
+        // is itself the portability hazard (Spark rounds the shortest
+        // decimal repr, DuckDB the exact binary value)
+        (lit(lo) + lit(w) * col("_bin") +
+          lit(w) * (col("_target") - col("_before")) / col("_c")).as("est"))
   }
 
   /** Hopping (sliding) window counts — the ASA `HoppingWindow(hour, 1,

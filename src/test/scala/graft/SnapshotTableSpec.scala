@@ -236,6 +236,23 @@ class SnapshotTableSpec extends SparkSpec {
       "the concurrent overwrite wins; the stale rewrite never resurrects replaced rows")
   }
 
+  test("compact that loses every fold to a concurrent overwrite aborts: no version burned") {
+    val t = partedTable()
+    t.append(df(1L -> "a"))
+    t.append(df(2L -> "a"))                       // v2: partition 'a' is multi-dir
+    var tipAfterRace = -1L
+    val ret = t.compactHook(() => {
+      tipAfterRace = t.overwritePartitions(df(9L -> "a"))  // v3 replaces every source dir
+    })
+    assert(ret == tipAfterRace,
+      "aborted compact returns the tip version, not a fresh one")
+    assert(t.latestVersion.contains(tipAfterRace),
+      "no contentless 'compact' version published after the lost race")
+    assert(!t.history.exists(_.op == "compact"),
+      "history shows no compact entry for the no-op")
+    assert(t.read.select("k").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("history records one op per version in commit order") {
     val t = partedTable()
     t.append(df(1L -> "a"))

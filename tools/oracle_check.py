@@ -52,7 +52,13 @@ for name in sorted(oracle):
         fails.append(name)
         continue
     bad = None
-    approx = 0
+    diffs = []          # every non-bit-identical (col,row) pair, incl. tolerance-equal
+    MAX_DIFFS = 20
+    def hexbits(v):
+        if isinstance(v, float) and not math.isnan(v):
+            import struct
+            return struct.pack(">d", v).hex()
+        return "-"
     for c in ec:
         ev, gv = exp[c].tolist(), got[c].tolist()
         for i, (a, b) in enumerate(zip(ev, gv)):
@@ -61,13 +67,19 @@ for name in sorted(oracle):
             if an and bn:
                 continue
             if an != bn:
-                bad = (c, i, a, b); break
+                bad = bad or (c, i, a, b)
+                if len(diffs) < MAX_DIFFS:
+                    diffs.append((c, i, a, b, "HARD"))
+                break
             if isinstance(a, float) and isinstance(b, float):
                 if a == b:
                     continue
+                if len(diffs) < MAX_DIFFS:
+                    kind = "TOL" if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)) else "HARD"
+                    diffs.append((c, i, a, b, kind))
                 if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)):
-                    approx += 1; continue
-                bad = (c, i, a, b); break
+                    continue
+                bad = bad or (c, i, a, b); break
             else:
                 try:
                     eq = a == b
@@ -76,16 +88,31 @@ for name in sorted(oracle):
                 if hasattr(eq, "all"):
                     eq = bool(pd.Series(eq).all())
                 if not eq:
-                    bad = (c, i, a, b); break
+                    bad = bad or (c, i, a, b)
+                    if len(diffs) < MAX_DIFFS:
+                        diffs.append((c, i, a, b, "HARD"))
+                    break
         if bad:
             break
+    approx = sum(1 for d in diffs if d[4] == "TOL")
+    if diffs:
+        # Row-level mismatch artifact: first N differing tuples with the
+        # raw IEEE-754 bits of both sides — float divergence between the
+        # engine and a foreign DuckDB build is diagnosable from this file
+        # alone (TOL = tolerance-equal but NOT bit-identical: the driver's
+        # hash compare fails on these even though this script tolerates them).
+        with open(f"{out}/{name}_diff.txt", "w") as f:
+            f.write("kind\tcol\trow\toracle\tspark\toracle_hexbits\tspark_hexbits\n")
+            for c, i, a, b, kind in diffs:
+                f.write(f"{kind}\t{c}\t{i}\t{a!r}\t{b!r}\t{hexbits(a)}\t{hexbits(b)}\n")
     if bad:
         c, i, a, b = bad
-        print(f"FAIL {name}: col={c} row={i} oracle={a!r} spark={b!r}")
+        print(f"FAIL {name}: col={c} row={i} oracle={a!r} spark={b!r} "
+              f"(first {len(diffs)} diffs -> {name}_diff.txt)")
         fails.append(name)
     elif approx:
         print(f"WARN {name}: {approx} float values only tolerance-equal "
-              f"(driver hash compare may fail!)")
+              f"(driver hash compare may fail! diffs -> {name}_diff.txt)")
     else:
         print(f"OK   {name} ({len(exp)} rows, {len(ec)} cols)")
 
