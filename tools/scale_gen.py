@@ -17,12 +17,22 @@ Tables and key handling:
   events    event_id, user_id     shifted (ts kept: same time span,
                                   K x the events per hour -- the correct
                                   shape for a throughput sweep)
-  documents, embeddings           copied as-is (near-dup/ANN structure is
-                                  content-defined; replicating text K x
-                                  would quadratically inflate dup pairs --
-                                  a data artifact, not an engine slope.
-                                  The doc lane is excluded from the sweep
-                                  via SPARK_GRAFT_BENCH_FILTER instead.)
+  documents doc_id shifted; text Caesar-shifted by copy index (translate
+                                  a..z -> rotated alphabet). Token lengths,
+                                  word boundaries, and per-copy dup
+                                  structure are preserved, but copies are
+                                  DISJOINT in shingle space, so near-dup
+                                  pairs scale linearly (K x within-copy),
+                                  not quadratically (the artifact a plain
+                                  K x text replication would create).
+                                  Vocab grows K x -- correct for BM25 /
+                                  tf-idf / BPE-train slope measurement.
+  embeddings vec_id shifted; vector circularly ROTATED by copy index
+                                  (norms, component distribution, and
+                                  within-copy cluster geometry preserved;
+                                  cross-copy cosine ~ random), so
+                                  cosine-dedup pair counts scale linearly
+                                  and ANN corpus size scales K x.
 """
 import os
 import sys
@@ -58,8 +68,41 @@ def replicate(name, shifts):
 
 copy_asis("region")
 copy_asis("nation")
-copy_asis("documents")
-copy_asis("embeddings")
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+def scale_documents():
+    did = span("documents", "doc_id")
+    parts = []
+    for c in range(K):
+        rot = ALPHA[c % 26:] + ALPHA[:c % 26]
+        rotu = rot.upper()
+        parts.append(
+            f"SELECT doc_id + {c * int(did)} AS doc_id, "
+            f"translate(text, '{ALPHA}{ALPHA.upper()}', '{rot}{rotu}') AS text, "
+            f"lang, source, n_chars "
+            f"FROM '{SRC}/documents.parquet'")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{OUT}/documents.parquet' (FORMAT PARQUET)")
+
+def scale_embeddings():
+    vid = span("embeddings", "vec_id")
+    dims = con.execute(
+        f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    parts = []
+    for c in range(K):
+        r = c % dims
+        vec = ("embedding" if r == 0 else
+               f"(embedding[{r + 1}:{dims}] || embedding[1:{r}])::FLOAT[]")
+        parts.append(
+            f"SELECT vec_id + {c * int(vid)} AS vec_id, {vec} AS embedding, "
+            f"label FROM '{SRC}/embeddings.parquet'")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{OUT}/embeddings.parquet' (FORMAT PARQUET)")
+
+scale_documents()
+scale_embeddings()
 
 cust = span("customer", "c_custkey")
 orde = span("orders", "o_orderkey")
