@@ -857,12 +857,18 @@ object DocPipeline {
     * engines); for alpha=0.5 the scaling is `sqrt` — IEEE-754 requires
     * sqrt to be CORRECTLY rounded, so JVM and any other conforming engine
     * produce the identical bits with no rounding needed. Only the
-    * normalizer sum is order-exposed, so only it goes through the
-    * decimal-exact path; q and rep_weight are then single IEEE divides of
+    * normalizer sum is order-exposed, so it is pinned instead of
+    * decimal-ized: `z` is a left-to-right double fold of `pw` in `source`
+    * order (the ANN dot-product pattern) — every engine that folds the
+    * same doubles in the same order gets the same bits, with no
+    * double→decimal cast anywhere (a full-precision double cast to
+    * DECIMAL straddles rounding ties across engines; see FLOATS.md M3b).
+    * The DuckDB oracle mirrors it with `list(pw ORDER BY source)` +
+    * `list_reduce`. q and rep_weight are then single IEEE divides of
     * identical inputs. (General alpha falls back to libm pow, which is
     * NOT correctly rounded — there the input is snapped to a 12-decimal
-    * grid first so both engines feed pow the same dyadic and last-ulp
-    * divergence stays confined to pow itself; see FLOATS.md.) */
+    * grid first and the output snapped again, so last-ulp pow divergence
+    * can't leak downstream; see FLOATS.md.) */
   def temperatureWeights(docs: DataFrame, alpha: Double): DataFrame = {
     val bySrc = tokenCounts(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
@@ -871,12 +877,17 @@ object DocPipeline {
     val tot = bySrc.agg(sum(col("tokens")).as("_total"))
     val pwCol =
       if (alpha == 0.5) sqrt(col("p"))
-      else pow(round(col("p"), 12), lit(alpha))
+      else round(pow(round(col("p"), 12), lit(alpha)), 12)
     val withP = bySrc.crossJoin(broadcast(tot))
       .withColumn("p", col("tokens").cast("double") / col("_total"))
       .withColumn("pw", pwCol)
+    // order-pinned fold: the census is one row per source, so the
+    // collect_list is bounded by the source count, not the corpus
     val z = withP.agg(
-      sum(col("pw").cast("decimal(20,15)")).cast("double").as("_z"))
+      aggregate(
+        sort_array(collect_list(struct(col("source"), col("pw")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("pw")).as("_z"))
     withP.crossJoin(broadcast(z))
       .withColumn("q", col("pw") / col("_z"))
       .select(col("source"), col("n_docs"), col("tokens"),

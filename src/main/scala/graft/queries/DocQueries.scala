@@ -884,9 +884,9 @@ object DocQueries {
     "text_lang_id" -> docsWith(
       s"""scored AS (
          |  SELECT t.doc_id,
-         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS score_en,
-         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopEs)})) AS score_es,
-         |    len(list_intersect(t.t, ${DocsOracle.stopList(stopDe)})) AS score_de
+         |    CAST(len(list_intersect(t.t, ${DocsOracle.stopList(stopEn)})) AS INTEGER) AS score_en,
+         |    CAST(len(list_intersect(t.t, ${DocsOracle.stopList(stopEs)})) AS INTEGER) AS score_es,
+         |    CAST(len(list_intersect(t.t, ${DocsOracle.stopList(stopDe)})) AS INTEGER) AS score_de
          |  FROM toks t)""".stripMargin,
       """SELECT s.doc_id, s.score_en, s.score_es, s.score_de,
         |  CASE WHEN s.score_en >= s.score_es AND s.score_en >= s.score_de THEN 'en'
@@ -1037,13 +1037,14 @@ object DocQueries {
 
     "dedup_simhash" -> docs(
       """SELECT c.doc_a, c.doc_b,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM scand c JOIN sim a ON c.doc_a = a.doc_id JOIN sim b ON c.doc_b = b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         |ORDER BY c.doc_a, c.doc_b""".stripMargin),
 
     "dedup_editdist" -> docs(
-      """SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS dist
+      """SELECT c.doc_a, c.doc_b,
+        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
         |FROM scand c
         |JOIN documents da ON c.doc_a = da.doc_id
         |JOIN documents db ON c.doc_b = db.doc_id
@@ -1091,7 +1092,8 @@ object DocQueries {
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)""".stripMargin,
-      """SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
+      """SELECT query_id, rank, neighbor_id, cosine,
+        |  CAST(bucket AS BIGINT) AS bucket FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "embedding_dim_stats" -> emb(
@@ -1871,16 +1873,18 @@ object DocQueries {
         |    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
         |  FROM documents),
         |tw_src AS (
-        |  SELECT source, count(*) AS n_docs, sum(bpe_tokens) AS tokens
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(bpe_tokens) AS BIGINT) AS tokens
         |  FROM tw_tok GROUP BY source),
-        |tw_tot AS (SELECT sum(tokens) AS total FROM tw_src),
+        |tw_tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM tw_src),
         |tw_p AS (
         |  SELECT source, n_docs, tokens,
         |    CAST(tokens AS DOUBLE) / total AS p,
         |    sqrt(CAST(tokens AS DOUBLE) / total) AS pw
         |  FROM tw_src, tw_tot),
         |tw_z AS (
-        |  SELECT CAST(sum(CAST(pw AS DECIMAL(20,15))) AS DOUBLE) AS z FROM tw_p)""".stripMargin,
+        |  SELECT list_reduce(list(pw ORDER BY source), (acc, v) -> acc + v) AS z
+        |  FROM tw_p)""".stripMargin,
       """SELECT source, n_docs, tokens, p,
         |  pw / z AS q,
         |  (pw / z) / p AS rep_weight

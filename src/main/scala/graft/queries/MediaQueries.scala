@@ -70,7 +70,7 @@ object MediaQueries {
         |FROM documents ORDER BY media_id""".stripMargin),
 
     "media_frame_sample" -> docs(
-      """SELECT doc_id AS media_id, k AS frame_idx,
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
         |  sha256(substr(text, k * 64 + 1, 32)) AS frame_sha
         |FROM documents, unnest(generate_series(0, 3)) AS g(k)
         |WHERE k * 64 + 32 <= length(text)
@@ -162,8 +162,8 @@ object MediaQueries {
         s"""SELECT query_id, rank, neighbor_id, cosine FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    $dot / (q.n * c.n) AS cosine,
-           |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY $dot / (q.n * c.n) DESC, c.vec_id) AS rank
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $dot / (q.n * c.n) DESC, c.vec_id) AS INTEGER) AS rank
            |  FROM (
            |    SELECT vec_id, e, sqrt(${graft.oracle.DocsOracle.dotSql("e", "e")}) AS n
            |    FROM (

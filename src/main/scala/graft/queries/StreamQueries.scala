@@ -652,12 +652,12 @@ object StreamQueries {
       """SELECT window_start_s, rule, severity, observed, threshold, firing
         |FROM (
         |  SELECT window_start_s, 'dlq-errors' AS rule, 2 AS severity,
-        |    CAST(dlq_errors AS DOUBLE) AS observed, 5.0 AS threshold,
+        |    CAST(dlq_errors AS DOUBLE) AS observed, 5.0::DOUBLE AS threshold,
         |    CAST(dlq_errors AS DOUBLE) > 5.0 AS firing
         |  FROM joined
         |  UNION ALL
         |  SELECT window_start_s, 'incoming-drop', 3,
-        |    CAST(incoming AS DOUBLE), 1.0, CAST(incoming AS DOUBLE) < 1.0
+        |    CAST(incoming AS DOUBLE), 1.0::DOUBLE, CAST(incoming AS DOUBLE) < 1.0
         |  FROM joined) u
         |ORDER BY window_start_s, rule""".stripMargin),
 
@@ -696,7 +696,7 @@ object StreamQueries {
         |  SELECT *, row_number() OVER (PARTITION BY hour_start, sink
         |    ORDER BY bin) AS rn
         |  FROM qw_agg WHERE cum >= 0.5 * n)""".stripMargin,
-      """SELECT hour_start, sink, n,
+      """SELECT hour_start, sink, CAST(n AS BIGINT) AS n,
         |  0.0::DOUBLE + 10.0::DOUBLE * bin
         |    + 10.0::DOUBLE * (0.5::DOUBLE * n - (cum - c)) / c AS est
         |FROM qw_pick WHERE rn = 1 ORDER BY hour_start, sink""".stripMargin),

@@ -61,13 +61,28 @@ final case class KafkaJsonSource(bootstrapServers: String, topic: String,
                                  startingOffsets: String = "latest",
                                  maxOffsetsPerTrigger: Option[Long] = None)
     extends StreamSource {
-  override def load(spark: SparkSession): DataFrame = {
-    val r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
-    r.load()
+  /** The reader option map, factored out so the backpressure wiring is
+    * assertable in a spec without a broker on the classpath. */
+  def readerOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets) ++
+    maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  override def load(spark: SparkSession): DataFrame =
+    KafkaJsonSource.projectWire(
+      spark.readStream.format("kafka").options(readerOptions).load())
+}
+
+object KafkaJsonSource {
+  /** Projects a Kafka-shaped frame (`value: binary`, `timestamp: the
+    * broker append time`) onto the two-column wire contract. Factored out
+    * of [[KafkaJsonSource.load]] so the producer_ts/broker_ts coalesce
+    * fallback — the late-data-stays-late semantics — executes in specs
+    * against a Kafka-shaped file-backed frame even though the connector
+    * jar itself is absent offline. */
+  def projectWire(kafkaFrame: DataFrame): DataFrame =
+    kafkaFrame
       .select(col("value").cast("string").as("json"),
         col("timestamp").cast("timestamp_ntz").as("broker_ts"))
       .withColumn("arrival_ts",
@@ -75,7 +90,6 @@ final case class KafkaJsonSource(bootstrapServers: String, topic: String,
           get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"),
           col("broker_ts")))
       .drop("broker_ts")
-  }
 }
 
 /** The offset-addressed segment log ([[graft.sources.SegmentLogProvider]])

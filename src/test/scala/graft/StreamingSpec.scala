@@ -97,16 +97,101 @@ class StreamingSpec extends SparkSpec {
 
   test("KafkaJsonSource wires the production seam: DSv2 lookup is reached " +
       "(connector jar absent offline — the recorded limitation)") {
-    // The source compiles against spark-sql alone; load() must fail at
-    // Spark's data-source RESOLUTION (proving the wiring is real and the
-    // only gap is the spark-sql-kafka jar), not at our own code.
+    // The source compiles against spark-sql alone. Offline, load() fails
+    // at Spark's data-source RESOLUTION (proving the wiring is real and
+    // the only gap is the spark-sql-kafka jar); if the connector jar is
+    // ever on the classpath the lookup succeeds without contacting a
+    // broker (Kafka's source schema is fixed) and the wire contract must
+    // hold instead — both outcomes are correct, neither is our bug.
     val src: graft.stream.StreamSource =
       graft.stream.KafkaJsonSource("broker:9093", "trips",
         maxOffsetsPerTrigger = Some(1000000L))
-    val e = intercept[Exception] { src.load(spark) }
-    val msg = e.toString.toLowerCase
-    assert(msg.contains("kafka"),
-      s"failure is the missing kafka connector, nothing else: $e")
+    try {
+      val df = src.load(spark)
+      assert(df.columns.toSet == Set("json", "arrival_ts"),
+        "connector resolved: projected frame must match the wire contract")
+    } catch {
+      case e: Exception =>
+        val msg = e.toString.toLowerCase
+        assert(msg.contains("kafka"),
+          s"failure is the missing kafka connector, nothing else: $e")
+    }
+  }
+
+  test("KafkaJsonSource.readerOptions carries the backpressure bound " +
+      "exactly when configured") {
+    val bounded = graft.stream.KafkaJsonSource("broker:9093", "trips",
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(250000L))
+    assert(bounded.readerOptions == Map(
+      "kafka.bootstrap.servers" -> "broker:9093",
+      "subscribe" -> "trips",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "250000"))
+    val unbounded = graft.stream.KafkaJsonSource("broker:9093", "trips")
+    assert(!unbounded.readerOptions.contains("maxOffsetsPerTrigger"),
+      "no bound configured -> Spark's default catch-up, option absent")
+  }
+
+  test("KafkaJsonSource.projectWire: producer_ts wins, broker append time " +
+      "is the fallback — batch frame, exact values") {
+    import spark.implicits._
+    val broker = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    val kafkaShaped = Seq(
+      ("""{"producer_ts":"2024-01-01 03:15:00","event_id":1}""", broker),
+      ("""{"event_id":2}""", broker),                 // no producer_ts
+      ("""not json at all""", broker)                 // corrupt envelope
+    ).toDF("v", "timestamp")
+      .select(col("v").cast("binary").as("value"), col("timestamp"))
+    val wire = graft.stream.KafkaJsonSource.projectWire(kafkaShaped)
+    assert(wire.columns.toSet == Set("json", "arrival_ts"))
+    val rows = wire.orderBy("json").collect()
+    val byJson = rows.map(r => r.getString(r.fieldIndex("json")) ->
+      r.getAs[java.time.LocalDateTime]("arrival_ts")).toMap
+    assert(byJson("""{"producer_ts":"2024-01-01 03:15:00","event_id":1}""")
+      == java.time.LocalDateTime.of(2024, 1, 1, 3, 15, 0),
+      "envelope stamp wins: late data stays late through a replay")
+    assert(byJson("""{"event_id":2}""")
+      == java.time.LocalDateTime.of(2024, 1, 1, 8, 0, 0),
+      "missing producer_ts falls back to broker append time")
+    assert(byJson("""not json at all""")
+      == java.time.LocalDateTime.of(2024, 1, 1, 8, 0, 0),
+      "corrupt envelope falls back to broker append time")
+  }
+
+  test("Kafka-shaped file-backed source drives the full ingest e2e " +
+      "through projectWire (the envelope fallback executes in a real stream)") {
+    // The same projection KafkaJsonSource.load applies, fed by a streaming
+    // frame with Kafka's (value: binary, timestamp) shape — the closest
+    // runtime exercise of the production seam an offline sandbox allows.
+    final case class KafkaShapedFileSource(inputDir: String)
+        extends graft.stream.StreamSource {
+      override def load(s: org.apache.spark.sql.SparkSession)
+          : org.apache.spark.sql.DataFrame =
+        graft.stream.KafkaJsonSource.projectWire(
+          s.readStream.text(inputDir)
+            .select(col("value").cast("binary").as("value"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 08:00:00"))
+                .as("timestamp")))
+    }
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    val total = landEnvelopes(input)
+    val q = Ingest.start(spark, KafkaShapedFileSource(input), dirs,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    awaitDone(q)
+    val raw = spark.read.text(dirs.raw).count()
+    val curated = spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated).count()
+    val dlq = spark.read.text(dirs.dlq).count()
+    assert(raw == total, "raw sink is a full passthrough")
+    assert(curated + dlq == total, "curated + dlq partition the stream")
+    // the fixture envelopes all carry producer_ts, so the partition layout
+    // must follow the ENVELOPE hours, not the constant broker stamp —
+    // proving the coalesce picked the producer side in-stream
+    val hours = curatedHours(dirs)
+    assert(hours.size > 1,
+      s"multiple envelope hours partition the lake (got $hours), " +
+        "broker-constant fallback did not swallow producer_ts")
   }
 
   test("writeBatch replay with the same batchId is a no-op per sink") {

@@ -1,24 +1,89 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's t2 correctness gate.
+"""Local mirror of the driver's t2 correctness gate — dtype-strict.
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> [sf_dir]
 
-Reads <out>/oracle_sql.json, runs each oracle in DuckDB over the sf tables,
-loads the Spark parquet result, sorts columns by name on both sides, and
-compares row-by-row in order. Reports exact match / float-tolerance match /
-mismatch per query.
+Reads <out>/oracle_sql.json, runs each oracle in DuckDB over the sf tables
+and fetches the result as ARROW (not pandas — pandas silently float-equates
+a DuckDB HUGEINT/decimal column to Spark's int64, the exact divergence class
+that kept two queries red in rounds 8-10), loads the Spark parquet result
+via pyarrow, sorts columns by name on both sides, and:
+
+  1. FAILS on any arrow-type mismatch (decimal128 vs int64, double vs
+     int64, int32 vs int64, ...) BEFORE comparing values — a value-equal
+     but type-diverging result still fails the driver's type-aware hash.
+     Timestamp timezone annotation is normalized away (Spark parquet may
+     carry isAdjustedToUTC where DuckDB returns naive us-timestamps;
+     the driver compares the instant).
+  2. Compares row-by-row in order. Floats compare by IEEE-754 BITS
+     (0.0 vs -0.0 and 1-ulp diffs are driver hash mismatches even though
+     == or a tolerance would pass them); both-NaN counts as equal.
+
+Per query prints OK / WARN (tolerance-equal floats present — driver WILL
+fail these) / FAIL. All non-bit-identical cells are counted uncapped
+across every column (no early break), and the first MAX_DIFFS are written
+to <out>/<name>_diff.txt with raw hexbits — same artifact semantics as
+ops/ResultDiff.scala.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, struct
+
 import duckdb
-import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 out = sys.argv[1]
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+MAX_DIFFS = 20
+REL_TOL = 1e-9
 
 con = duckdb.connect()
 for p in sorted(glob.glob(f"{sf}/*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical type string: tz annotation dropped (instant-equal),
+    large_string folded into string; everything else verbatim, so
+    int32 vs int64 or decimal128 vs int64 is a mismatch."""
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def hexbits(v):
+    if isinstance(v, float) and not math.isnan(v):
+        return struct.pack(">d", v).hex()
+    return "-"
+
+
+def is_null(v):
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def cells_equal(a, b):
+    """(bit_equal, tolerance_equal). Non-floats: bit == tolerance."""
+    an, bn = is_null(a), is_null(b)
+    if an and bn:
+        return True, True
+    if an != bn:
+        return False, False
+    if isinstance(a, float) and isinstance(b, float):
+        bits = struct.pack(">d", a) == struct.pack(">d", b)
+        tol = bits or abs(a - b) <= REL_TOL * max(1.0, abs(a), abs(b))
+        return bits, tol
+    try:
+        eq = a == b
+    except Exception:
+        eq = str(a) == str(b)
+    eq = bool(eq)
+    return eq, eq
+
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
@@ -30,91 +95,80 @@ for name in sorted(oracle):
         fails.append(name)
         continue
     try:
-        exp = con.execute(sql).fetch_df()
+        exp = con.execute(sql).fetch_arrow_table()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fails.append(name)
         continue
     try:
-        got = pd.read_parquet(res_dir)
+        got = pq.read_table(res_dir)
     except Exception as e:
         print(f"FAIL {name}: parquet read error: {e}")
         fails.append(name)
         continue
-    ec, gc = sorted(exp.columns), sorted(got.columns)
+    ec, gc = sorted(exp.column_names), sorted(got.column_names)
     if ec != gc:
         print(f"FAIL {name}: columns differ: oracle={ec} spark={gc}")
         fails.append(name)
         continue
-    exp, got = exp[ec], got[ec]
-    if len(exp) != len(got):
-        print(f"FAIL {name}: rowcount oracle={len(exp)} spark={len(got)}")
+    # dtype gate BEFORE values: a type-diverging column fails the driver's
+    # type-aware hash even when every value compares equal
+    tmis = [
+        (c, norm_type(exp.schema.field(c).type), norm_type(got.schema.field(c).type))
+        for c in ec
+        if norm_type(exp.schema.field(c).type) != norm_type(got.schema.field(c).type)
+    ]
+    if tmis:
+        det = "; ".join(f"{c}: oracle={e} spark={g}" for c, e, g in tmis)
+        print(f"FAIL {name}: arrow dtype mismatch — {det}")
         fails.append(name)
         continue
-    bad = None
-    diffs = []          # every non-bit-identical (col,row) pair, incl. tolerance-equal
-    MAX_DIFFS = 20
-    def hexbits(v):
-        if isinstance(v, float) and not math.isnan(v):
-            import struct
-            return struct.pack(">d", v).hex()
-        return "-"
+    if exp.num_rows != got.num_rows:
+        print(f"FAIL {name}: rowcount oracle={exp.num_rows} spark={got.num_rows}")
+        fails.append(name)
+        continue
+    ev = {c: exp.column(c).to_pylist() for c in ec}
+    gv = {c: got.column(c).to_pylist() for c in ec}
+    n_hard = 0       # uncapped, across ALL columns and rows
+    n_tol = 0        # uncapped tolerance-equal-but-not-bit-identical count
+    diffs = []       # first MAX_DIFFS non-bit-identical cells, any kind
+    first_hard = None
     for c in ec:
-        ev, gv = exp[c].tolist(), got[c].tolist()
-        for i, (a, b) in enumerate(zip(ev, gv)):
-            an = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
-            bn = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
-            if an and bn:
+        ea, ga = ev[c], gv[c]
+        for i in range(len(ea)):
+            a, b = ea[i], ga[i]
+            bits, tol = cells_equal(a, b)
+            if bits:
                 continue
-            if an != bn:
-                bad = bad or (c, i, a, b)
-                if len(diffs) < MAX_DIFFS:
-                    diffs.append((c, i, a, b, "HARD"))
-                break
-            if isinstance(a, float) and isinstance(b, float):
-                if a == b:
-                    continue
-                if len(diffs) < MAX_DIFFS:
-                    kind = "TOL" if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)) else "HARD"
-                    diffs.append((c, i, a, b, kind))
-                if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)):
-                    continue
-                bad = bad or (c, i, a, b); break
+            kind = "TOL" if tol else "HARD"
+            if tol:
+                n_tol += 1
             else:
-                try:
-                    eq = a == b
-                except Exception:
-                    eq = str(a) == str(b)
-                if hasattr(eq, "all"):
-                    eq = bool(pd.Series(eq).all())
-                if not eq:
-                    bad = bad or (c, i, a, b)
-                    if len(diffs) < MAX_DIFFS:
-                        diffs.append((c, i, a, b, "HARD"))
-                    break
-        if bad:
-            break
-    approx = sum(1 for d in diffs if d[4] == "TOL")
+                n_hard += 1
+                if first_hard is None:
+                    first_hard = (c, i, a, b)
+            if len(diffs) < MAX_DIFFS:
+                diffs.append((c, i, a, b, kind))
     if diffs:
-        # Row-level mismatch artifact: first N differing tuples with the
-        # raw IEEE-754 bits of both sides — float divergence between the
-        # engine and a foreign DuckDB build is diagnosable from this file
-        # alone (TOL = tolerance-equal but NOT bit-identical: the driver's
-        # hash compare fails on these even though this script tolerates them).
+        # Row-level mismatch artifact: raw IEEE-754 bits of both sides —
+        # float divergence against a foreign DuckDB build is diagnosable
+        # from this file alone. TOL = tolerance-equal but NOT bit-identical:
+        # the driver's hash compare fails on these too.
         with open(f"{out}/{name}_diff.txt", "w") as f:
             f.write("kind\tcol\trow\toracle\tspark\toracle_hexbits\tspark_hexbits\n")
             for c, i, a, b, kind in diffs:
                 f.write(f"{kind}\t{c}\t{i}\t{a!r}\t{b!r}\t{hexbits(a)}\t{hexbits(b)}\n")
-    if bad:
-        c, i, a, b = bad
+    if first_hard:
+        c, i, a, b = first_hard
         print(f"FAIL {name}: col={c} row={i} oracle={a!r} spark={b!r} "
-              f"(first {len(diffs)} diffs -> {name}_diff.txt)")
+              f"({n_hard} hard / {n_tol} tol diffs; first {len(diffs)} -> {name}_diff.txt)")
         fails.append(name)
-    elif approx:
-        print(f"WARN {name}: {approx} float values only tolerance-equal "
-              f"(driver hash compare may fail! diffs -> {name}_diff.txt)")
+    elif n_tol:
+        print(f"WARN {name}: {n_tol} float values only tolerance-equal "
+              f"(driver hash compare WILL fail! diffs -> {name}_diff.txt)")
+        fails.append(name)
     else:
-        print(f"OK   {name} ({len(exp)} rows, {len(ec)} cols)")
+        print(f"OK   {name} ({exp.num_rows} rows, {len(ec)} cols)")
 
 declared = set(oracle)
 result_dirs = {os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)}

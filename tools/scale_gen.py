@@ -18,13 +18,23 @@ Tables and key handling:
                                   K x the events per hour -- the correct
                                   shape for a throughput sweep)
   documents doc_id shifted; text Caesar-shifted by copy index (translate
-                                  a..z -> rotated alphabet). Token lengths,
-                                  word boundaries, and per-copy dup
-                                  structure are preserved, but copies are
-                                  DISJOINT in shingle space, so near-dup
+                                  a..z -> alphabet rotated by c, digits
+                                  0..9 rotated by c). Token lengths, word
+                                  boundaries, and per-copy dup structure
+                                  are preserved, but copies are DISJOINT
+                                  in shingle space for any shingle that
+                                  contains a letter or (for copies not
+                                  congruent mod 10) a digit, so near-dup
                                   pairs scale linearly (K x within-copy),
                                   not quadratically (the artifact a plain
                                   K x text replication would create).
+                                  Residual collision surface: shingles of
+                                  ONLY punctuation, or only digits between
+                                  copies c = c' (mod 10) -- negligible in
+                                  the prose corpus. K <= 26 is ASSERTED:
+                                  at K = 27 copy 26 would be byte-identical
+                                  to copy 0 and the quadratic artifact
+                                  would silently return.
                                   Vocab grows K x -- correct for BM25 /
                                   tf-idf / BPE-train slope measurement.
   embeddings vec_id shifted; vector circularly ROTATED by copy index
@@ -33,6 +43,8 @@ Tables and key handling:
                                   cross-copy cosine ~ random), so
                                   cosine-dedup pair counts scale linearly
                                   and ANN corpus size scales K x.
+                                  K <= dims ASSERTED (rotation by c % dims
+                                  repeats at K = dims + 1).
 """
 import os
 import sys
@@ -70,16 +82,22 @@ copy_asis("region")
 copy_asis("nation")
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGIT = "0123456789"
 
 def scale_documents():
+    # K=27 would make copy 26 byte-identical to copy 0 and silently
+    # reintroduce the quadratic cross-copy dup-pair artifact
+    assert K <= 26, f"documents: K={K} > 26 rotations -- copies would repeat"
     did = span("documents", "doc_id")
     parts = []
     for c in range(K):
         rot = ALPHA[c % 26:] + ALPHA[:c % 26]
-        rotu = rot.upper()
+        rotd = DIGIT[c % 10:] + DIGIT[:c % 10]
+        src_map = ALPHA + ALPHA.upper() + DIGIT
+        dst_map = rot + rot.upper() + rotd
         parts.append(
             f"SELECT doc_id + {c * int(did)} AS doc_id, "
-            f"translate(text, '{ALPHA}{ALPHA.upper()}', '{rot}{rotu}') AS text, "
+            f"translate(text, '{src_map}', '{dst_map}') AS text, "
             f"lang, source, n_chars "
             f"FROM '{SRC}/documents.parquet'")
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
@@ -90,6 +108,7 @@ def scale_embeddings():
     dims = con.execute(
         f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
     ).fetchone()[0]
+    assert K <= dims, f"embeddings: K={K} > dims={dims} -- rotations would repeat"
     parts = []
     for c in range(K):
         r = c % dims
