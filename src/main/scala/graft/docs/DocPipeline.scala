@@ -865,10 +865,17 @@ object DocPipeline {
     * DECIMAL straddles rounding ties across engines; see FLOATS.md M3b).
     * The DuckDB oracle mirrors it with `list(pw ORDER BY source)` +
     * `list_reduce`. q and rep_weight are then single IEEE divides of
-    * identical inputs. (General alpha falls back to libm pow, which is
-    * NOT correctly rounded — there the input is snapped to a 12-decimal
-    * grid first and the output snapped again, so last-ulp pow divergence
-    * can't leak downstream; see FLOATS.md.) */
+    * identical inputs.
+    *
+    * General alpha (!= 0.5) is NOT oracle-able: it falls back to libm
+    * pow, which is not correctly rounded, and the 12-decimal input/output
+    * snaps REDUCE but do not eliminate cross-engine divergence — the
+    * output snap is itself a double→shortest-decimal round of a libm
+    * result, exactly the FLOATS.md M1 tie exposure. The oracle implements
+    * only the sqrt branch; do not declare a hashed query with any other
+    * alpha unless the oracle mirrors round(pow(round(p,12),a),12)
+    * bit-for-bit AND the tie exposure is separately pinned (fold-style).
+    * See FLOATS.md "temperature sampling". */
   def temperatureWeights(docs: DataFrame, alpha: Double): DataFrame = {
     val bySrc = tokenCounts(docs)
       .join(docs.select("doc_id", "source"), "doc_id")

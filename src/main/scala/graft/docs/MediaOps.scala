@@ -26,18 +26,44 @@ object MediaOps {
   case class DecodedMeta(media_id: Long, kind: String, byte_len: Long,
                          width: Int, height: Int, channels: Int)
 
+  /** The real-codec seam (the KafkaJsonSource pattern): ONE method that
+    * turns raw payload bytes into decoded metadata. Everything Spark-side
+    * — typed Dataset, per-partition batching, schema, downstream plans —
+    * is written against this trait, so swapping in a real decoder is a
+    * constructor argument, not a rewrite:
+    *
+    * {{{
+    * object ImageIoDecode extends MediaDecoder {           // real deploy
+    *   def decode(r: MediaRow): DecodedMeta = {
+    *     val img = javax.imageio.ImageIO.read(
+    *       new java.io.ByteArrayInputStream(r.payload))
+    *     DecodedMeta(r.media_id, r.kind, r.payload.length.toLong,
+    *       img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    *   }
+    * }
+    * MediaOps.decodeStub(media, ImageIoDecode)
+    * }}}
+    *
+    * Implementations MUST be Serializable (the instance ships to executor
+    * tasks inside the mapPartitions closure) and deterministic per input
+    * bytes (the correctness gate hashes the output). */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRow): DecodedMeta
+  }
+
   /** Deterministic fake decoder — stands in for an image/audio library
     * that is not present in this environment. Real deployments swap this
-    * for e.g. javax.imageio / ffmpeg bindings; the Spark plumbing around
-    * it (typed Dataset, mapPartitions batching) is unchanged. */
-  object FakeDecode {
-    def apply(r: MediaRow): DecodedMeta = {
+    * for e.g. javax.imageio / ffmpeg bindings via the [[MediaDecoder]]
+    * seam; the Spark plumbing around it is unchanged. */
+  object FakeDecode extends MediaDecoder {
+    def decode(r: MediaRow): DecodedMeta = {
       val n = r.payload.length.toLong
       DecodedMeta(r.media_id, r.kind, n,
         width = (64 + n % 512).toInt,
         height = (48 + (n * 7) % 512).toInt,
         channels = if (r.kind == "audio") 2 else 3)
     }
+    def apply(r: MediaRow): DecodedMeta = decode(r)
   }
 
   /** Deterministic media table derived from `documents`: UTF-8 payload
@@ -190,11 +216,17 @@ object MediaOps {
   }
 
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
-    * Dataset processed one partition-iterator at a time. */
-  def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {
+    * Dataset processed one partition-iterator at a time. The decoder is
+    * injected through the [[MediaDecoder]] seam (default: the
+    * deterministic [[FakeDecode]] stand-in); a real-codec deployment
+    * passes its own implementation and the plan shape — narrow
+    * projection in, zero shuffle, embarrassingly parallel per
+    * partition — is identical. */
+  def decodeStub(media: DataFrame,
+                 decoder: MediaDecoder = FakeDecode): Dataset[DecodedMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaRow]
-      .mapPartitions(rows => rows.map(FakeDecode(_)))
+      .mapPartitions(rows => rows.map(decoder.decode))
   }
 }

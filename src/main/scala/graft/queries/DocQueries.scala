@@ -615,7 +615,10 @@ object DocQueries {
     // temperature-scaled mixture weights (q_i ∝ p_i^α, α=0.5): the
     // per-source repetition factors a multilingual/domain-balanced
     // training run feeds into sample_mix_weighted — natural share p from
-    // BPE-token mass, flattened share q, rep_weight = q/p
+    // BPE-token mass, flattened share q, rep_weight = q/p.
+    // ONLY α=0.5 may be declared here: the oracle implements the sqrt
+    // branch only, and the general-α libm-pow path is not oracle-able
+    // (FLOATS.md "temperatureWeights general-α"; scaladoc on the method)
     "sample_temperature" -> ((s, dir) =>
       DocPipeline.temperatureWeights(d(s, dir), 0.5).orderBy("source")),
 

@@ -243,6 +243,27 @@ class DocOpsSpec extends SparkSpec {
     assert(frames(0).getString(2) == expected0)
   }
 
+  test("media decoder seam: custom MediaDecoder swaps in via constructor arg") {
+    import graft.docs.MediaOps.{DecodedMeta, MediaDecoder, MediaRow}
+    val media = Seq(
+      (1L, "image", "abc".getBytes("UTF-8")),
+      (2L, "audio", "defghi".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    // a stand-in "real codec": fixed 2x2 mono output, byte_len from bytes
+    object FixedDecode extends MediaDecoder {
+      def decode(r: MediaRow): DecodedMeta =
+        DecodedMeta(r.media_id, r.kind, r.payload.length.toLong, 2, 2, 1)
+    }
+    val got = MediaOps.decodeStub(media, FixedDecode)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(got(1L) == DecodedMeta(1L, "image", 3L, 2, 2, 1))
+    assert(got(2L) == DecodedMeta(2L, "audio", 6L, 2, 2, 1))
+    // default decoder (the deterministic stub) still runs through the seam
+    val dflt = MediaOps.decodeStub(media).collect().map(m => m.media_id -> m).toMap
+    assert(dflt(1L).byte_len == 3L && dflt(1L).channels == 3)
+    assert(dflt(2L).channels == 2, "audio kind decodes to 2 channels in the stub")
+  }
+
   test("URL canonicalization: host case, tracking params, fragments, slashes") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM/Page/3?utm_source=x#frag"),

@@ -62,20 +62,36 @@ def hexbits(v):
     return "-"
 
 
-def is_null(v):
-    return v is None or (isinstance(v, float) and math.isnan(v))
-
-
 def cells_equal(a, b):
-    """(bit_equal, tolerance_equal). Non-floats: bit == tolerance."""
-    an, bn = is_null(a), is_null(b)
-    if an and bn:
-        return True, True
-    if an != bn:
-        return False, False
+    """(bit_equal, tolerance_equal). Non-floats: bit == tolerance.
+
+    NULL and NaN are DISTINCT: the driver's type-aware hash separates an
+    arrow null from a NaN payload, so None-vs-NaN is a HARD diff here too
+    (equating them recreated the silent local-pass/driver-fail class this
+    script exists to eliminate). Both-None and both-NaN are each equal.
+    Lists recurse elementwise so floats inside e.g. list<double> embedding
+    columns get the same IEEE-bit comparison as scalar columns (plain
+    a == b would pass -0.0 vs 0.0 and fail identical NaN-bearing lists).
+    """
+    if a is None or b is None:
+        eq = a is None and b is None
+        return eq, eq
     if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            eq = math.isnan(a) and math.isnan(b)
+            return eq, eq
         bits = struct.pack(">d", a) == struct.pack(">d", b)
         tol = bits or abs(a - b) <= REL_TOL * max(1.0, abs(a), abs(b))
+        return bits, tol
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            return False, False
+        bits, tol = True, True
+        for x, y in zip(a, b):
+            eb, et = cells_equal(x, y)
+            bits, tol = bits and eb, tol and et
+            if not tol:
+                break
         return bits, tol
     try:
         eq = a == b

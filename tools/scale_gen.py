@@ -32,9 +32,13 @@ Tables and key handling:
                                   ONLY punctuation, or only digits between
                                   copies c = c' (mod 10) -- negligible in
                                   the prose corpus. K <= 26 is ASSERTED:
-                                  at K = 27 copy 26 would be byte-identical
-                                  to copy 0 and the quadratic artifact
-                                  would silently return.
+                                  at K = 27 copy 26 would share ALL letter
+                                  shingles with copy 0 (digits still differ
+                                  unless c = c' mod 10), reintroducing the
+                                  quadratic near-dup artifact. Relaxing the
+                                  bound to lcm(26,10)=130 on the strength
+                                  of the digit rotation would be wrong:
+                                  letter-only shingles dominate prose.
                                   Vocab grows K x -- correct for BM25 /
                                   tf-idf / BPE-train slope measurement.
   embeddings vec_id shifted; vector circularly ROTATED by copy index
@@ -85,8 +89,10 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 DIGIT = "0123456789"
 
 def scale_documents():
-    # K=27 would make copy 26 byte-identical to copy 0 and silently
-    # reintroduce the quadratic cross-copy dup-pair artifact
+    # K=27 would give copy 26 the same letter rotation as copy 0: every
+    # letter shingle collides cross-copy (digits still differ unless
+    # c = c' mod 10, but letter-only shingles dominate prose), silently
+    # reintroducing the quadratic cross-copy dup-pair artifact
     assert K <= 26, f"documents: K={K} > 26 rotations -- copies would repeat"
     did = span("documents", "doc_id")
     parts = []
