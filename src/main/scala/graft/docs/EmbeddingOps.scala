@@ -360,19 +360,32 @@ object EmbeddingOps {
     * semantic outlier preserves diversity, per the paper. Ties (exact
     * copies) drop the higher vec_id, keeping the earliest-ingested.
     *
-    * Scale shape: candidates are an equi-join on the cell id, never
-    * corpus² — the inverted-file layout again (hash-partition by cell,
-    * pairs stay partition-local). A pathologically hot cell is bounded
-    * the way the paper does it: cap cluster size at training time (more
-    * cells), or sub-bucket inside the cell with [[signBucket]].
+    * Scale shape: candidates are an equi-join on (cell, sign-LSH
+    * sub-bucket), never corpus² — the inverted-file layout again
+    * (hash-partition by cell, pairs stay partition-local). The
+    * sub-bucket key (`subBits` leading-dimension sign bits via
+    * [[signBucket]]) is the hot-cell bound the paper reaches by adding
+    * cells at training time: cell COUNT is fixed by the trained
+    * quantizer, so cell size grows linearly with the corpus and
+    * within-cell all-pairs grows quadratically — measured exp 1.28 at
+    * x20 (round 12) with subBits=0. Sign bits cut the candidate set
+    * ~2^subBits× at a recall cost only for pairs straddling a sign
+    * flip in a leading dimension — at thresholds like 0.99 near-dup
+    * pairs almost always share the sign pattern. Production scales
+    * subBits (or the trained cell count) with log(corpus).
     * Output: (cell, vec_a, vec_b, cosine, drop_vec_id). */
-  def semdedupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+  def semdedupPairs(vecs: DataFrame, threshold: Double,
+                    subBits: Int = 0): DataFrame = {
     val v = nearestCells(
       vecs.select(col("vec_id"), col("embedding")), ivfCentroids(vecs), 1)
       .select(col("vec_id"), col("embedding"), col("cell"), col("cdist"),
-        norm(col("embedding")).as("n"))
+        norm(col("embedding")).as("n"),
+        signBucket(col("embedding"), subBits.max(1)).as("sub"))
+    val subKey =
+      if (subBits > 0) col("a.sub") === col("b.sub") else lit(true)
     v.as("a").join(v.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cell") === col("b.cell") && subKey &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
         dot(col("a.embedding"), col("b.embedding")) / (col("a.n") * col("b.n")))
       .filter(col("cosine") >= threshold)

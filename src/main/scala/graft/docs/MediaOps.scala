@@ -176,32 +176,40 @@ object MediaOps {
   }
 
   /** Perceptual average-hash (aHash) near-dup tier for media: bit c of
-    * the 16-bit hash is set iff feature component c exceeds the vector's
-    * own mean — the classic downscale-and-threshold perceptual hash with
-    * [[featureVector]] standing in for the decoder's downscaled grid.
-    * Sits between [[dedupByContent]] (exact bytes) and the embedding
-    * cosine path: catches re-encodes/minor edits that change bytes but
-    * not the coarse luminance layout. Candidate pairs come from 4-bit
-    * band buckets WITHIN kind (the SimHash banding shape — never
-    * all-pairs), confirmed at hamming ≤ `maxHamming`.
+    * the 64-bit hash is set iff feature component c exceeds the vector's
+    * own mean — the classic 8×8 downscale-and-threshold perceptual hash
+    * with [[featureVector]] (64 components over the leading 256 bytes)
+    * standing in for the decoder's downscaled grid. Sits between
+    * [[dedupByContent]] (exact bytes) and the embedding cosine path:
+    * catches re-encodes/minor edits that change bytes but not the coarse
+    * luminance layout. Candidate pairs come from 16-bit band buckets
+    * WITHIN kind (the SimHash banding shape — never all-pairs),
+    * confirmed at hamming ≤ `maxHamming`; 4 bands guarantee recall for
+    * hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 band intact).
     *
     * Scale shape: hash + bands are narrow projections (the payload never
     * shuffles — only the 8-byte hash and band keys); the pair join is a
-    * bucket equi-join on (kind, band, value). A production 64-bit pHash
-    * raises bits-per-band; the plan shape is unchanged. */
+    * bucket equi-join on (kind, band, value) with 65 536 values per
+    * band. Band WIDTH is the scale knob: a round-12 sweep of the old
+    * 16-bit hash (4-bit bands, 16 buckets) measured exp 1.33 at x20 —
+    * structurally quadratic because every band partitions the corpus
+    * into only 16 buckets; 16-bit bands cut expected bucket size 4096×,
+    * and a corpus where near-identical hashes still flood one bucket is
+    * a true dup cluster whose pairs ARE the answer (cap it upstream
+    * with [[dedupByContent]], the exact tier that runs first). */
   def phashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     val ph = media.select(col("media_id"), col("kind"))
-      .join(featureVector(media, 16), "media_id")
+      .join(featureVector(media, 64), "media_id")
       .withColumn("_mean",
-        aggregate(col("features"), lit(0.0), (a, x) => a + x) / 16.0)
-      .withColumn("phash", (0 until 16).map(c =>
+        aggregate(col("features"), lit(0.0), (a, x) => a + x) / 64.0)
+      .withColumn("phash", (0 until 64).map(c =>
         when(element_at(col("features"), c + 1) > col("_mean"), lit(1L << c))
-          .otherwise(lit(0L))).reduce(_ + _))
+          .otherwise(lit(0L))).reduce(_ bitwiseOR _))
       .select("media_id", "kind", "phash")
     val bands = ph.select(col("media_id"), col("kind"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("phash"), b * 4).bitwiseAND(lit(15L)).as("bval"))): _*)).as("bb"))
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("bb"))
       .select(col("media_id"), col("kind"), col("phash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
     bands.as("a").join(bands.as("b"),

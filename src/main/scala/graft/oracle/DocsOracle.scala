@@ -257,7 +257,9 @@ object DocsOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** IVF ANN CTE chain (coarse quantizer from the label seed, 1-NN cell
-    * assignment, nprobe=2 probes for the `vec_id % 50 = 0` query set,
+    * assignment, nprobe=2 probes for the fixed audit panel
+    * (`vec_id % 50 = 0 AND vec_id < 2000` — caps the panel at 40 probes
+    * so corpus growth cannot grow the audit; see DocQueries.probePanel),
     * cell-scoped cosine scoring) ending in `ranked(query_id, rank,
     * neighbor_id, cosine, cell)`. Interpolated by BOTH consumers — the
     * `ann_ivf` oracle and the `search_hybrid_rrf` oracle's semantic leg
@@ -293,7 +295,7 @@ object DocsOracle {
        |  FROM ranked_cells WHERE crank = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, n AS qn, cell
-       |  FROM ranked_cells WHERE crank <= 2 AND vec_id % 50 = 0
+       |  FROM ranked_cells WHERE crank <= 2 AND vec_id % 50 = 0 AND vec_id < 2000
        |), scored AS (
        |  SELECT p.query_id, a.neighbor_id, a.cell,
        |    ${dotSql("p.qe", "a.ce_v")} / (p.qn * a.cn) AS cosine

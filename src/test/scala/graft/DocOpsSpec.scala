@@ -587,6 +587,16 @@ class DocOpsSpec extends SparkSpec {
       s"near-dup pair found within the cell: $pairs")
     // nothing pairs across cells
     assert(!pairs.keySet.exists { case (x, y) => Set(x, y).intersect(Set(3L, 4L)).nonEmpty })
+    // sign-LSH sub-bucketing: identical vectors share the sign pattern,
+    // so exact dups always survive the subBits key; the (1,2)-style
+    // near pair is the documented recall caveat made concrete — vec 1
+    // has exactly 0.0 in dim 2 where vec 2 has 0.02, a sign flip
+    // (`> 0` puts exact zero on the negative side), so the sub-bucket
+    // key filters that pair
+    val sub = EmbeddingOps.semdedupPairs(dup, 0.99, subBits = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sub == Set((1L, 100001L)),
+      s"exact dup survives sub-bucketing, zero-straddling near pair filtered: $sub")
   }
 
   test("containment catches a quote that Jaccard misses; contained doc is the smaller set") {
