@@ -176,16 +176,20 @@ object MediaOps {
   }
 
   /** Perceptual average-hash (aHash) near-dup tier for media: bit c of
-    * the 64-bit hash is set iff feature component c exceeds the vector's
-    * own mean — the classic 8×8 downscale-and-threshold perceptual hash
-    * with [[featureVector]] (64 components over the leading 256 bytes)
-    * standing in for the decoder's downscaled grid. Sits between
+    * the 64-bit hash is set iff sample c exceeds the payload's own
+    * sample mean — the classic 8×8 downscale-and-threshold perceptual
+    * hash, with a 64-point even resampling of the payload bytes standing
+    * in for the decoder's downscaled grid. Sits between
     * [[dedupByContent]] (exact bytes) and the embedding cosine path:
     * catches re-encodes/minor edits that change bytes but not the coarse
     * luminance layout. Candidate pairs come from 16-bit band buckets
-    * WITHIN kind (the SimHash banding shape — never all-pairs),
-    * confirmed at hamming ≤ `maxHamming`; 4 bands guarantee recall for
-    * hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 band intact).
+    * (the SimHash banding shape — never all-pairs), confirmed at
+    * hamming ≤ `maxHamming`; 4 bands guarantee recall for hamming ≤ 3
+    * (pigeonhole: ≤3 flipped bits leave ≥1 band intact). Like
+    * [[dedupByContent]], candidates are NOT fenced by the declared
+    * `kind` — bytes/perception decide and metadata lies (a re-upload
+    * under a different kind is precisely the dup to catch); both kinds
+    * are carried in the output for triage.
     *
     * Scale shape: hash + bands are narrow projections (the payload never
     * shuffles — only the 8-byte hash and band keys); the pair join is a
@@ -198,12 +202,28 @@ object MediaOps {
     * a true dup cluster whose pairs ARE the answer (cap it upstream
     * with [[dedupByContent]], the exact tier that runs first). */
   def phashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val ph = media.select(col("media_id"), col("kind"))
-      .join(featureVector(media, 64), "media_id")
+    // The 64-sample grid RESAMPLES the whole payload (sample c reads the
+    // byte at 1 + floor(c·len/64)) — the nearest-neighbor analog of
+    // aHash's 8×8 downscale. Zero-PADDING a fixed head window instead is
+    // structurally broken for variable-length payloads: every shorter-
+    // than-window payload gets all-ones leading bands (real bytes sit
+    // above the padding-dragged mean) and all-zero trailing bands, which
+    // funnels unrelated items into a handful of giant band buckets —
+    // measured 27M candidate pairs at x5 and exp ~1.1 with a 40 s x20
+    // constant before the resample (round 12). All 64 samples are real
+    // payload bytes, so the mean is content-scaled and buckets spread.
+    val len = length(col("payload"))
+    val samples = transform(sequence(lit(0), lit(63)), c =>
+      when(len === 0, lit(0)).otherwise(
+        conv(hex(substr(col("payload"),
+          (floor(c * len / 64) + 1).cast("int"), lit(1))), 16, 10)
+          .cast("int")))
+    val ph = media
+      .select(col("media_id"), col("kind"), samples.as("_s"))
       .withColumn("_mean",
-        aggregate(col("features"), lit(0.0), (a, x) => a + x) / 64.0)
+        aggregate(col("_s"), lit(0L), (a, x) => a + x).cast("double") / 64.0)
       .withColumn("phash", (0 until 64).map(c =>
-        when(element_at(col("features"), c + 1) > col("_mean"), lit(1L << c))
+        when(element_at(col("_s"), c + 1) > col("_mean"), lit(1L << c))
           .otherwise(lit(0L))).reduce(_ bitwiseOR _))
       .select("media_id", "kind", "phash")
     val bands = ph.select(col("media_id"), col("kind"), col("phash"),
@@ -213,10 +233,11 @@ object MediaOps {
       .select(col("media_id"), col("kind"), col("phash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
     bands.as("a").join(bands.as("b"),
-        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+        col("a.band") === col("b.band") &&
           col("a.bval") === col("b.bval") && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-        col("a.kind").as("kind"), col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+        col("a.kind").as("kind_a"), col("b.kind").as("kind_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))

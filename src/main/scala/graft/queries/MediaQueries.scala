@@ -41,11 +41,16 @@ object MediaQueries {
           MediaOps.mediaFromDocuments(DocPipeline.documentsWithDups(s, d)))
         .orderBy("media_id")),
 
-    // perceptual-hash near-dup tier: aHash over the decoded grid stand-in,
-    // banded candidates within kind, hamming <= 2 confirm — the layer
-    // between exact byte dedup and embedding cosine
-    "media_phash" -> ((s, d) => MediaOps.phashPairs(media(s, d))
-      .orderBy("media_a", "media_b")),
+    // perceptual-hash near-dup tier over the dup-replay fixture: aHash
+    // (64-point payload resample), 16-bit banded candidates, hamming <= 2
+    // confirm — the layer between exact byte dedup and embedding cosine.
+    // Kind does NOT fence candidates (re-uploads change metadata, not
+    // perception); replays land under a different kind here and are
+    // exactly the pairs the op must still catch
+    "media_phash" -> ((s, d) =>
+      MediaOps.phashPairs(
+          MediaOps.mediaFromDocuments(DocPipeline.documentsWithDups(s, d)))
+        .orderBy("media_a", "media_b")),
 
     // multimodal retrieval end-to-end: opaque binary payload → fixed-dim
     // feature vector (the encoder stand-in) → exact cosine top-3 over the
@@ -136,6 +141,9 @@ object MediaQueries {
           s"CASE WHEN e[${c + 1}] > m THEN $mask ELSE 0::BIGINT END"
         }
         .mkString("(", " | ", ")")
+      // 64-point even resampling of the payload (sample c = byte at
+      // 1 + floor(c*len/64)) — mirrors MediaOps.phashPairs exactly; the
+      // floor-division positions are exact integers on both engines
       graft.oracle.DocsOracle.docsWith(
         s"""mp AS (
            |  SELECT doc_id AS media_id,
@@ -146,13 +154,10 @@ object MediaQueries {
            |      / 64.0 AS m
            |  FROM (
            |    SELECT doc_id, list_transform(generate_series(0, 63),
-           |      c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0
-           |             AS FLOAT)) AS e
-           |    FROM (
-           |      SELECT doc_id, list_transform(generate_series(1, 256),
-           |        i -> CASE WHEN i <= length(text)
-           |               THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
-           |      FROM documents) xb) xe),
+           |      c -> CASE WHEN length(text) = 0 THEN 0
+           |             ELSE ascii(substr(text,
+           |               CAST((c * length(text)) // 64 AS INT) + 1, 1)) END) AS e
+           |    FROM docs_dup) xe),
            |phh AS (SELECT media_id, kind, $bits AS phash FROM mp),
            |phb AS (
            |  SELECT media_id, kind, phash, bb AS band,
@@ -160,10 +165,11 @@ object MediaQueries {
            |  FROM phh, unnest(generate_series(0, 3)) AS g(bb)),
            |phc AS (
            |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-           |    a.kind AS kind, a.phash AS ph_a, b.phash AS ph_b
-           |  FROM phb a JOIN phb b ON a.kind = b.kind AND a.band = b.band
+           |    a.kind AS kind_a, b.kind AS kind_b,
+           |    a.phash AS ph_a, b.phash AS ph_b
+           |  FROM phb a JOIN phb b ON a.band = b.band
            |    AND a.bval = b.bval AND a.media_id < b.media_id)""".stripMargin,
-        """SELECT media_a, media_b, kind, ph_a, ph_b,
+        """SELECT media_a, media_b, kind_a, kind_b, ph_a, ph_b,
           |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
           |FROM phc WHERE bit_count(xor(ph_a, ph_b)) <= 2
           |ORDER BY media_a, media_b""".stripMargin)
