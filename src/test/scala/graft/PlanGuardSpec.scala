@@ -47,4 +47,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"scale-hostile plan shapes in declared queries: $offenders")
   }
+
+  test("ANN audit panels are fixed-size: the id-cap literal survives into " +
+    "the optimized plan") {
+    // Round-12 regression guard: a probe set defined only by a RATE
+    // (vec_id % 50 = 0) grows with the corpus and turns the exact or
+    // cell-scoped scan quadratic (measured exp 1.4-2.1 at x20 before the
+    // caps, SCALING.md). Every audit-panel query must keep an absolute id
+    // cap (< 2000 vecs / < 5000 docs or media) alongside the stride; if a
+    // refactor drops it, this walk stops finding the LessThan literal.
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    val d = sf()
+    val capped = Seq("ann_bruteforce_topk", "ann_ivf", "ann_lsh_bucketed",
+      "ann_ivfpq", "ann_pq_adc", "ann_recall", "media_ann",
+      "search_hybrid_rrf")
+    val missing = capped.filterNot { name =>
+      val qe = SparkEntry.queries(name)(spark, d).queryExecution
+      qe.optimizedPlan.flatMap(_.expressions).exists(_.collectFirst {
+        case lt @ LessThan(_, Literal(v, _))
+            if v == 2000L || v == 5000L => lt
+      }.nonEmpty)
+    }
+    assert(missing.isEmpty,
+      s"rate-only probe panels (id cap missing from plan) in: $missing")
+  }
 }
