@@ -36,11 +36,39 @@ object Memo {
   private def sanitize(key: String): String =
     key.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Whether pinning the read-back scan in the SQL in-memory cache is
+    * SAFE on this session's memory geometry.
+    *
+    * The cache's columnar build (`InMemoryRelation` → `ColumnBuilder`)
+    * grows ~batchSize rows of UNMANAGED heap per column per task before
+    * the block ever reaches the spill-capable MemoryStore; with
+    * document-text columns (KBs/row) and every core building a cache
+    * partition at once, that allocation sits outside Spark's memory
+    * accounting entirely and cannot spill. Measured on the x20 fixtures
+    * (SPILL_PROBE, local[32]): 96 MB heap/core OOM-kills the whole JVM
+    * inside the docs-chain cache build, 128 MB/core completes the full
+    * probe. Below a 192 MB/core floor (0.5× margin over the measured
+    * failure) the memo therefore skips the pin: consumers re-scan the
+    * scratch parquet instead — a bounded columnar read the OS page cache
+    * absorbs, vs an OOM-killed executor. Override with
+    * -Dgraft.memo.cache=always|never (or GRAFT_MEMO_CACHE) for probes. */
+  private val cacheFloorBytesPerCore = 192L * 1024 * 1024
+  private def cacheSafe(df: DataFrame): Boolean =
+    sys.props.get("graft.memo.cache")
+      .orElse(sys.env.get("GRAFT_MEMO_CACHE")) match {
+      case Some("always") => true
+      case Some("never")  => false
+      case _ =>
+        val cores = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+        Runtime.getRuntime.maxMemory() / cores >= cacheFloorBytesPerCore
+    }
+
   /** Write once, read back, pin the (cheaply recomputable) scan. */
   private def materialize(df: DataFrame, k: (Int, String)): DataFrame = {
     val path = s"$scratch/${k._1}_${sanitize(k._2)}"
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path).cache()
+    val back = df.sparkSession.read.parquet(path)
+    if (cacheSafe(back)) back.cache() else back
   }
 
   /** A memo hit whose cache entry was dropped out from under it (an
@@ -49,7 +77,8 @@ object Memo {
     * original chain. `storageLevel` consults the session's CacheManager,
     * so this is a cheap lookup. */
   private def healed(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        && cacheSafe(df))
       df.cache()
     df
   }

@@ -30,6 +30,29 @@ class MemoSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("memo cache pin is heap-aware: graft.memo.cache=never skips the pin, " +
+    "and healed() does not re-add it") {
+    // The SQL cache's columnar build allocates unmanaged heap per column
+    // per task (measured OOM at 96 MB-heap/core on the x20 fixtures,
+    // SPILL_PROBE); below the floor Memo must fall back to the bare
+    // scratch-parquet scan. The test JVM has a roomy heap, so exercise
+    // the decision through its explicit override knob.
+    val key = tmpDir("memospec") + "/nocache"
+    System.setProperty("graft.memo.cache", "never")
+    try {
+      val df = Memo.of(spark, key)(spark.range(1, 51).toDF("v"))
+      assert(df.count() == 50)
+      assert(df.storageLevel == StorageLevel.NONE,
+        "constrained-heap mode must not pin the columnar cache")
+      // a second hit goes through healed(): still no pin
+      val again = Memo.of(spark, key)(spark.range(1, 51).toDF("v"))
+      assert(again.storageLevel == StorageLevel.NONE,
+        "healed() must respect the no-pin decision, not silently re-cache")
+      assert(again.orderBy("v").limit(2).collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L), "uncached memo still serves the materialized data")
+    } finally System.clearProperty("graft.memo.cache")
+  }
+
   test("Memo.apply concurrent first calls materialize exactly once per key") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = tmpDir("memospec") + "/race"
