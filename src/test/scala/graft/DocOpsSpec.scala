@@ -655,6 +655,7 @@ class DocOpsSpec extends SparkSpec {
       (3L, "apple cherry date elder fig")).toDF("doc_id", "text")
     val got = DocPipeline.cmsHeavyHitters(c, depth = 4, width = 64, topK = 3)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1) // rank order — checkpointed partitions don't promise it
     assert(got.head._2 == "apple" && got.head._3 == 8L, s"true top word: $got")
     assert(got.forall(g => g._4 >= g._3), s"CMS never underestimates: $got")
     // depth*width = 256 counters over 7 words: no collisions → exact

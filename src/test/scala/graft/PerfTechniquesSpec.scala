@@ -168,7 +168,7 @@ class PerfTechniquesSpec extends SparkSpec {
     // and the small side (query terms, df table, census, top-k probes)
     // must broadcast — a SortMergeJoin would mean the Zipf-bounded side
     // got shuffled like a fact table
-    Seq("search_bm25", "text_tfidf", "agg_heavyhitters_cms", "anonymize_k")
+    Seq("search_bm25", "text_tfidf", "anonymize_k")
       .foreach { q =>
         val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
@@ -178,6 +178,15 @@ class PerfTechniquesSpec extends SparkSpec {
         assert(plan.contains("BroadcastHashJoin"),
           s"$q must broadcast its small side:\n${plan.take(1500)}")
       }
+    // agg_heavyhitters_cms now returns an eagerly-checkpointed ≤topK-row
+    // frame (census cached across its two actions, round 12), so its
+    // broadcast joins are explicit broadcast() calls that execute INSIDE
+    // the op — the returned plan is just the checkpoint scan. Assert the
+    // checkpoint shape and that nothing big leaked into the result.
+    val cms = SparkEntry.queries("agg_heavyhitters_cms")(spark, d)
+    assert(cms.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "cms result is the eager checkpoint, not a live corpus-scale plan")
+    assert(cms.count() <= 10, "cms returns the top-k rows only")
     // the z-value projection and chunk stats never pair-explode
     val zo = SparkEntry.queries("cluster_zorder")(spark, d)
       .queryExecution.executedPlan.toString
