@@ -792,23 +792,19 @@ object DocPipeline {
     * by the single most frequent bigram — high values of the latter mark
     * boilerplate/keyword-stuffed docs. Two doc_id-keyed aggregations, both
     * partial-aggregated; docs with <2 tokens get a NULL bigram fraction. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val t = tokenized(docs)
-    val n = size(col("t"))
-    val bigrams = t.select(col("doc_id"), explode(
-      when(n >= 2, transform(sequence(lit(1), n - 1),
-        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-        .otherwise(array())).as("bg"))
-    val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("topc"), sum(col("c")).as("total"))
-    val tokStats = t.select(col("doc_id"), explode(col("t")).as("w"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("w")).as("dt"), count(lit(1)).as("ntok"))
-    tokStats.join(bgStats, Seq("doc_id"), "left")
+  def repetitionStats(docs: DataFrame): DataFrame =
+    // Per-row codegen expression over the standard token split — the
+    // composed explode×2 + 3-shuffle shape collapsed into the scan
+    // projection (see [[graft.functions.RepetitionStats]]); ratios are
+    // exact-long IEEE divides, so parity with the old shape and the
+    // oracle is structural, not numeric luck.
+    tokenized(docs)
       .select(col("doc_id"),
-        (col("dt").cast("double") / col("ntok")).as("type_token_ratio"),
-        (col("topc").cast("double") / col("total")).as("top_bigram_frac"))
-  }
+        graft.functions.RepetitionStats.of(col("t")).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.type_token_ratio").as("type_token_ratio"),
+        col("st.top_bigram_frac").as("top_bigram_frac"))
 
   /** Token counting: whitespace tokens + BPE-ish regex pieces
     * (letter runs | single digits | single punctuation). */
@@ -822,27 +818,25 @@ object DocPipeline {
     * gibberish / encoding-garbage detector that complements the
     * token-level quality scores — near-zero entropy is a repeated-char
     * run, ~log(alphabet) is random bytes; natural prose sits in a narrow
-    * band between. One narrow char explode into (doc, char) counts + two
-    * map-side-combined groupBys — |doc|×|alphabet| rows through the
-    * shuffle, never raw text. Each −p·ln p term is rounded to 12
-    * decimals BEFORE the DECIMAL sum so ln (the one libm op) can't shift
-    * the hash and row order can't move the total (the bigramLogprob
-    * pattern). */
-  def charEntropy(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("doc_id")
-      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct_chars"))
-    counts.join(totals, "doc_id")
-      .withColumn("p", col("c").cast("double") / col("total"))
-      .withColumn("term", round(-(col("p") * log(col("p"))), 12))
-      .groupBy("doc_id")
-      .agg(max(col("total")).as("n_chars"),
-        max(col("distinct_chars")).as("distinct_chars"),
-        sum(col("term").cast("decimal(27,12)")).cast("double").as("entropy"))
-  }
+    * band between. Computed per ROW by the
+    * [[graft.functions.CharEntropyStats]] codegen expression — the
+    * histogram lives inside the scan projection, so the operator has
+    * ZERO shuffles and the text never leaves the scan stage (the old
+    * composed shape exploded ~N_chars (doc, char) rows through two
+    * groupBys; measured 6.1 s → sub-second at x20). The expression
+    * reproduces the composed arithmetic bit-for-bit: per distinct char,
+    * −p·ln p (StrictMath.log = Catalyst Log) rounded to 12 decimals
+    * (Catalyst Round semantics) BEFORE an exact DECIMAL sum, so libm
+    * can't shift the hash and char order can't move the total (the
+    * bigramLogprob pattern, now inside one expression). */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.CharEntropyStats.of(col("text")).as("st"))
+      .filter(col("st").isNotNull) // empty docs: absent, as before
+      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+        col("st.distinct_chars").as("distinct_chars"),
+        col("st.entropy").as("entropy"))
 
   /** Temperature-scaled source mixture (the multilingual-sampling
     * standard, public knowledge: q_i ∝ p_i^alpha — alpha=1 keeps the

@@ -186,6 +186,54 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy_stats: histogram facts, composed-form parity, empty is NULL") {
+    val df = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.CharEntropyStats.of(col("text")).as("st"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(got(4L).isEmpty, "empty text is NULL (doc stays absent downstream)")
+    val uniform4 = got(2L).get
+    assert(uniform4.getLong(0) == 4L && uniform4.getLong(1) == 4L)
+    assert(math.abs(uniform4.getDouble(2) - math.log(4)) < 1e-9,
+      "4 distinct chars uniform = ln 4 nats")
+    assert(got(3L).get.getDouble(2) == 0.0, "single-char run has zero entropy")
+    // bit parity with the composed explode+round+decimal-sum form it replaced
+    val composed = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "").groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("term", round(-(col("c").cast("double") / col("total") *
+        log(col("c").cast("double") / col("total"))), 12))
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(27,12)")).cast("double").as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    composed.foreach { case (id, e) =>
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(got(id).get.getDouble(2)),
+        s"doc $id: expression must be bit-identical to the composed form")
+    }
+  }
+
+  test("repetition_stats: ttr and top-bigram share, single-token doc has NULL bigram frac") {
+    val df = Seq(
+      (1L, "a b a b a b"),     // 2 types / 6 tokens; "a b" bigram 3 of 5
+      (2L, "x"),               // single token: no bigrams
+      (3L, "p q r s"))         // all distinct; every bigram unique
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.RepetitionStats.of(
+        split(trim(col("text")), "\\s+")).as("st"))
+      .select(col("doc_id"), col("st.type_token_ratio").as("ttr"),
+        col("st.top_bigram_frac").as("tbf"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == ((2.0 / 6.0, Some(3.0 / 5.0))), s"repeated bigram dominates: $got")
+    assert(got(2L) == ((1.0, None)), "single token: ttr 1, bigram frac NULL")
+    assert(got(3L) == ((1.0, Some(1.0 / 3.0))), "distinct corpus: unique bigrams")
+  }
+
   test("safeDivide guards zero/negative denominators") {
     val r = Seq((1.0, 0.0), (1.0, 2.0), (1.0, -1.0)).toDF("a", "b")
       .select(safeDivide(col("a"), col("b"))).collect().map(r => Option(r.get(0)))
