@@ -246,30 +246,28 @@ object DocPipeline {
 
   /** 64-bit SimHash per doc over whitespace-token hashes (multiset): one
     * groupBy(doc_id) with 64 partial ±1 sums, bit j set iff sum > 0. */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val tokenHashes = tokenized(docs)
-      .select(col("doc_id"), explode(col("t")).as("w"))
-      .select(col("doc_id"), hash64Id(col("w")).as("h"))
-    val sums = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val grouped = tokenHashes.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    grouped.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhashes(docs: DataFrame): DataFrame =
+    // Per-row codegen expression (see [[graft.functions.SimhashFromTokens]]):
+    // the old explode + 64-aggregate groupBy pushed every token occurrence
+    // through a shuffle to compute what is a per-document scalar. Same
+    // sha256-prefix token hash, same ±1 bit votes with ties → 0, so the
+    // signature (and every banded candidate downstream) is bit-identical.
+    tokenized(docs).select(col("doc_id"),
+      graft.functions.SimhashFromTokens.of(col("t")).as("simhash"))
 
   /** Banded candidate pairs over a (cached) simhash frame: any equal
     * 16-bit chunk makes a pair a candidate. Shared by [[simhashPairs]]
     * and [[editDistPairs]] — an equi-join on the band key, never
     * corpus². */
-  private def simhashCandidates(sim: DataFrame): DataFrame = {
-    val bandCols = (0 until SimhashBits / SimhashBandBits).map { b =>
+  /** The 16-bit band keys of a simhash column. */
+  private def simhashBandKeys: Seq[Column] =
+    (0 until SimhashBits / SimhashBandBits).map { b =>
       concat_ws(":", lit(s"b$b"),
         shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask))
     }
-    val bands = sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+
+  private def simhashCandidates(sim: DataFrame): DataFrame = {
+    val bands = sim.select(col("doc_id"), explode(array(simhashBandKeys: _*)).as("bk"))
     bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -277,17 +275,28 @@ object DocPipeline {
   }
 
   /** Near-dup pairs: banded candidates (any 16-bit chunk equal) filtered
-    * to Hamming distance ≤ maxHamming. */
+    * to Hamming distance ≤ maxHamming.
+    *
+    * The simhash rides THROUGH the band frame, so the hamming filter
+    * runs directly on the band self-join's output and `distinct` only
+    * sees surviving pairs — no join-backs onto the signature frame and
+    * no distinct over the full candidate multiset (a pair matching in
+    * k bands costs k cheap xors instead of k rows through a distinct
+    * plus two joins). [[simhashCandidates]] keeps the candidates-only
+    * shape for [[editDistPairs]], where carrying text through the bands
+    * would be the mistake. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sim = simhashes(docs).cache()
-    val pairs = simhashCandidates(sim)
-      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+    val sim = simhashes(docs).cache() // both self-join sides, one sha256 pass
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(array(simhashBandKeys: _*)).as("bk"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       // Same hygiene as minhashLshPairsFromSignatures: the simhash cache
-      // serves one action, the small pair list survives it.
+      // serves one action, the surviving pair list outlives it.
       .localCheckpoint(true)
     sim.unpersist(false)
     pairs

@@ -45,6 +45,80 @@ class PropertySpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty)
   }
 
+  test("per-row text expressions are bit-identical to the composed shapes they replaced (ScalaCheck)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Random docs over a small alphabet (forces repeats) plus unicode and
+    // whitespace runs — the shapes most likely to expose split/codepoint
+    // or tie-rounding divergence between the expression and the old plan.
+    val word = Gen.oneOf(Gen.stringOfN(3, Gen.oneOf('a', 'b', 'ü')),
+      Gen.oneOf("aa", "ab", "κόσμε", "x1", "..", "a"))
+    val doc = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    forAll(doc, n = 60)(texts += _)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      .cache()
+    // entropy: expression vs composed explode + round + decimal sum
+    val exprEnt = graft.docs.DocPipeline.charEntropy(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val compEnt = df
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "").groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("term", round(-(col("c").cast("double") / col("total") *
+        log(col("c").cast("double") / col("total"))), 12))
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(27,12)")).cast("double").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    compEnt.foreach { case (id, e) =>
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(exprEnt(id)),
+        s"entropy parity broke on doc $id: ${texts(id.toInt)}")
+    }
+    // simhash: expression vs the 64-aggregate vote plan
+    val t = graft.docs.DocPipeline.tokenized(df)
+    val exprSim = graft.docs.DocPipeline.simhashes(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val th = t.select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"), graft.functions.TaxiFunctions.hash64Id(col("w")).as("h"))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val compSim = th.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), (0 until 64)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    compSim.foreach { case (id, s) =>
+      assert(s == exprSim(id), s"simhash parity broke on doc $id: ${texts(id.toInt)}")
+    }
+    // repetition: expression vs explode×2 + left-join shape
+    val exprRep = graft.docs.DocPipeline.repetitionStats(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val n = size(col("t"))
+    val bg = t.select(col("doc_id"), explode(
+      when(n >= 2, transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array())).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topc"), sum(col("c")).as("total"))
+    val compRep = t.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id").agg(countDistinct(col("w")).as("dt"), count(lit(1)).as("ntok"))
+      .join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("dt").cast("double") / col("ntok")).as("ttr"),
+        (col("topc").cast("double") / col("total")).as("tbf"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    compRep.foreach { case (id, v) =>
+      assert(v == exprRep(id), s"repetition parity broke on doc $id: ${texts(id.toInt)}")
+    }
+    df.unpersist()
+  }
+
   test("hash64 is deterministic, non-negative, and spread (ScalaCheck)") {
     forAll(Gen.asciiPrintableStr) { (s: String) =>
       val a = Sha256Prefix64Util.hash64(UTF8String.fromString(s))
