@@ -203,29 +203,20 @@ object MediaOps {
     * with [[dedupByContent]], the exact tier that runs first). */
   def phashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     // The 64-sample grid RESAMPLES the whole payload (sample c reads the
-    // byte at 1 + floor(c·len/64)) — the nearest-neighbor analog of
-    // aHash's 8×8 downscale. Zero-PADDING a fixed head window instead is
+    // byte at floor(c·len/64)) — the nearest-neighbor analog of aHash's
+    // 8×8 downscale. Zero-PADDING a fixed head window instead is
     // structurally broken for variable-length payloads: every shorter-
     // than-window payload gets all-ones leading bands (real bytes sit
     // above the padding-dragged mean) and all-zero trailing bands, which
     // funnels unrelated items into a handful of giant band buckets —
     // measured 27M candidate pairs at x5 and exp ~1.1 with a 40 s x20
-    // constant before the resample (round 12). All 64 samples are real
-    // payload bytes, so the mean is content-scaled and buckets spread.
-    val len = length(col("payload"))
-    val samples = transform(sequence(lit(0), lit(63)), c =>
-      when(len === 0, lit(0)).otherwise(
-        conv(hex(substr(col("payload"),
-          (floor(c * len / 64) + 1).cast("int"), lit(1))), 16, 10)
-          .cast("int")))
+    // constant before the resample (round 12). The sampling + mean
+    // threshold run inside [[graft.functions.AHash64]] (one byte read
+    // per sample instead of the substr→hex→conv string round trip;
+    // definition bit-identical, see its scaladoc).
     val ph = media
-      .select(col("media_id"), col("kind"), samples.as("_s"))
-      .withColumn("_mean",
-        aggregate(col("_s"), lit(0L), (a, x) => a + x).cast("double") / 64.0)
-      .withColumn("phash", (0 until 64).map(c =>
-        when(element_at(col("_s"), c + 1) > col("_mean"), lit(1L << c))
-          .otherwise(lit(0L))).reduce(_ bitwiseOR _))
-      .select("media_id", "kind", "phash")
+      .select(col("media_id"), col("kind"),
+        graft.functions.AHash64.of(col("payload")).as("phash"))
     val bands = ph.select(col("media_id"), col("kind"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -238,10 +229,13 @@ object MediaOps {
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.kind").as("kind_a"), col("b.kind").as("kind_b"),
         col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
-      .distinct()
+      // hamming is a pure function of (ph_a, ph_b): filtering BEFORE the
+      // distinct means multi-band matches cost extra xors, not extra
+      // rows through the distinct (the simhashPairs shape).
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
