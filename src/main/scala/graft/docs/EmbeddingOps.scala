@@ -166,6 +166,15 @@ object EmbeddingOps {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("x").cast("decimal(27,12)")).cast("double").as("sx"),
         sum((col("x") * col("x")).cast("decimal(27,12)")).cast("double").as("sxx"))
+      // The round-12s here are LOAD-BEARING (measured, round 12): each
+      // x → DECIMAL(27,12) term cast is approximate in DuckDB (scaled-
+      // multiply kernel) vs exact in Java BigDecimal, so sx/sxx drift by
+      // ~1e-12 relative between engines and an UNROUNDED mean diverges
+      // by thousands of ulps (observed live when the rounds were briefly
+      // removed: mean off at the 15th digit at sf0.01). The output snap
+      // re-converges both engines onto the same 10^-12 grid point —
+      // masking term-cast drift is exactly FLOATS.md Class C, not a
+      // gratuitous round.
       .select(col("j"), col("n_vecs"),
         round(col("sx") / col("n_vecs"), 12).as("mean"),
         round(col("sxx") / col("n_vecs")
@@ -185,11 +194,18 @@ object EmbeddingOps {
     *
     * Scale shape: the dims-row stats census broadcasts onto the narrow
     * posexplode, so the only fact-sized shuffle is the per-vector sum
-    * regroup. Determinism: mean/std arrive pre-rounded to 12 decimals
-    * (identical doubles both engines), z² is pure IEEE on identical
-    * inputs rounded onto the 10⁻¹² grid, and the per-vector sum
-    * accumulates as DECIMAL(30,12) — exact, order-free, and exactly
-    * castable to double (backing ≤ dims·z²·10¹² ≪ 2⁵³). */
+    * regroup. Determinism: mean/std arrive as pure-IEEE trees over
+    * exact-decimal sums (identical doubles both engines — [[dimStats]]
+    * carries no rounding), z² is then PURE IEEE on
+    * identical inputs — one subtract, one divide, one multiply, each
+    * correctly rounded, so the terms agree bit-for-bit with no snap —
+    * and the per-vector score is an order-pinned left-to-right double
+    * fold in dimension order (the `sample_temperature` normalizer
+    * pattern; collect_list is bounded by dims). The earlier
+    * `round(z², 12) → DECIMAL(30,12)` shape was a FLOATS.md M1 tie
+    * exposure on inputs that already agreed — a gratuitous grid snap —
+    * and a live 1e-12 straddle surfaced at sf0.1 (row `vec_id` 793's
+    * score, `…607` vs `…608`); the fold removes every rounding step. */
   def outlierScores(vecs: DataFrame): DataFrame = {
     val stats = dimStats(vecs).select("j", "mean", "std")
     val pos = vecs.select(col("vec_id"),
@@ -197,21 +213,15 @@ object EmbeddingOps {
       .select(col("vec_id"), (col("p") + 1).as("j"),
         col("x").cast("double").as("x"))
     val z = (col("x") - col("mean")) / col("std")
-    // z² is rounded to 12 decimals BEFORE the decimal cast: the cast of
-    // an arbitrary double to scale 12 is the one approximate step the
-    // two engines may resolve differently (observed 1-row straddles at
-    // sf0.01); a pre-rounded value lands ON the decimal grid, making the
-    // cast exact in both.
-    // The score is the SUM of grid-rounded z² terms, not the mean: the
-    // decimal sum is exact and casts to double exactly (backing ≪ 2⁵³),
-    // so no final rounding is needed — dividing by dims (a power of two)
-    // puts the quotient back on a finer grid where 12-decimal round
-    // TIES are common and the engines' tie-breaking differs.
     pos.join(broadcast(stats), Seq("j"))
-      .select(col("vec_id"), round(z * z, 12).as("z2"))
+      .select(col("vec_id"), col("j"), (z * z).as("z2"))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("dims"),
-        sum(col("z2").cast("decimal(30,12)")).cast("double").as("outlier_score"))
+        aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("z2")))),
+            s => s.getField("z2")),
+          lit(0.0),
+          (acc, x) => acc + x).as("outlier_score"))
       .orderBy(col("outlier_score").desc, col("vec_id"))
   }
 

@@ -1315,11 +1315,11 @@ object DocQueries {
         |      - (sx / n_vecs) * (sx / n_vecs), 0.0)), 12) AS std
         |  FROM mom
         |), zz AS (
-        |  SELECT vec_id,
-        |    round(((x - mean) / std) * ((x - mean) / std), 12) AS z2
+        |  SELECT vec_id, pos.j AS j,
+        |    ((x - mean) / std) * ((x - mean) / std) AS z2
         |  FROM pos JOIN st ON CAST(pos.j AS INT) = st.j)""".stripMargin,
       """SELECT vec_id, CAST(count(*) AS BIGINT) AS dims,
-        |  CAST(sum(CAST(z2 AS DECIMAL(30,12))) AS DOUBLE) AS outlier_score
+        |  list_reduce(list(z2 ORDER BY j), (acc, v) -> acc + v) AS outlier_score
         |FROM zz GROUP BY 1 ORDER BY outlier_score DESC, vec_id""".stripMargin),
 
     "agg_topk_per_group" ->
