@@ -119,6 +119,47 @@ class PropertySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("ahash64 is bit-identical to the composed substr/hex/conv resample it replaced (ScalaCheck)") {
+    import spark.implicits._
+    // Random payloads across the shapes that stress the resample: empty,
+    // shorter than 64 bytes (sample indices repeat), exactly 64, long,
+    // constant (mean ties: sample > mean must be strict), high bytes
+    // (unsigned read), and runs (coarse structure).
+    val payload = Gen.oneOf(
+      Gen.const(List.empty[Int]),
+      Gen.chooseNum(1, 63).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))),
+      Gen.listOfN(64, Gen.chooseNum(-128, 127)),
+      Gen.chooseNum(65, 400).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))),
+      Gen.chooseNum(1, 200).map(n => List.fill(n)(7)),
+      Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n, Gen.oneOf(-1, -128, 0, 127))))
+      .map(_.map(_.toByte).toArray)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    forAll(payload, n = 80)(rows += _)
+    val df = rows.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toSeq.toDF("id", "payload")
+    val len = length(col("payload"))
+    val samples = transform(sequence(lit(0), lit(63)), c =>
+      when(len === 0, lit(0)).otherwise(
+        conv(hex(substr(col("payload"),
+          (floor(c * len / 64) + 1).cast("int"), lit(1))), 16, 10)
+          .cast("int")))
+    val composed = df.select(col("id"), samples.as("_s"))
+      .withColumn("_mean",
+        aggregate(col("_s"), lit(0L), (a, x) => a + x).cast("double") / 64.0)
+      .withColumn("ph", (0 until 64).map(c =>
+        when(element_at(col("_s"), c + 1) > col("_mean"), lit(1L << c))
+          .otherwise(lit(0L))).reduce(_ bitwiseOR _))
+      .select("id", "ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.select(col("id"),
+        graft.functions.AHash64.of(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    composed.foreach { case (id, h) =>
+      assert(h == native(id),
+        s"ahash parity broke on payload $id (len=${rows(id.toInt).length})")
+    }
+  }
+
   test("hash64 is deterministic, non-negative, and spread (ScalaCheck)") {
     forAll(Gen.asciiPrintableStr) { (s: String) =>
       val a = Sha256Prefix64Util.hash64(UTF8String.fromString(s))
