@@ -57,11 +57,7 @@ object DocQueries {
     * gate results are unchanged; it binds on scale_gen replicas and in
     * production. Oracles mirror it verbatim (incl.
     * [[graft.oracle.DocsOracle.ivfRankedCtes]]). */
-  private def probePanel(c: Column): Column = c % 50 === 0 && c < 2000
-
-  /** Fixed retrieval panel on the documents side (first 100 strided
-    * doc_ids) — same rationale as [[probePanel]]. */
-  private def docPanel(c: Column): Column = c % 50 === 0 && c < 5000
+  private def probePanel(c: Column): Column = Panels.annProbe(c)
 
   /** The corpus shingle index, materialized once per session — the
     * in-session analog of the persisted shingle/signature table a 100 TB
@@ -205,13 +201,15 @@ object DocQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
-    // eval set = every 40th doc; corpus docs sharing ≥2 distinct 3-gram
-    // shingles with an eval doc (other than themselves) are contaminated.
-    // The eval index is a FILTER of the corpus shingle index (shingles
-    // are per-doc, so this equals shingling the filtered docs).
+    // eval suite = the fixed [[Panels.contamEval]] panel (125 docs, a
+    // benchmark is a FIXED artifact, never a corpus fraction); corpus
+    // docs sharing ≥2 distinct 3-gram shingles with an eval doc (other
+    // than themselves) are contaminated. The eval index is a FILTER of
+    // the corpus shingle index (shingles are per-doc, so this equals
+    // shingling the filtered docs).
     "contamination_ngram" -> ((s, dir) =>
       DocPipeline.contaminationFromShingles(shingles(s, dir),
-        shingles(s, dir).filter(col("doc_id") % 40 === 0), 2)
+        shingles(s, dir).filter(Panels.contamEval(col("doc_id"))), 2)
         .orderBy("doc_id")),
 
     // connected components over the MinHash-LSH near-dup graph: component
@@ -374,6 +372,7 @@ object DocQueries {
           sha2(concat(col("text"),
             when(col("doc_id") % 13 === 0, lit(" v1")).otherwise(lit(""))),
             256).as("h_old"))
+        // corpus-fraction: synthetic prev-snapshot extra rows, not a panel
         .union(d(s, dir).filter(col("doc_id") % 19 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"),
             sha2(col("text"), 256).as("h_old")))
@@ -499,11 +498,12 @@ object DocQueries {
       .orderBy("doc_id")),
 
     // decontamination with a Bloom prefilter before the confirm join;
-    // eval set = every 25th doc, flagged at >= 2 shared shingles. Result
-    // is exact (the bloom only prunes), so the oracle is the plain join.
+    // eval suite = the fixed [[Panels.bloomEval]] panel (200 docs),
+    // flagged at >= 2 shared shingles. Result is exact (the bloom only
+    // prunes), so the oracle is the plain join.
     "decontaminate_bloom" -> ((s, dir) =>
       DocPipeline.bloomContaminationFromShingles(shingles(s, dir),
-        shingles(s, dir).filter(col("doc_id") % 25 === 0), 2)
+        shingles(s, dir).filter(Panels.bloomEval(col("doc_id"))), 2)
         .orderBy("doc_id")),
 
     // incremental dedup: new batch (doc_id % 3 == 0) against the persisted
@@ -514,6 +514,7 @@ object DocQueries {
       val sh = shingles(s, dir)
       DocPipeline.incrementalLshPairsFromSignatures(
         DocPipeline.signaturesFromShingles(sh.filter(col("doc_id") % 3 =!= 0)),
+        // corpus-fraction: the NEW batch is a corpus split by semantics
         DocPipeline.signaturesFromShingles(sh.filter(col("doc_id") % 3 === 0)), 0.5)
         .orderBy("new_doc_id", "existing_doc_id")
     }),
@@ -597,7 +598,7 @@ object DocQueries {
       val losers = components(s, dir).filter(!col("is_keeper"))
         .select(col("doc_id")).withColumn("dup_loser", lit(true))
       val contam = DocPipeline.contaminationFromShingles(shingles(s, dir),
-          shingles(s, dir).filter(col("doc_id") % 40 === 0), 2)
+          shingles(s, dir).filter(Panels.contamEval(col("doc_id"))), 2)
         .select(col("doc_id")).withColumn("contaminated", lit(true))
       base.select("doc_id", "lang")
         .join(c4, "doc_id").join(quality, "doc_id")
@@ -689,12 +690,16 @@ object DocQueries {
     // (RRF, Cormack/Clarke/Buettcher SIGIR 2009 — public method, k=60):
     // the lexical ranking is a shingle-Jaccard more-like-this over the
     // memoized inverted shingle index (equi-join on h; the query side is
-    // the fixed doc_id%50 census, so the join is candidate-generated,
-    // never all-pairs, and the df-cap kills hot-shingle buckets exactly
-    // as the dedup lane does), the semantic ranking is the IVF cosine
-    // top-10. RRF scores are 1/(60+rank) sums over ≤2 fixed terms — no
-    // order-dependent float accumulation, so the oracle lands on the
-    // identical doubles.
+    // the SAME fixed [[probePanel]] as the semantic leg, so the join is
+    // candidate-generated, never all-pairs, and the df-cap kills
+    // hot-shingle buckets exactly as the dedup lane does), the semantic
+    // ranking is the IVF cosine top-10. One shared panel for BOTH legs:
+    // every fused query_id carries a lexical AND a semantic ranking —
+    // an asymmetric-panel fusion (round ≤12 used a wider doc panel on
+    // the lexical leg) silently degrades to lexical-only RRF for the
+    // query ids outside the narrower panel. RRF scores are 1/(60+rank)
+    // sums over ≤2 fixed terms — no order-dependent float accumulation,
+    // so the oracle lands on the identical doubles.
     "search_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val sh = shingles(s, dir)
@@ -705,7 +710,7 @@ object DocQueries {
       val sharedCnt = cap.as("q")
         .join(cap.as("d"), col("q.h") === col("d.h") &&
           col("q.doc_id") =!= col("d.doc_id"))
-        .filter(docPanel(col("q.doc_id")))
+        .filter(probePanel(col("q.doc_id")))
         .groupBy(col("q.doc_id").as("query_id"), col("d.doc_id").as("doc_id"))
         .agg(count(lit(1)).as("shared"))
       val lex = sharedCnt
@@ -754,6 +759,7 @@ object DocQueries {
     "dedup_containment" -> ((s, dir) => {
       val base = d(s, dir)
       val quotes = DocPipeline.tokenized(base)
+        // corpus-fraction: synthetic quote-doc injection, not a panel
         .filter(size(col("t")) >= 15 && col("doc_id") % 23 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat_ws(" ", slice(col("t"), 1, 12)).as("text"))
@@ -1410,7 +1416,8 @@ object DocQueries {
          |ORDER BY doc_id""".stripMargin),
 
     "contamination_ngram" -> docsWith(
-      """ev AS (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 40 = 0)""",
+      """ev AS (SELECT doc_id AS eval_doc_id, h FROM shh
+        |      WHERE doc_id % 40 = 0 AND doc_id < 5000)""".stripMargin,
       """SELECT s.doc_id,
         |  CAST(count(DISTINCT e.eval_doc_id) AS BIGINT) AS eval_docs_hit,
         |  CAST(count(DISTINCT s.h) AS BIGINT) AS shared_shingles
@@ -1688,7 +1695,8 @@ object DocQueries {
         |ORDER BY doc_id""".stripMargin),
 
     "decontaminate_bloom" -> docsWith(
-      """bev AS (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 25 = 0)""",
+      """bev AS (SELECT doc_id AS eval_doc_id, h FROM shh
+        |      WHERE doc_id % 25 = 0 AND doc_id < 5000)""".stripMargin,
       """SELECT s.doc_id,
         |  CAST(count(DISTINCT e.eval_doc_id) AS BIGINT) AS eval_docs_hit,
         |  CAST(count(DISTINCT s.h) AS BIGINT) AS shared_shingles
@@ -1841,7 +1849,8 @@ object DocQueries {
          |    FROM documents) raw),
          |cont AS (
          |  SELECT s.doc_id FROM shh s
-         |  JOIN (SELECT doc_id AS eval_doc_id, h FROM shh WHERE doc_id % 40 = 0) e
+         |  JOIN (SELECT doc_id AS eval_doc_id, h FROM shh
+         |        WHERE doc_id % 40 = 0 AND doc_id < 5000) e
          |    ON s.h = e.h AND s.doc_id <> e.eval_doc_id
          |  GROUP BY s.doc_id HAVING count(DISTINCT s.h) >= 2)
          |SELECT d.doc_id, d.lang,
@@ -2148,7 +2157,7 @@ object DocQueries {
          |rrf_shared AS (
          |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS shared
          |  FROM rrf_cap q JOIN rrf_cap d ON q.h = d.h AND q.doc_id <> d.doc_id
-         |  WHERE q.doc_id % 50 = 0 AND q.doc_id < 5000 GROUP BY 1, 2),
+         |  WHERE q.doc_id % 50 = 0 AND q.doc_id < 2000 GROUP BY 1, 2),
          |rrf_lexj AS (
          |  SELECT query_id, rrf_shared.doc_id AS doc_id,
          |    shared::DOUBLE / (sq.n + sd.n - shared) AS jaccard

@@ -64,7 +64,7 @@ object MediaQueries {
           // fixtures, ≤5000 media): a rate-only panel grows with the
           // corpus and makes the exact scan quadratic — measured exp
           // 2.09 at x20 before the cap (SCALING.md round 12)
-          feats.filter(col("vec_id") % 40 === 0 && col("vec_id") < 5000), feats, 3)
+          feats.filter(graft.queries.Panels.mediaAudit(col("vec_id"))), feats, 3)
         .orderBy("query_id", "rank")
     }))
 

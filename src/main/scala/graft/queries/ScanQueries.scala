@@ -192,6 +192,7 @@ object ScanQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .write.mode(SaveMode.Overwrite).parquet(out)
       // generation 2: upstream starts shipping two extra columns
+      // corpus-fraction: the evolved-schema generation is a data split
       li.filter(col("l_orderkey") % 4 === 0)
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_discount", "l_returnflag")
@@ -415,7 +416,9 @@ object ScanQueries {
       val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(dir), true) // clean 2-version history per run
       val t = graft.ops.SnapshotTable(s, dir, docs.schema)
+      // corpus-fraction (x2): the two snapshot versions are data splits
       t.overwrite(docs.filter(col("doc_id") % 2 === 0))
+      // corpus-fraction: second snapshot version, a data split
       t.overwrite(docs.filter(col("doc_id") % 3 === 0)
         .withColumn("n_chars",
           when(col("doc_id") % 12 === 0, col("n_chars") + 1)
