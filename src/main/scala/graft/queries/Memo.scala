@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialization of shared intermediates.
   *
@@ -11,14 +11,29 @@ import org.apache.spark.sql.DataFrame
   * queries are independent programs over the same fixtures, so without
   * this each would rebuild the whole chain.
   *
-  * Materialization is a scratch-parquet table (the same write-once
-  * read-many pattern as [[graft.batch.Runner]]), NOT a bare `cache()`:
-  * cached blocks evict under memory pressure and every consumer then
-  * silently re-pays the whole upstream chain — at 100 TB that turns O(1)
-  * reuse into O(chain) per query. With a scratch table the worst case
-  * after eviction is a columnar re-scan of the materialized result. The
-  * read-back frame is additionally cached so the steady-state hit is
-  * still in-memory.
+  * Two tiers, by design:
+  *
+  *  - '''Disk tier (always)''': a scratch-parquet table (the same
+  *    write-once read-many pattern as [[graft.batch.Runner]]), NOT a bare
+  *    `cache()` of the chain: cached blocks evict under memory pressure
+  *    and every consumer then silently re-pays the whole upstream chain —
+  *    at 100 TB that turns O(1) reuse into O(chain) per query. The worst
+  *    case for any consumer is a columnar re-scan of the materialized
+  *    result, with column pruning and pushdown intact (which a cached
+  *    block read does not give), absorbed by the OS page cache.
+  *
+  *  - '''Memory tier (admitted)''': the read-back scan is additionally
+  *    pinned in the SQL in-memory cache ONLY while the aggregate pinned
+  *    estimate fits a storage-pool budget (see [[admit]]). Unbounded
+  *    pinning is the measured round-12 failure mode (SCALING.md): at x20
+  *    the aggregate columnar working set (~10+ GB) exceeds one JVM's
+  *    storage pool, `MEMORY_AND_DISK` blocks churn between the disk
+  *    store and memory (each read re-promotes blocks and evicts others),
+  *    and 8 sub-second queries read 3–12 s IN-SUITE while their isolated
+  *    steady state stayed ~1 s. Refusing the pin past the budget keeps
+  *    those reads on the pruning-friendly parquet scan — bounded,
+  *    page-cache-warm, and churn-free. On a cluster the storage pool
+  *    scales with executors, so the budget simply stops binding.
   *
   * Entries are keyed by the owning SparkSession's identity as well, so a
   * harness that rebuilds its session never sees a frame bound to a
@@ -36,8 +51,62 @@ object Memo {
   private def sanitize(key: String): String =
     key.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Whether pinning the read-back scan in the SQL in-memory cache is
-    * SAFE on this session's memory geometry.
+  // ---- memory-tier admission ----------------------------------------
+
+  /** Estimated in-memory columnar bytes per scratch-parquet byte.
+    * Both representations are compressed-columnar (parquet snappy vs
+    * `InMemoryRelation`'s dictionary/RLE builders), but the in-memory
+    * form keeps wider encodings and per-batch bookkeeping; 3x is the
+    * conservative side of the 1.5–3x range observed on the text-heavy
+    * chains. Estimates only steer admission — being 2x wrong shifts the
+    * cutoff, it never OOMs (the heap floor below guards the build). */
+  private val ColumnarFactor = 3L
+
+  /** Admitted pins: (session identity, key) -> estimated columnar bytes.
+    * Reservations are what [[healed]] consults, so a pin survives an
+    * external `clearCache()` without re-running admission. */
+  private val pinnedEst = TrieMap.empty[(Int, String), Long]
+  private val admission = new Object
+
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(q => java.nio.file.Files.isRegularFile(q))
+      .mapToLong(q => java.nio.file.Files.size(q)).sum()
+    finally s.close()
+  }
+
+  /** Aggregate pin budget: the storage-protected half of the unified
+    * memory region (`(heap - 300 MB reserved) x spark.memory.fraction x
+    * spark.memory.storageFraction`). Pinning past the protected half is
+    * exactly where storage/execution contention — and the round-12
+    * disk-store churn — begins. `-Dgraft.memo.budgetBytes=N` overrides
+    * (probes and the admission spec); a non-numeric value warns once and
+    * falls back, same contract as the cache override. */
+  private def pinBudgetBytes(spark: SparkSession): Long =
+    sys.props.get("graft.memo.budgetBytes").flatMap { raw =>
+      val parsed = raw.trim.toLongOption
+      if (parsed.isEmpty && warnedValues.putIfAbsent(raw, ()).isEmpty)
+        System.err.println(
+          s"[graft.Memo] non-numeric graft.memo.budgetBytes '$raw' — using the storage-pool heuristic")
+      parsed
+    }.getOrElse {
+      val conf = spark.sparkContext.getConf
+      val fraction = conf.getDouble("spark.memory.fraction", 0.6)
+      val storage = conf.getDouble("spark.memory.storageFraction", 0.5)
+      val usable = Runtime.getRuntime.maxMemory() - 300L * 1024 * 1024
+      math.max(0L, (usable * fraction * storage).toLong)
+    }
+
+  /** No single frame may take more than a quarter of the budget: the
+    * frames that blow the budget are exactly the ones whose pin buys the
+    * least (a multi-GB chain read is bandwidth-bound either way, and the
+    * page cache already holds its scratch file), while many small hot
+    * frames fit comfortably beside each other. */
+  private val PerFrameShare = 4L
+
+  /** Whether pinning in the SQL in-memory cache is SAFE on this
+    * session's memory geometry.
     *
     * The cache's columnar build (`InMemoryRelation` → `ColumnBuilder`)
     * grows ~batchSize rows of UNMANAGED heap per column per task before
@@ -47,38 +116,75 @@ object Memo {
     * accounting entirely and cannot spill. Measured on the x20 fixtures
     * (SPILL_PROBE, local[32]): 96 MB heap/core OOM-kills the whole JVM
     * inside the docs-chain cache build, 128 MB/core completes the full
-    * probe. Below a 192 MB/core floor (0.5× margin over the measured
-    * failure) the memo therefore skips the pin: consumers re-scan the
-    * scratch parquet instead — a bounded columnar read the OS page cache
-    * absorbs, vs an OOM-killed executor. Override with
-    * -Dgraft.memo.cache=always|never (or GRAFT_MEMO_CACHE) for probes. */
+    * probe. Below a 192 MB/core floor (0.5x margin over the measured
+    * failure) the memo therefore skips the pin. */
   private val cacheFloorBytesPerCore = 192L * 1024 * 1024
-  private def cacheSafe(df: DataFrame): Boolean =
+  private def heapSafe(df: DataFrame): Boolean = {
+    val cores = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    Runtime.getRuntime.maxMemory() / cores >= cacheFloorBytesPerCore
+  }
+
+  /** Explicit override for probes: `-Dgraft.memo.cache=always|never` (or
+    * env `GRAFT_MEMO_CACHE`), case-insensitive. Any other value warns
+    * ONCE per raw string and falls through to the heuristics — a typo'd
+    * override must not silently change probe semantics. */
+  private val warnedValues = TrieMap.empty[String, Unit]
+  private def overridePref: Option[Boolean] =
     sys.props.get("graft.memo.cache")
-      .orElse(sys.env.get("GRAFT_MEMO_CACHE")) match {
-      case Some("always") => true
-      case Some("never")  => false
-      case _ =>
-        val cores = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-        Runtime.getRuntime.maxMemory() / cores >= cacheFloorBytesPerCore
+      .orElse(sys.env.get("GRAFT_MEMO_CACHE")).flatMap { raw =>
+        raw.trim.toLowerCase match {
+          case "always" => Some(true)
+          case "never"  => Some(false)
+          case _ =>
+            if (warnedValues.putIfAbsent(raw, ()).isEmpty)
+              System.err.println(
+                s"[graft.Memo] unrecognized graft.memo.cache/GRAFT_MEMO_CACHE " +
+                  s"value '$raw' (expected always|never) — using the heap/budget heuristic")
+            None
+        }
+      }
+
+  /** Test/diagnostic hook: the admitted columnar estimate for a key, if
+    * its pin was admitted. */
+  private[graft] def pinnedEstimate(spark: SparkSession, key: String): Option[Long] =
+    pinnedEst.get((System.identityHashCode(spark), key))
+
+  /** Admission = override, else heap floor AND budget fit. Reserves the
+    * estimate on success (under one lock: racing materializations of
+    * different keys must not both think the last slot is theirs). */
+  private def admit(df: DataFrame, k: (Int, String), est: Long): Boolean =
+    admission.synchronized {
+      val ok = overridePref.getOrElse {
+        heapSafe(df) && {
+          val budget = pinBudgetBytes(df.sparkSession)
+          val used = pinnedEst.iterator
+            .collect { case ((s, _), b) if s == k._1 => b }.sum
+          est <= budget / PerFrameShare && used + est <= budget
+        }
+      }
+      if (ok) pinnedEst.put(k, est) else pinnedEst.remove(k)
+      ok
     }
 
-  /** Write once, read back, pin the (cheaply recomputable) scan. */
+  /** Write once, read back, pin the read-back scan if admitted. */
   private def materialize(df: DataFrame, k: (Int, String)): DataFrame = {
     val path = s"$scratch/${k._1}_${sanitize(k._2)}"
     df.write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
-    if (cacheSafe(back)) back.cache() else back
+    if (admit(back, k, dirBytes(path) * ColumnarFactor)) back.cache()
+    back
   }
 
   /** A memo hit whose cache entry was dropped out from under it (an
-    * external `clearCache()`, memory-pressure eviction) re-registers the
-    * cache — recompute is only the scratch-parquet scan, never the
-    * original chain. `storageLevel` consults the session's CacheManager,
-    * so this is a cheap lookup. */
-  private def healed(df: DataFrame): DataFrame = {
+    * external `clearCache()`) re-registers the cache — but ONLY for keys
+    * that passed admission (their budget reservation still stands), and
+    * never under `=never`. Recompute is only the scratch-parquet scan,
+    * never the original chain. `storageLevel` consults the session's
+    * CacheManager, so this is a cheap lookup. */
+  private def healed(df: DataFrame, k: (Int, String)): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-        && cacheSafe(df))
+        && !overridePref.contains(false)
+        && (pinnedEst.contains(k) || overridePref.contains(true)))
       df.cache()
     df
   }
@@ -89,7 +195,7 @@ object Memo {
   private def memo(k: (Int, String), build: => DataFrame): DataFrame = {
     val lock = locks.computeIfAbsent(k, _ => new Object)
     lock.synchronized {
-      healed(frames.getOrElseUpdate(k, materialize(build, k)))
+      healed(frames.getOrElseUpdate(k, materialize(build, k)), k)
     }
   }
 

@@ -53,6 +53,62 @@ class MemoSpec extends SparkSpec {
     } finally System.clearProperty("graft.memo.cache")
   }
 
+  test("pin admission: per-frame share refuses a frame above budget/4; " +
+    "aggregate budget refuses the frame that would overflow; refusals survive healed()") {
+    // A fresh (shared-context) session isolates the budget accounting
+    // from pins other tests made under the suite session.
+    val s2 = spark.newSession()
+    val base = tmpDir("memospec")
+    def frame = s2.range(1, 101).toDF("v").repartition(1)
+    try {
+      // 1. roomy budget: the probe frame pins; learn its admitted estimate
+      System.setProperty("graft.memo.budgetBytes", (1L << 30).toString)
+      val a = Memo.of(s2, s"$base/adm_a")(frame)
+      assert(a.storageLevel != StorageLevel.NONE)
+      val e = Memo.pinnedEstimate(s2, s"$base/adm_a")
+        .getOrElse(fail("admitted pin must record its estimate"))
+
+      // 2. per-frame share: budget 2e holds the frame in aggregate but
+      // the budget/4 share does not -> refused even with room
+      System.setProperty("graft.memo.budgetBytes", (2 * e).toString)
+      val b = Memo.of(s2, s"$base/adm_b")(frame)
+      assert(b.storageLevel == StorageLevel.NONE,
+        "a frame above budget/4 must not pin even when the aggregate budget has room")
+
+      // 3. aggregate budget: 9e admits 8 more identical frames after A,
+      // then refuses the one that would overflow
+      System.setProperty("graft.memo.budgetBytes", (9 * e).toString)
+      val cs = (1 to 10).map(i => i -> Memo.of(s2, s"$base/adm_c$i")(frame))
+      val refused = cs.filter(_._2.storageLevel == StorageLevel.NONE)
+      assert(refused.nonEmpty, "the aggregate budget must eventually refuse a pin")
+      assert(cs.count(_._2.storageLevel != StorageLevel.NONE) >= 6,
+        "frames within the budget still pin")
+      val (ri, rdf) = refused.head
+      assert(Memo.pinnedEstimate(s2, s"$base/adm_c$ri").isEmpty)
+      // healed() must honor the refusal: a re-hit does not sneak a pin in
+      val again = Memo.of(s2, s"$base/adm_c$ri")(frame)
+      assert(again.storageLevel == StorageLevel.NONE,
+        "healed() must not re-pin a key that admission refused")
+      // and the unpinned frame still serves the materialized data
+      assert(rdf.orderBy("v").limit(2).collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L))
+    } finally System.clearProperty("graft.memo.budgetBytes")
+  }
+
+  test("non-numeric graft.memo.budgetBytes falls back to the storage-pool heuristic") {
+    val s2 = spark.newSession()
+    val key = tmpDir("memospec") + "/badbudget"
+    System.setProperty("graft.memo.budgetBytes", "lots")
+    try {
+      // roomy test JVM: the heuristic budget admits a tiny frame, so a
+      // parse failure shows up as the pin going THROUGH, not an exception
+      val df = Memo.of(s2, key)(s2.range(1, 11).toDF("v").repartition(1))
+      assert(df.count() == 10)
+      assert(df.storageLevel != StorageLevel.NONE,
+        "unparseable override must fall back to the heuristic, not refuse pins")
+    } finally System.clearProperty("graft.memo.budgetBytes")
+  }
+
   test("Memo.apply concurrent first calls materialize exactly once per key") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val key = tmpDir("memospec") + "/race"
