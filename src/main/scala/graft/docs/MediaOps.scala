@@ -46,7 +46,18 @@ object MediaOps {
     *
     * Implementations MUST be Serializable (the instance ships to executor
     * tasks inside the mapPartitions closure) and deterministic per input
-    * bytes (the correctness gate hashes the output). */
+    * bytes (the correctness gate hashes the output).
+    *
+    * The full contract is EXECUTABLE: extend
+    * [[graft.MediaDecoderConformance]] (src/test) with the implementation
+    * before swapping it in. The kit pins, with [[FakeDecode]] as the
+    * reference instance: total on garbage/empty/truncated/null payloads
+    * (one corrupt item must never kill a 100 TB decode pass — wrap codec
+    * exceptions into a result, don't leak them), determinism across
+    * re-decode AND across a serialization round-trip (executors see a
+    * deserialized copy), identity/byte_len honesty, positive declared
+    * dims, no payload mutation, and parity through the real
+    * `mapPartitions` path. */
   trait MediaDecoder extends Serializable {
     def decode(r: MediaRow): DecodedMeta
   }
@@ -57,7 +68,9 @@ object MediaOps {
     * seam; the Spark plumbing around it is unchanged. */
   object FakeDecode extends MediaDecoder {
     def decode(r: MediaRow): DecodedMeta = {
-      val n = r.payload.length.toLong
+      // null payload (a null binary cell) decodes as zero-length: the
+      // conformance contract is TOTAL decode, never an executor-killing NPE
+      val n = if (r.payload == null) 0L else r.payload.length.toLong
       DecodedMeta(r.media_id, r.kind, n,
         width = (64 + n % 512).toInt,
         height = (48 + (n * 7) % 512).toInt,
