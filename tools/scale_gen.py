@@ -31,14 +31,15 @@ Tables and key handling:
                                   Residual collision surface: shingles of
                                   ONLY punctuation, or only digits between
                                   copies c = c' (mod 10) -- negligible in
-                                  the prose corpus. K <= 26 is ASSERTED:
-                                  at K = 27 copy 26 would share ALL letter
-                                  shingles with copy 0 (digits still differ
-                                  unless c = c' mod 10), reintroducing the
-                                  quadratic near-dup artifact. Relaxing the
-                                  bound to lcm(26,10)=130 on the strength
-                                  of the digit rotation would be wrong:
-                                  letter-only shingles dominate prose.
+                                  the prose corpus. Copies 0..25 use the
+                                  Caesar rotation (existing fixtures stay
+                                  byte-identical); copies >= 26 switch to
+                                  a seeded random letter PERMUTATION (see
+                                  letter_perm), so K is unbounded -- a
+                                  plain rotation would repeat at K = 27
+                                  and share ALL letter shingles with
+                                  copy 0, reintroducing the quadratic
+                                  near-dup artifact.
                                   Vocab grows K x -- correct for BM25 /
                                   tf-idf / BPE-train slope measurement.
   embeddings vec_id shifted; vector circularly ROTATED by copy index
@@ -88,16 +89,36 @@ copy_asis("nation")
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 DIGIT = "0123456789"
 
+def letter_perm(c):
+    """Per-copy letter substitution. Copies 0..25 keep the original Caesar
+    rotation (existing x5/x20 fixtures stay byte-identical); copies >= 26
+    use a deterministic seeded Fisher-Yates permutation of the alphabet
+    (26! >> any K), so K is unbounded. Cross-copy shingle collisions need
+    the two substitutions to agree on EVERY letter of the shingle --
+    ~26^-k per k-distinct-letter shingle for independent permutations, so
+    near-dup pairs still scale linearly (within-copy only) rather than
+    quadratically. Rotations 0..25 are pairwise non-agreeing on every
+    letter; a random permutation agreeing with a rotation on a whole
+    prose shingle is the same ~26^-k event."""
+    if c < 26:
+        return ALPHA[c:] + ALPHA[:c]
+    # LCG-seeded Fisher-Yates: stable across runs and python versions
+    state = 0x9E3779B9 * (c + 1) & 0xFFFFFFFF
+    def rnd(n):
+        nonlocal state
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        return state % n
+    letters = list(ALPHA)
+    for i in range(25, 0, -1):
+        j = rnd(i + 1)
+        letters[i], letters[j] = letters[j], letters[i]
+    return "".join(letters)
+
 def scale_documents():
-    # K=27 would give copy 26 the same letter rotation as copy 0: every
-    # letter shingle collides cross-copy (digits still differ unless
-    # c = c' mod 10, but letter-only shingles dominate prose), silently
-    # reintroducing the quadratic cross-copy dup-pair artifact
-    assert K <= 26, f"documents: K={K} > 26 rotations -- copies would repeat"
     did = span("documents", "doc_id")
     parts = []
     for c in range(K):
-        rot = ALPHA[c % 26:] + ALPHA[:c % 26]
+        rot = letter_perm(c)
         rotd = DIGIT[c % 10:] + DIGIT[:c % 10]
         src_map = ALPHA + ALPHA.upper() + DIGIT
         dst_map = rot + rot.upper() + rotd
