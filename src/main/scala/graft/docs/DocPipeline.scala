@@ -255,10 +255,6 @@ object DocPipeline {
     tokenized(docs).select(col("doc_id"),
       graft.functions.SimhashFromTokens.of(col("t")).as("simhash"))
 
-  /** Banded candidate pairs over a (cached) simhash frame: any equal
-    * 16-bit chunk makes a pair a candidate. Shared by [[simhashPairs]]
-    * and [[editDistPairs]] — an equi-join on the band key, never
-    * corpus². */
   /** The 16-bit band keys of a simhash column. */
   private def simhashBandKeys: Seq[Column] =
     (0 until SimhashBits / SimhashBandBits).map { b =>
@@ -266,6 +262,10 @@ object DocPipeline {
         shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask))
     }
 
+  /** Banded candidate pairs over a (cached) simhash frame: any equal
+    * 16-bit chunk makes a pair a candidate. Shared by [[simhashPairs]]
+    * and [[editDistPairs]] — an equi-join on the band key, never
+    * corpus². */
   private def simhashCandidates(sim: DataFrame): DataFrame = {
     val bands = sim.select(col("doc_id"), explode(array(simhashBandKeys: _*)).as("bk"))
     bands.as("a")

@@ -194,10 +194,10 @@ object EmbeddingOps {
     *
     * Scale shape: the dims-row stats census broadcasts onto the narrow
     * posexplode, so the only fact-sized shuffle is the per-vector sum
-    * regroup. Determinism: mean/std arrive as pure-IEEE trees over
-    * exact-decimal sums (identical doubles both engines — [[dimStats]]
-    * carries no rounding), z² is then PURE IEEE on
-    * identical inputs — one subtract, one divide, one multiply, each
+    * regroup. Determinism: mean/std arrive PRE-ROUNDED to 12 decimals by
+    * [[dimStats]] (its load-bearing Class-C snap — both engines read the
+    * same 10^-12 grid points), z² is then PURE IEEE on
+    * those identical inputs — one subtract, one divide, one multiply, each
     * correctly rounded, so the terms agree bit-for-bit with no snap —
     * and the per-vector score is an order-pinned left-to-right double
     * fold in dimension order (the `sample_temperature` normalizer
