@@ -45,16 +45,25 @@ object OlapQueries {
     "olap_pricing_summary" -> ((s, d) => {
       val li = graft.Tables(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+      // The sums emit as DECIMAL(38,6), not double: at x20 sum_charge's
+      // unscaled value crosses 2^53 and the decimal->double cast becomes
+      // engine-dependent (FLOATS.md M3a — DuckDB double-rounds int128,
+      // the JVM rounds correctly; measured 1-ulp at x20). The exact
+      // decimal is bit-stable at ANY corpus size. The avgs stay double:
+      // their cast inputs are the same sums, small enough to stay exact
+      // through the swept scales (documented envelope, FLOATS.md).
+      def dsum38(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
       li.groupBy("l_returnflag", "l_linestatus").agg(
-          dsum(dec(col("l_quantity"))).as("sum_qty"),
-          dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          dsum38(dec(col("l_quantity"))).as("sum_qty"),
+          dsum38(dec(col("l_extendedprice"))).as("sum_base_price"),
+          dsum38(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          dsum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
+          dsum38(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
             * rate(lit(1.0) + col("l_tax"))).as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -488,7 +497,10 @@ object OlapQueries {
           .select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("n_dominated"))
-        .orderBy("s_name")
+        // s_name is NOT a supplier identity at scale (replicated fixtures
+        // share names across shifted keys): group stays per-suppkey, and
+        // n_dominated joins the sort so name ties order deterministically
+        .orderBy("s_name", "n_dominated")
     }),
 
     // TPC-H Q15 shape: agg-view max selection — quarter revenue per
@@ -688,13 +700,18 @@ object OlapQueries {
         .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
       val ranked = graft.ops.GlobalRowNumber.withRowNumberExpr(
         rev, "i", Seq(col("rev"), col("o_custkey")))
+      // total_revenue emits as exact DECIMAL(38,6) (its double cast is
+      // M3a-eligible past 2^53 unscaled); gini is a cancellation-heavy
+      // closed form over two big casts that measurably drift 1 ulp at x20
+      // -> Class-C output snap (round 12), same as the OLS moments.
       ranked.agg(
           count(lit(1)).as("n"),
-          sum(col("rev")).cast("double").as("total"),
+          sum(col("rev")).as("total_dec"),
           sum((col("i") * col("rev")).cast("decimal(38,2)")).cast("double").as("s"))
-        .select(col("n").as("n_customers"), col("total").as("total_revenue"),
-          ((lit(2.0) * col("s")) / (col("n") * col("total")) -
-            (col("n") + lit(1.0)) / col("n")).as("gini"))
+        .select(col("n").as("n_customers"),
+          col("total_dec").cast("decimal(38,6)").as("total_revenue"),
+          round((lit(2.0) * col("s")) / (col("n") * col("total_dec").cast("double")) -
+            (col("n") + lit(1.0)) / col("n"), 12).as("gini"))
     }),
   )
 
@@ -723,11 +740,12 @@ object OlapQueries {
         |  FROM crev
         |), ag AS (
         |  SELECT count(*) AS n,
-        |    CAST(SUM(rev) AS DOUBLE) AS total,
+        |    CAST(SUM(rev) AS DECIMAL(38,6)) AS total_dec,
         |    CAST(SUM(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE) AS s
         |  FROM cr)
-        |SELECT n AS n_customers, total AS total_revenue,
-        |  (2.0 * s) / (n * total) - (n + 1.0) / n AS gini
+        |SELECT n AS n_customers, total_dec AS total_revenue,
+        |  round((2.0 * s) / (n * CAST(total_dec AS DOUBLE))
+        |        - (n + 1.0) / n, 12) AS gini
         |FROM ag""".stripMargin,
 
     // UNPIVOT is not universally portable SQL — the oracle spells the
@@ -775,18 +793,18 @@ object OlapQueries {
         |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |), g AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    CAST(SUM(qty) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(ext) AS DOUBLE) AS sum_base_price,
-        |    CAST(SUM(CAST(ext * disc1 AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(SUM(qty) AS DECIMAL(38,6)) AS sum_qty,
+        |    CAST(SUM(ext) AS DECIMAL(38,6)) AS sum_base_price,
+        |    CAST(SUM(CAST(ext * disc1 AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |      AS sum_disc_price,
-        |    CAST(SUM(CAST(ext * disc1 * tax1 AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(SUM(CAST(ext * disc1 * tax1 AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |      AS sum_charge,
         |    count(*) AS count_order
         |  FROM base GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
         |  sum_disc_price, sum_charge, count_order,
-        |  sum_qty / count_order AS avg_qty,
-        |  sum_base_price / count_order AS avg_price
+        |  CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+        |  CAST(sum_base_price AS DOUBLE) / count_order AS avg_price
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "olap_shipping_priority" ->
@@ -950,7 +968,7 @@ object OlapQueries {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey)
-        |GROUP BY s_name
+        |GROUP BY l1.l_suppkey, s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "olap_nation_volume" ->
@@ -1055,7 +1073,8 @@ object OlapQueries {
         |FROM pq JOIN pt USING (l_partkey)
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE sq > 0.4 * tq
-        |GROUP BY 1 ORDER BY s_name""".stripMargin,
+        |GROUP BY l_suppkey, s_name
+        |ORDER BY s_name, n_dominated""".stripMargin,
 
     "olap_top_supplier" ->
       """WITH rev AS (

@@ -51,7 +51,10 @@ object ScanQueries {
       val p = graft.Tables(s, d, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_name"))
       graft.perf.Skew.saltedJoinDeterministic(li, p, "l_partkey", "l_orderkey", 8)
-        .orderBy("l_orderkey", "line_no")
+        // full output order: (l_orderkey, line_no) is NOT unique in the
+        // fixture (duplicate lineitem natural keys), and p_name is a
+        // function of l_partkey — so any remaining tie is an identical row
+        .orderBy("l_orderkey", "line_no", "l_partkey")
     }),
 
     // Explicit-schema projected read with the reference's copy-time type
@@ -67,7 +70,10 @@ object ScanQueries {
         col("l_extendedprice").cast("decimal(10,2)").cast("string").as("price_dec"),
         col("l_shipdate").cast("date").cast("string").as("ship_date"),
         col("l_returnflag").as("flag1"))
-      .orderBy("l_orderkey", "line_no")),
+      // order by every output column: duplicate (l_orderkey, l_linenumber)
+      // pairs exist in the fixture, so ties must be identical rows
+      .orderBy("l_orderkey", "line_no", "qty_dec", "price_dec",
+        "ship_date", "flag1")),
 
     // Headerless positional CSV round trip (curated-CSV shape,
     // ds_curated_csv.json): write 4 rendered cols, read by position with a
@@ -203,7 +209,10 @@ object ScanQueries {
           col("l_quantity").cast("double").as("qty"),
           col("l_discount").cast("double").as("disc"),
           col("l_returnflag").cast("string").as("flag"))
-        .orderBy("l_orderkey", "line_no")
+        // disc/flag are NULL on generation-1 rows: Spark's default asc is
+        // NULLS FIRST, so the oracle must say NULLS FIRST explicitly
+        // (DuckDB defaults to NULLS LAST)
+        .orderBy("l_orderkey", "line_no", "qty", "disc", "flag")
     }),
 
     // PERMISSIVE corrupt-record quarantine: the malformed-line half of
@@ -310,7 +319,7 @@ object ScanQueries {
           col("l_shipdate").cast("date").cast("string").as("ship_date"),
           col("l_returnflag").as("flag"))
         .write.mode(SaveMode.Overwrite).orc(out)
-      s.read.orc(out).orderBy("l_orderkey", "line_no")
+      s.read.orc(out).orderBy("l_orderkey", "line_no", "qty", "ship_date", "flag")
     }),
 
     // Bucketed co-located join (the lake analog of the reference DW's
@@ -491,7 +500,7 @@ object ScanQueries {
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS line_no,
         |  l.l_partkey, p.p_name
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |ORDER BY l.l_orderkey, line_no""".stripMargin,
+        |ORDER BY l.l_orderkey, line_no, l.l_partkey""".stripMargin,
 
     "scan_parquet" -> taxi(
       """SELECT l_orderkey,
@@ -500,7 +509,9 @@ object ScanQueries {
         |  CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS VARCHAR) AS price_dec,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
         |  l_returnflag AS flag1
-        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
+        |FROM lineitem
+        |ORDER BY l_orderkey, line_no, qty_dec, price_dec, ship_date,
+        |  flag1""".stripMargin),
 
     "scan_csv_positional" -> stream(
       """SELECT event_id, vendor_id,
@@ -566,7 +577,9 @@ object ScanQueries {
       """SELECT l_orderkey, l_linenumber AS line_no, l_quantity AS qty,
         |  CASE WHEN l_orderkey % 4 = 0 THEN l_discount END AS disc,
         |  CASE WHEN l_orderkey % 4 = 0 THEN l_returnflag END AS flag
-        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
+        |FROM lineitem
+        |ORDER BY l_orderkey, line_no, qty,
+        |  disc NULLS FIRST, flag NULLS FIRST""".stripMargin),
 
     "sink_table_append" -> stream(
       """SELECT CASE WHEN day(arrival_ts) <= 15 THEN 'b1' ELSE 'b2' END AS batch_id,
@@ -620,7 +633,8 @@ object ScanQueries {
         |  CAST(l_quantity AS DOUBLE) AS qty,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
         |  l_returnflag AS flag
-        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin),
+        |FROM lineitem
+        |ORDER BY l_orderkey, line_no, qty, ship_date, flag""".stripMargin),
 
     // the bucketed layout's contract IS the plain join + agg
     "sink_bucketed" -> taxi(

@@ -95,27 +95,34 @@ object TaxiQueries {
       .select(col("trip_src_id"), paymentCanonCase(trim(col("payment_src"))).as("payment_std"))
       .orderBy("trip_src_id", "payment_std")),
 
+    // All per-row projections below order by EVERY output column, not just
+    // trip_src_id: the fixture's lineitem carries duplicate
+    // (l_orderkey, l_linenumber) pairs, so trip_src_id alone is not a
+    // total order and engines may break the ties differently (measured at
+    // x20: adjacent-row swaps on ~20% of rows). With the full column list
+    // any remaining tie is a fully identical row — swap-invariant under
+    // the row-order hash at ANY corpus size.
     "f_night_flag" -> ((s, d) => trips(s, d)
       .filter(col("pickup_ts").isNotNull)
       .select(col("trip_src_id"), hour(col("pickup_ts")).cast("int").as("pickup_hour"),
         nightFlag(col("pickup_ts")).as("is_night_ride"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "pickup_hour", "is_night_ride")),
 
     "f_date_key" -> ((s, d) => trips(s, d)
       .filter(col("pickup_ts").isNotNull)
       .select(col("trip_src_id"), dateKey(col("pickup_ts")).as("pickup_date_key"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "pickup_date_key")),
 
     "f_time_key" -> ((s, d) => trips(s, d)
       .filter(col("pickup_ts").isNotNull)
       .select(col("trip_src_id"), timeKey(col("pickup_ts")).as("pickup_time_key"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "pickup_time_key")),
 
     "f_duration_min" -> ((s, d) => trips(s, d)
       .filter(col("pickup_ts").isNotNull && col("dropoff_ts").isNotNull)
       .select(col("trip_src_id"),
         durationMin(col("pickup_ts"), col("dropoff_ts")).as("duration_min"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "duration_min")),
 
     "f_sha256_hex" -> ((s, d) => cleanedDf(s, d)
       .select(col("trip_src_id"), col("source_file_name"), TaxiModel.tripId.as("trip_id"))
@@ -126,23 +133,23 @@ object TaxiQueries {
       .select(col("trip_src_id"),
         hash64Id(concat_ws("|", lit("e"), col("trip_src_id").cast("string"),
           isoFormat(col("pickup_ts")), isoFormat(col("dropoff_ts")))).as("stream_trip_id"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "stream_trip_id")),
 
     "f_basename" -> ((s, d) => trips(s, d)
       .select(col("trip_src_id"),
         basename(concat(lit("lake/date=2024/06/01/"), col("source_file_name")))
           .as("file_name"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "file_name")),
 
     "f_truncate" -> ((s, d) => trips(s, d)
       .select(col("trip_src_id"), truncateTo(col("source_file_name"), 6).as("file_prefix"),
         truncateTo(col("payment_src"), 2).as("payment16"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "file_prefix", "payment16")),
 
     "f_iso_format" -> ((s, d) => trips(s, d)
       .filter(col("pickup_ts").isNotNull)
       .select(col("trip_src_id"), isoFormat(col("pickup_ts")).as("pickup_iso"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "pickup_iso")),
 
     "f_concat_payload" -> ((s, d) => trips(s, d)
       .select(col("trip_src_id"),
@@ -167,7 +174,7 @@ object TaxiQueries {
       .select(col("trip_src_id"),
         to_date(coalesce(col("pickup_ts"), lit("2024-01-01 00:00:00").cast("timestamp_ntz")))
           .cast("string").as("ingest_date_derived"))
-      .orderBy("trip_src_id")),
+      .orderBy("trip_src_id", "ingest_date_derived")),
 
     "f_safe_divide" -> ((s, d) => trips(s, d)
       .select(col("trip_src_id"),
@@ -930,25 +937,28 @@ object TaxiQueries {
       """SELECT trip_src_id, CAST(hour(pickup_ts) AS INT) AS pickup_hour,
         |  CASE WHEN hour(pickup_ts) >= 22 OR hour(pickup_ts) <= 5
         |       THEN 1 ELSE 0 END AS is_night_ride
-        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+        |FROM trips WHERE pickup_ts IS NOT NULL
+        |ORDER BY trip_src_id, pickup_hour, is_night_ride""".stripMargin),
 
     "f_date_key" -> taxi(
       """SELECT trip_src_id,
         |  CAST(year(pickup_ts) * 10000 + month(pickup_ts) * 100
         |       + day(pickup_ts) AS INT) AS pickup_date_key
-        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+        |FROM trips WHERE pickup_ts IS NOT NULL
+        |ORDER BY trip_src_id, pickup_date_key""".stripMargin),
 
     "f_time_key" -> taxi(
       """SELECT trip_src_id,
         |  CAST(hour(pickup_ts) * 3600 + minute(pickup_ts) * 60
         |       + second(pickup_ts) AS INT) AS pickup_time_key
-        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+        |FROM trips WHERE pickup_ts IS NOT NULL
+        |ORDER BY trip_src_id, pickup_time_key""".stripMargin),
 
     "f_duration_min" -> taxi(
       """SELECT trip_src_id,
         |  date_diff('minute', pickup_ts, dropoff_ts) AS duration_min
         |FROM trips WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
-        |ORDER BY trip_src_id""".stripMargin),
+        |ORDER BY trip_src_id, duration_min""".stripMargin),
 
     "f_sha256_hex" -> taxi(
       """SELECT trip_src_id, source_file_name,
@@ -972,23 +982,24 @@ object TaxiQueries {
         |      strftime(pickup_ts, '%Y-%m-%dT%H:%M:%S.%g'),
         |      strftime(dropoff_ts, '%Y-%m-%dT%H:%M:%S.%g'))), 1, 16))::UBIGINT AS u
         |  FROM trips WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL) t
-        |ORDER BY trip_src_id""".stripMargin),
+        |ORDER BY trip_src_id, stream_trip_id""".stripMargin),
 
     "f_basename" -> taxi(
       """SELECT trip_src_id,
         |  regexp_extract('lake/date=2024/06/01/' || source_file_name, '[^/]*$')
         |    AS file_name
-        |FROM trips ORDER BY trip_src_id""".stripMargin),
+        |FROM trips ORDER BY trip_src_id, file_name""".stripMargin),
 
     "f_truncate" -> taxi(
       """SELECT trip_src_id, left(source_file_name, 6) AS file_prefix,
         |  left(payment_src, 2) AS payment16
-        |FROM trips ORDER BY trip_src_id""".stripMargin),
+        |FROM trips ORDER BY trip_src_id, file_prefix, payment16""".stripMargin),
 
     "f_iso_format" -> taxi(
       """SELECT trip_src_id,
         |  strftime(pickup_ts, '%Y-%m-%dT%H:%M:%S.%g') AS pickup_iso
-        |FROM trips WHERE pickup_ts IS NOT NULL ORDER BY trip_src_id""".stripMargin),
+        |FROM trips WHERE pickup_ts IS NOT NULL
+        |ORDER BY trip_src_id, pickup_iso""".stripMargin),
 
     "f_concat_payload" -> taxi(
       """SELECT trip_src_id,
@@ -1015,7 +1026,7 @@ object TaxiQueries {
       """SELECT trip_src_id,
         |  CAST(CAST(coalesce(pickup_ts, TIMESTAMP '2024-01-01 00:00:00') AS DATE)
         |    AS VARCHAR) AS ingest_date_derived
-        |FROM trips ORDER BY trip_src_id""".stripMargin),
+        |FROM trips ORDER BY trip_src_id, ingest_date_derived""".stripMargin),
 
     "f_safe_divide" -> taxi(
       """SELECT trip_src_id,
