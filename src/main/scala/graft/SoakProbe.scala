@@ -45,8 +45,17 @@ object SoakProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nSegments = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEGMENTS", "120").toInt
-    val tickMs = sys.env.getOrElse("SPARK_GRAFT_SOAK_TICK_MS", "400").toLong
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Producer tick is deliberately ABOVE per-batch processing capacity:
+    // a steady state where the stream keeps pace (one batch per segment)
+    // is the regime where per-batch latency flatness is measurable. The
+    // first calibration run ticked at 400 ms against a ~2 s batch cost
+    // and measured only backpressure coalescing (7 mega-batches) — valid
+    // behavior, but zero latency statistics.
+    val tickMs = sys.env.getOrElse("SPARK_GRAFT_SOAK_TICK_MS", "2000").toLong
+    // Small micro-batches: 32-way shuffles are pure per-file overhead at
+    // ~1k rows/segment (measured ~9 s/batch at 32 cores vs the data
+    // volume of a sub-second job); 8 cores keeps the 3-sink commit cheap.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,12 +91,15 @@ object SoakProbe {
     val listener = Metrics.attach(spark, metricsDir)
 
     // ---- the two streaming queries ----
+    // both queries poll FASTER than the producer ticks so each segment
+    // lands in its own micro-batch once the stream is keeping pace
+    val pollMs = math.max(200L, tickMs / 4)
     val ingestQ = Ingest.start(spark, SegmentLogStreamSource(segDir), dirs,
-      Trigger.ProcessingTime(s"$tickMs milliseconds"))
+      Trigger.ProcessingTime(s"$pollMs milliseconds"))
     val driftQ = SegmentLogStreamSource(segDir).load(spark)
       .writeStream
       .option("checkpointLocation", s"$base/chk_drift")
-      .trigger(Trigger.ProcessingTime(s"$tickMs milliseconds"))
+      .trigger(Trigger.ProcessingTime(s"$pollMs milliseconds"))
       .foreachBatch { (b: DataFrame, id: Long) =>
         driftTable.append(
           Drift.scoreBatch(binned(b), refCounts, "g", "bin", NBins, 0.25, id)): Unit
@@ -131,7 +143,13 @@ object SoakProbe {
           }
           if (driftTable.exists) {
             Maintenance.compactSnapshots(Seq("drift" -> driftTable))
-            driftTable.vacuum(keepVersions = 2, minAgeMs = 0L)
+            // minAgeMs is the vacuum contract's in-flight-commit guard,
+            // NOT tunable to 0 under concurrency: the first soak run
+            // passed 0 and vacuum deleted the drift writer's uncommitted
+            // staging dir mid-commit (chmod on a vanished _SUCCESS),
+            // killing the query at batch ~30 — the probe measuring the
+            // guard is load-bearing. 30 s >> any in-flight commit here.
+            driftTable.vacuum(keepVersions = 2, minAgeMs = 30000L)
             compactions.incrementAndGet(): Unit
           }
         } catch {
@@ -165,8 +183,12 @@ object SoakProbe {
 
     // ---- verdicts ----
     val landed = spark.read.text(dirs.raw).count()
+    // only DATA batches: polling faster than the producer ticks means
+    // empty trigger fires also report progress (0 rows, ~ms durations)
+    // and would dilute the latency trend with no-op rows
     val met = spark.read.parquet(metricsDir)
-      .filter(col("query_name") === ingestQ.id.toString && col("duration_ms") >= 0)
+      .filter(col("query_name") === ingestQ.id.toString &&
+        col("duration_ms") >= 0 && col("input_rows") > 0)
       .select("batch_id", "duration_ms", "input_rows")
       .orderBy("batch_id").collect()
     val durations = met.map(_.getLong(1).toDouble)
