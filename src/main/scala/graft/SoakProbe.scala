@@ -71,10 +71,20 @@ object SoakProbe {
     val metricsDir = s"$base/metrics"
 
     // ---- pre-render the segments (one file per future append) ----
-    val env = EventsModel.envelopes(spark, sfDir).select("json")
+    // A producer seals batches in ARRIVAL order: each segment is a
+    // contiguous time slice, so a micro-batch touches a couple of hour
+    // dirs per sink. The first calibration run hash-bucketed rows across
+    // segments instead, and every ~800-row batch wrote ~700 hour dirs x 3
+    // sinks — 12 s of pure file ops per batch, measuring fixture shape,
+    // not the protocol. (Partition-less window is fine here: one-shot
+    // probe prep over 100k rows, not a declared query.)
+    val env = EventsModel.envelopes(spark, sfDir)
     val totalRows = env.count()
     val stage = s"$base/stage"
-    env.withColumn("g", pmod(xxhash64(col("json")), lit(nSegments)))
+    env.withColumn("g",
+        ntile(nSegments).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("arrival_ts"), col("json"))) - 1)
+      .select("json", "g")
       .repartition(col("g"))
       .write.partitionBy("g").text(stage)
 
