@@ -1027,8 +1027,14 @@ object DocQueries {
     "dedup_lsh_eval" -> {
       val eq = (0 until DocPipeline.MinhashK)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      // MATERIALIZED is load-bearing at scale, not a style choice: the
+      // final SELECT's six scalar subqueries reference lhit/ltruth/ldet
+      // 3-4x each, and DuckDB inlines plain CTEs — at x20 the un-hinted
+      // form re-derived the whole shingle->minhash chain per reference
+      // and spilled >54 GB of hash-join temp before dying. Each stage is
+      // seconds when evaluated ONCE (measured piecewise).
       docsWith(
-        s"""lshc AS (
+        s"""lshc AS MATERIALIZED (
            |  SELECT s.doc_id, s.h FROM shh s
            |  JOIN (SELECT h FROM shh GROUP BY h HAVING count(*) <= 100) r USING (h)),
            |lsizes AS (SELECT doc_id, count(*) AS n FROM lshc GROUP BY 1),
@@ -1036,18 +1042,18 @@ object DocQueries {
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
            |  FROM lshc a JOIN lshc b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
-           |ltruth AS (
+           |ltruth AS MATERIALIZED (
            |  SELECT doc_a, doc_b,
            |    shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
            |  FROM lshared JOIN lsizes sa ON doc_a = sa.doc_id
            |  JOIN lsizes sb ON doc_b = sb.doc_id
            |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
-           |ldet AS (
+           |ldet AS MATERIALIZED (
            |  SELECT c.doc_a, c.doc_b, ($eq) / 16.0 AS est_jaccard
            |  FROM mcand c JOIN mh a ON c.doc_a = a.doc_id
            |  JOIN mh b ON c.doc_b = b.doc_id
            |  WHERE ($eq) / 16.0 >= 0.5),
-           |lhit AS (
+           |lhit AS MATERIALIZED (
            |  SELECT abs(d.est_jaccard - t.jaccard) AS abs_err
            |  FROM ldet d JOIN ltruth t
            |    ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b)""".stripMargin,
@@ -1792,14 +1798,21 @@ object DocQueries {
            |      AS DECIMAL(27,12))) AS DOUBLE) AS rank
            |  FROM pre e JOIN $prev r ON e.src = r.id JOIN predeg d ON e.src = d.src
            |  GROUP BY e.dst)""".stripMargin
+      // prp/pre/predeg MATERIALIZED: `pre` is referenced by every
+      // iteration and `predeg` by every iteration plus the final join;
+      // DuckDB inlines plain CTEs, so the un-hinted form re-derived the
+      // whole minhash chain ~7x at x20 and spilled >54 GB. Materialized,
+      // the chain runs once and the iterations work on a ~40k-row edge
+      // list (same plan shape the engine side uses: one cached pair
+      // graph, fixed-iteration joins over it).
       docsWith(
-        s"""prp AS (
+        s"""prp AS MATERIALIZED (
            |  SELECT c.doc_a, c.doc_b FROM mcand c
            |  JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
            |  WHERE ($eq) / 16.0 >= 0.5),
-           |pre AS (SELECT doc_a AS src, doc_b AS dst FROM prp
+           |pre AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prp
            |        UNION SELECT doc_b, doc_a FROM prp),
-           |predeg AS (SELECT src, count(*) AS deg FROM pre GROUP BY src),
+           |predeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pre GROUP BY src),
            |pr0 AS (SELECT src AS id, 1.0::DOUBLE AS rank FROM predeg),
            |${iter("pr0", "pr1")},
            |${iter("pr1", "pr2")},

@@ -710,18 +710,26 @@ object StreamQueries {
         |  FROM ev_routed) x
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // the windows order by (arrival_ts, event_id), a TOTAL key: the
+    // session structure is provably invariant to tie order (equal-ts
+    // rows always extend the session), but DuckDB's parallel window
+    // execution returned run-varying session counts at x20 (971/972/974
+    // on identical input) when the sort key had ~20-way ts ties —
+    // pinning the order removes the tie surface entirely; the engine's
+    // session_window needs no order and matched every clean run
     "stream_session_window" -> stream(
       """SELECT min(arrival_ts) AS session_start,
         |  max(arrival_ts) + INTERVAL 10 MINUTE AS session_end,
         |  vendor_id, count(*) AS events
         |FROM (
         |  SELECT vendor_id, arrival_ts,
-        |    sum(brk) OVER (PARTITION BY vendor_id ORDER BY arrival_ts
+        |    sum(brk) OVER (PARTITION BY vendor_id
+        |                   ORDER BY arrival_ts, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM (
-        |    SELECT vendor_id, arrival_ts,
+        |    SELECT vendor_id, arrival_ts, event_id,
         |      CASE WHEN arrival_ts < lag(arrival_ts) OVER (
-        |             PARTITION BY vendor_id ORDER BY arrival_ts)
+        |             PARTITION BY vendor_id ORDER BY arrival_ts, event_id)
         |           + INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
         |    FROM ev_routed WHERE vendor_id IS NOT NULL) m) s
         |GROUP BY vendor_id, sid
