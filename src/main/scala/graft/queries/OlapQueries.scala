@@ -45,25 +45,35 @@ object OlapQueries {
     "olap_pricing_summary" -> ((s, d) => {
       val li = graft.Tables(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
-      // The sums emit as DECIMAL(38,6), not double: at x20 sum_charge's
-      // unscaled value crosses 2^53 and the decimal->double cast becomes
-      // engine-dependent (FLOATS.md M3a — DuckDB double-rounds int128,
-      // the JVM rounds correctly; measured 1-ulp at x20). The exact
-      // decimal is bit-stable at ANY corpus size. The avgs stay double:
-      // their cast inputs are the same sums, small enough to stay exact
-      // through the swept scales (documented envelope, FLOATS.md).
-      def dsum38(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
+      // The sums emit as DOUBLES OF SCALE-2-ROUNDED EXACT DECIMAL SUMS:
+      // the decimal sum is exact at scale 6, ROUND(·,2) is deterministic
+      // half-away-from-zero in both engines (values positive), and the
+      // resulting scale-2 unscaled value stays < 2^53 at every swept
+      // corpus size, so the final decimal->double cast is a single
+      // correctly-rounded IEEE op in both engines (FLOATS.md M3a cliff
+      // avoided by construction, not by envelope). This keeps the
+      // emission inside the driver-proven {double,int64,string,date,
+      // timestamp} hash surface — the round-13 DECIMAL(38,6) emission
+      // was bit-right but outside the driver's proven input space.
+      // NOTE: a bare decimal downcast does NOT replace ROUND — DuckDB's
+      // CAST(d AS DECIMAL(38,2)) truncates where ROUND rounds (measured).
+      def dsumR2(c: org.apache.spark.sql.Column) =
+        round(sum(c.cast("decimal(18,6)")), 2).cast("double")
       li.groupBy("l_returnflag", "l_linestatus").agg(
-          dsum38(dec(col("l_quantity"))).as("sum_qty"),
-          dsum38(dec(col("l_extendedprice"))).as("sum_base_price"),
-          dsum38(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          dsumR2(dec(col("l_quantity"))).as("sum_qty"),
+          dsumR2(dec(col("l_extendedprice"))).as("sum_base_price"),
+          dsumR2(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          dsum38(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
+          dsumR2(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))
             * rate(lit(1.0) + col("l_tax"))).as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
-        .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+        // The avgs divide the EMITTED double sums (bit-identical across
+        // engines per the above) by the exact integer count: one IEEE
+        // division in both engines — no separate decimal->double cast
+        // left anywhere in this query (closes the ADVICE r13 envelope
+        // gap on avg_price, whose scale-6 cast input crossed 2^53 at x20).
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -700,17 +710,24 @@ object OlapQueries {
         .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
       val ranked = graft.ops.GlobalRowNumber.withRowNumberExpr(
         rev, "i", Seq(col("rev"), col("o_custkey")))
-      // total_revenue emits as exact DECIMAL(38,6) (its double cast is
-      // M3a-eligible past 2^53 unscaled); gini is a cancellation-heavy
-      // closed form over two big casts that measurably drift 1 ulp at x20
-      // -> Class-C output snap (round 12), same as the OLS moments.
+      // total_revenue emits as the double of the SCALE-2-ROUNDED exact
+      // decimal sum: rev carries 2 real decimal digits so ROUND(·,2) is
+      // the identity, and the scale-2 unscaled value stays < 2^53 at
+      // every swept corpus size -> the decimal->double cast is a single
+      // correctly-rounded IEEE op in both engines (M3a-safe by
+      // construction, inside the driver-proven double emission surface —
+      // the r13 DECIMAL(38,6) emission failed the driver hash).
+      // The gini closed form consumes that SAME emitted double (bit-
+      // identical across engines), so only the s cast is still
+      // M3a-eligible at x20 — its measured 8-ulp drift is absorbed by
+      // the Class-C output snap (round 12), same as the OLS moments.
       ranked.agg(
           count(lit(1)).as("n"),
-          sum(col("rev")).as("total_dec"),
+          round(sum(col("rev")), 2).cast("double").as("total_d"),
           sum((col("i") * col("rev")).cast("decimal(38,2)")).cast("double").as("s"))
         .select(col("n").as("n_customers"),
-          col("total_dec").cast("decimal(38,6)").as("total_revenue"),
-          round((lit(2.0) * col("s")) / (col("n") * col("total_dec").cast("double")) -
+          col("total_d").as("total_revenue"),
+          round((lit(2.0) * col("s")) / (col("n") * col("total_d")) -
             (col("n") + lit(1.0)) / col("n"), 12).as("gini"))
     }),
   )
@@ -740,11 +757,11 @@ object OlapQueries {
         |  FROM crev
         |), ag AS (
         |  SELECT count(*) AS n,
-        |    CAST(SUM(rev) AS DECIMAL(38,6)) AS total_dec,
+        |    CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_d,
         |    CAST(SUM(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE) AS s
         |  FROM cr)
-        |SELECT n AS n_customers, total_dec AS total_revenue,
-        |  round((2.0 * s) / (n * CAST(total_dec AS DOUBLE))
+        |SELECT n AS n_customers, total_d AS total_revenue,
+        |  round((2.0 * s) / (n * total_d)
         |        - (n + 1.0) / n, 12) AS gini
         |FROM ag""".stripMargin,
 
@@ -793,18 +810,18 @@ object OlapQueries {
         |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |), g AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    CAST(SUM(qty) AS DECIMAL(38,6)) AS sum_qty,
-        |    CAST(SUM(ext) AS DECIMAL(38,6)) AS sum_base_price,
-        |    CAST(SUM(CAST(ext * disc1 AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    CAST(ROUND(SUM(qty), 2) AS DOUBLE) AS sum_qty,
+        |    CAST(ROUND(SUM(ext), 2) AS DOUBLE) AS sum_base_price,
+        |    CAST(ROUND(SUM(CAST(ext * disc1 AS DECIMAL(18,6))), 2) AS DOUBLE)
         |      AS sum_disc_price,
-        |    CAST(SUM(CAST(ext * disc1 * tax1 AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    CAST(ROUND(SUM(CAST(ext * disc1 * tax1 AS DECIMAL(18,6))), 2) AS DOUBLE)
         |      AS sum_charge,
         |    count(*) AS count_order
         |  FROM base GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
         |  sum_disc_price, sum_charge, count_order,
-        |  CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
-        |  CAST(sum_base_price AS DOUBLE) / count_order AS avg_price
+        |  sum_qty / count_order AS avg_qty,
+        |  sum_base_price / count_order AS avg_price
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "olap_shipping_priority" ->
