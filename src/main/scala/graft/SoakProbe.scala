@@ -117,8 +117,14 @@ object SoakProbe {
       .start()
 
     // ---- producer: one segment per tick, atomic rename ----
+    // A feeder crash (absent g= dir when nSegments exceeds fixture rows,
+    // a staging-write change, a filesystem hiccup) must not silently
+    // kill the thread: the probe would then idle to the drain deadline
+    // and fail on row conservation with no trace of the real cause
+    // (r13 ADVICE). Record it; the verdict includes and gates on it.
+    val feederError = new java.util.concurrent.atomic.AtomicReference[String](null)
     val feeder = new Thread(() => {
-      (0 until nSegments).foreach { i =>
+      try (0 until nSegments).foreach { i =>
         val gDir = java.nio.file.Paths.get(s"$stage/g=$i")
         val src = java.nio.file.Files.list(gDir)
         val part = try {
@@ -133,6 +139,9 @@ object SoakProbe {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         Thread.sleep(tickMs)
+      } catch { case e: Throwable =>
+        feederError.set(s"${e.getClass.getName}: ${e.getMessage}")
+        System.err.println(s"[soak] feeder died at segment feed: $e")
       }
     }, "soak-feeder")
 
@@ -212,11 +221,15 @@ object SoakProbe {
     val flatRatio = if (headMed > 0) tailMed / headMed else -1
     val driftRows = driftTable.read.count()
     val ok = ingestErr.isEmpty && driftErr.isEmpty &&
-      maintErrors.get() == 0 && landed == totalRows &&
+      maintErrors.get() == 0 && feederError.get() == null &&
+      landed == totalRows &&
       nBatches >= (nSegments * 8) / 10 && flatRatio > 0 && flatRatio <= 2.0
 
+    val feederErrJson = Option(feederError.get())
+      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
     val line =
-      f"""{"metric":"soak","ok":$ok,"segments":$nSegments,"batches":$nBatches,"rows":$totalRows,"landed":$landed,"wall_sec":$wallSec%.1f,"head_median_ms":$headMed%.0f,"tail_median_ms":$tailMed%.0f,"flat_ratio":$flatRatio%.2f,"marker_sweeps":${sweeps.get()},"compactions":${compactions.get()},"maint_errors":${maintErrors.get()},"drift_rows":$driftRows,"ingest_exception":${ingestErr.isDefined},"drift_exception":${driftErr.isDefined},"sf":"$sfDir"}"""
+      f"""{"metric":"soak","ok":$ok,"segments":$nSegments,"batches":$nBatches,"rows":$totalRows,"landed":$landed,"wall_sec":$wallSec%.1f,"head_median_ms":$headMed%.0f,"tail_median_ms":$tailMed%.0f,"flat_ratio":$flatRatio%.2f,"marker_sweeps":${sweeps.get()},"compactions":${compactions.get()},"maint_errors":${maintErrors.get()},"feeder_error":$feederErrJson,"drift_rows":$driftRows,"ingest_exception":${ingestErr.isDefined},"drift_exception":${driftErr.isDefined},"sf":"$sfDir"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_SOAK_OUT").foreach { out =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n"): Unit

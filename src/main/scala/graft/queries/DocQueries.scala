@@ -1278,6 +1278,8 @@ object DocQueries {
         |    FROM documents WHERE doc_id % 17 <> 0
         |    UNION ALL
         |    SELECT doc_id + 1000000, sha256(text)
+        |    -- corpus-fraction: synthetic previous-snapshot dirt (adds
+        |    -- 1/19 of the corpus); diff workload is full-corpus anyway
         |    FROM documents WHERE doc_id % 19 = 0) prev
         |  USING (doc_id)) s
         |GROUP BY 1 ORDER BY status""".stripMargin),
@@ -1717,6 +1719,8 @@ object DocQueries {
         """icand AS (
           |  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS existing_doc_id
           |  FROM mhb a JOIN mhb b ON a.bk = b.bk
+          |  -- corpus-fraction: batch split BY SEMANTICS (1/3 "new" vs
+          |  -- 2/3 "existing" corpus halves), not a probe panel
           |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)""".stripMargin,
         s"""SELECT c.new_doc_id, c.existing_doc_id, ($eq) / 16.0 AS est_jaccard
            |FROM icand c JOIN mh a ON c.new_doc_id = a.doc_id

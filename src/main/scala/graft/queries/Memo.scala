@@ -35,13 +35,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    page-cache-warm, and churn-free. On a cluster the storage pool
   *    scales with executors, so the budget simply stops binding.
   *
-  * Entries are keyed by the owning SparkSession's identity as well, so a
-  * harness that rebuilds its session never sees a frame bound to a
-  * stopped one. */
+  * Entries are keyed by a per-session TOKEN as well, so a harness that
+  * rebuilds its session never sees a frame bound to a stopped one.
+  * Tokens (not `System.identityHashCode`) close the r13-ADVICE leak:
+  * identity hashes are reusable after GC, so a dead session's budget
+  * reservations could silently shrink a NEW session's pin budget, and
+  * nothing ever evicted them. Tokens are unique per live session
+  * (WeakHashMap), and [[sweep]] drops every structure owned by a
+  * session that is GC'd or stopped. */
 object Memo {
-  private val frames = TrieMap.empty[(Int, String), DataFrame]
+  private val frames = TrieMap.empty[(String, String), DataFrame]
   private val locks =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Object]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+
+  /** session -> token, weak on the session so a discarded session's
+    * entry vanishes with it; liveSessions is the reverse index the
+    * sweeper walks (TrieMap iteration is snapshot-safe). */
+  private val sessionTokens = new java.util.WeakHashMap[SparkSession, String]()
+  private val liveSessions =
+    TrieMap.empty[String, java.lang.ref.WeakReference[SparkSession]]
+
+  private def token(spark: SparkSession): String = {
+    val t = sessionTokens.synchronized {
+      var v = sessionTokens.get(spark)
+      if (v == null) {
+        v = java.util.UUID.randomUUID().toString
+        sessionTokens.put(spark, v)
+        liveSessions.put(v, new java.lang.ref.WeakReference(spark))
+      }
+      v
+    }
+    sweep()
+    t
+  }
+
+  /** Evict every memo structure owned by a dead session — GC'd (weak ref
+    * cleared) or explicitly stopped. Long-lived harnesses that cycle
+    * sessions neither leak frames/reservations nor have a stale
+    * reservation charged against a new session's budget. Cheap: map
+    * sizes are O(sessions x memo keys), both small. */
+  private def sweep(): Unit =
+    liveSessions.foreach { case (t, ref) =>
+      val s = ref.get()
+      if (s == null || s.sparkContext.isStopped) {
+        liveSessions.remove(t)
+        frames.keys.filter(_._1 == t).foreach(frames.remove)
+        pinnedEst.keys.filter(_._1 == t).foreach(pinnedEst.remove)
+        locks.keySet.removeIf(_._1 == t)
+      }
+    }
 
   /** One scratch dir per JVM; harmless to leave behind (tmp), and keyed
     * paths make concurrent sessions non-colliding. */
@@ -62,10 +104,10 @@ object Memo {
     * cutoff, it never OOMs (the heap floor below guards the build). */
   private val ColumnarFactor = 3L
 
-  /** Admitted pins: (session identity, key) -> estimated columnar bytes.
+  /** Admitted pins: (session token, key) -> estimated columnar bytes.
     * Reservations are what [[healed]] consults, so a pin survives an
     * external `clearCache()` without re-running admission. */
-  private val pinnedEst = TrieMap.empty[(Int, String), Long]
+  private val pinnedEst = TrieMap.empty[(String, String), Long]
   private val admission = new Object
 
   private def dirBytes(path: String): Long = {
@@ -147,12 +189,12 @@ object Memo {
   /** Test/diagnostic hook: the admitted columnar estimate for a key, if
     * its pin was admitted. */
   private[graft] def pinnedEstimate(spark: SparkSession, key: String): Option[Long] =
-    pinnedEst.get((System.identityHashCode(spark), key))
+    pinnedEst.get((token(spark), key))
 
   /** Admission = override, else heap floor AND budget fit. Reserves the
     * estimate on success (under one lock: racing materializations of
     * different keys must not both think the last slot is theirs). */
-  private def admit(df: DataFrame, k: (Int, String), est: Long): Boolean =
+  private def admit(df: DataFrame, k: (String, String), est: Long): Boolean =
     admission.synchronized {
       val ok = overridePref.getOrElse {
         heapSafe(df) && {
@@ -167,7 +209,7 @@ object Memo {
     }
 
   /** Write once, read back, pin the read-back scan if admitted. */
-  private def materialize(df: DataFrame, k: (Int, String)): DataFrame = {
+  private def materialize(df: DataFrame, k: (String, String)): DataFrame = {
     val path = s"$scratch/${k._1}_${sanitize(k._2)}"
     df.write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
@@ -181,7 +223,7 @@ object Memo {
     * never under `=never`. Recompute is only the scratch-parquet scan,
     * never the original chain. `storageLevel` consults the session's
     * CacheManager, so this is a cheap lookup. */
-  private def healed(df: DataFrame, k: (Int, String)): DataFrame = {
+  private def healed(df: DataFrame, k: (String, String)): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
         && !overridePref.contains(false)
         && (pinnedEst.contains(k) || overridePref.contains(true)))
@@ -192,7 +234,7 @@ object Memo {
   /** Per-key serialization: Verify runs queries 4-wide and racing
     * builders must not overwrite the same scratch path concurrently
     * (unlike the old racy-but-benign double `cache()`). */
-  private def memo(k: (Int, String), build: => DataFrame): DataFrame = {
+  private def memo(k: (String, String), build: => DataFrame): DataFrame = {
     val lock = locks.computeIfAbsent(k, _ => new Object)
     lock.synchronized {
       healed(frames.getOrElseUpdate(k, materialize(build, k)), k)
@@ -204,7 +246,7 @@ object Memo {
     * plan builders. For builders that run jobs eagerly use [[of]]. */
   def apply(key: String)(build: => DataFrame): DataFrame = {
     val df = build
-    memo((System.identityHashCode(df.sparkSession), key), df)
+    memo((token(df.sparkSession), key), df)
   }
 
   /** Session-explicit variant that does NOT evaluate `build` on a hit —
@@ -213,5 +255,5 @@ object Memo {
     * work. */
   def of(spark: org.apache.spark.sql.SparkSession, key: String)
         (build: => DataFrame): DataFrame =
-    memo((System.identityHashCode(spark), key), build)
+    memo((token(spark), key), build)
 }

@@ -535,10 +535,12 @@ object ScanQueries {
 
     "snapshot_time_travel" ->
       """WITH v1 AS (
+        |  -- corpus-fraction: snapshot version 1 is a data split
         |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
         |), v2 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 12 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  -- corpus-fraction: snapshot version 2, a data split
         |  FROM documents WHERE doc_id % 3 = 0
         |), j AS (
         |  SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'

@@ -130,3 +130,50 @@ abstract class MediaDecoderConformance(decoderName: String,
   * the contract it documents. */
 class FakeDecodeConformance
     extends MediaDecoderConformance("FakeDecode", FakeDecode)
+
+/** The REAL-codec instance (VERDICT r13 item #6): the seam proven
+  * against the JDK-bundled `javax.imageio` readers, not just the fake.
+  * Valid PNG/BMP/GIF samples are synthesized in-test via `ImageIO.write`
+  * (deterministic pixel fill — no fixtures, no net), appended to the
+  * adversarial payload set through [[MediaDecoderConformance.extraPayloads]],
+  * and additionally checked for TRUE decoded dimensions — a property the
+  * fake can't exhibit. */
+class ImageIoDecodeConformance
+    extends MediaDecoderConformance("ImageIoDecode", MediaOps.ImageIoDecode) {
+
+  private def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, ((x * 31 + y * 7) % 255) << 8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"JDK has no $fmt writer — sample synthesis failed")
+    bos.toByteArray
+  }
+
+  private lazy val samples: Seq[(String, Int, Int, Array[Byte])] = Seq(
+    ("png", 3, 2, encoded("png", 3, 2)),
+    ("bmp", 5, 4, encoded("bmp", 5, 4)),
+    ("gif", 2, 7, encoded("gif", 2, 7)))
+
+  override protected def extraPayloads: Seq[Array[Byte]] =
+    samples.map(_._4)
+
+  test("ImageIoDecode: real encoded images decode to their true dimensions") {
+    samples.foreach { case (fmt, w, h, bytes) =>
+      val out = MediaOps.ImageIoDecode.decode(
+        MediaOps.MediaRow(99L, "image", bytes))
+      assert(out.width == w && out.height == h,
+        s"$fmt: decoded ${out.width}x${out.height}, encoded ${w}x$h")
+      assert(out.channels >= 1 && out.byte_len == bytes.length)
+    }
+  }
+
+  test("ImageIoDecode: garbage payloads land on the 1x1x1 sentinel, not an exception") {
+    val out = MediaOps.ImageIoDecode.decode(
+      MediaOps.MediaRow(7L, "image", Array.tabulate(64)(i => (i * 13 + 5).toByte)))
+    assert(out.width == 1 && out.height == 1 && out.channels == 1 &&
+      out.byte_len == 64)
+  }
+}

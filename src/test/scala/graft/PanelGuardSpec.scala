@@ -41,32 +41,83 @@ class PanelGuardSpec extends SparkSpec {
       .foreach(p => assert(p.bound >= 5000))
   }
 
-  test("no declared-query file introduces a rate-only % N === 0 filter outside Panels") {
+  /** Walk every .scala under queries/ except Panels.scala itself. */
+  private def queryFiles: Seq[java.nio.file.Path] = {
     val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
     assert(java.nio.file.Files.isDirectory(qdir),
       s"expected to run from the repo root; missing $qdir")
-    val rx = raw"filter\(.*% *\d+ *=== *0".r
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val files = java.nio.file.Files.list(qdir)
-    try files.forEach { f =>
-      val name = f.getFileName.toString
-      if (name.endsWith(".scala") && name != "Panels.scala") {
-        val lines = java.nio.file.Files.readAllLines(f)
-        (0 until lines.size).foreach { i =>
-          val line = lines.get(i)
-          if (rx.findFirstIn(line).isDefined) {
-            val marked = line.contains("Panels.") ||
-              line.contains("corpus-fraction") ||
-              (i > 0 && lines.get(i - 1).contains("corpus-fraction"))
-            if (!marked) offenders += s"$name:${i + 1}: ${line.trim}"
-          }
-        }
+    try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.toSeq.filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".scala") && n != "Panels.scala"
       }
     } finally files.close()
+  }
+
+  /** A match is sanctioned when the matched text itself, or any of the
+    * `back` source lines above its first line, carries `Panels.` or the
+    * explicit `corpus-fraction` marker. */
+  private def unmarkedMatches(text: String, name: String, rx: scala.util.matching.Regex,
+      back: Int): Seq[String] = {
+    val lines = text.split("\n", -1)
+    rx.findAllMatchIn(text).toSeq.flatMap { m =>
+      val lineNo = text.substring(0, m.start).count(_ == '\n') // 0-based
+      val ctx = ((lineNo - back) max 0) to lineNo
+      val marked = m.matched.contains("Panels.") ||
+        m.matched.contains("corpus-fraction") ||
+        ctx.exists(i => lines(i).contains("Panels.") ||
+          lines(i).contains("corpus-fraction"))
+      if (marked) None
+      else Some(s"$name:${lineNo + 1}: ${lines(lineNo).trim}")
+    }
+  }
+
+  test("no declared-query file introduces a rate-only % N === 0 filter outside Panels") {
+    // FULL-TEXT regex, not line-based (r13 ADVICE): tolerant of a line
+    // break inside the filter(...) and of the `=== lit(0)` spelling.
+    // The paren alternation admits two nesting levels (col("x"),
+    // size(col("t"))) so the rate term is required to sit INSIDE the
+    // filter call — `when(... % 3 === 0, ...)` value synthesis (CASE
+    // dirt, not a row filter) stays out of scope.
+    val inner = raw"(?:[^()]|\((?:[^()]|\([^()]*\))*\))"
+    val rx = (raw"(?s)\.filter\($inner*?% *\d+ *=== *(?:lit\(0\)|0)").r
+    val offenders = queryFiles.flatMap { f =>
+      unmarkedMatches(new String(java.nio.file.Files.readAllBytes(f)),
+        f.getFileName.toString, rx, back = 2)
+    }
     assert(offenders.isEmpty,
       "rate-defined filters outside the Panels registry (add the panel to " +
         "Panels with a literal bound, or mark an intentional corpus " +
         "fraction with a `corpus-fraction` comment):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("no oracle SQL introduces an unbounded % N = 0 rate filter") {
+    // The SQL half of the tripwire (r13 ADVICE): two of the round-13
+    // identity/panel bugs lived on the ORACLE side, which the Scala
+    // regex never saw. A `WHERE/AND/ON x % N = 0` in an oracle string
+    // must carry an absolute id bound (`x < CAP`) on the same predicate
+    // line — the stride+cap panel shape — or a `corpus-fraction` marker
+    // (SQL `--` comment or Scala comment) within the 3 lines above.
+    // CASE WHEN dirt is excluded by requiring the WHERE/AND/ON prefix.
+    val rateRx = raw"(?i)\b(?:WHERE|AND|ON)\s+[A-Za-z_][\w.]*\s*% *\d+ *= *0".r
+    val boundRx = raw"[A-Za-z_][\w.]*\s*< *\d+".r
+    val offenders = queryFiles.flatMap { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f))
+      val lines = text.split("\n", -1)
+      unmarkedMatches(text, f.getFileName.toString, rateRx, back = 3)
+        .filterNot { off =>
+          // "name:LINE: text" — bounded on the same source line is fine
+          val lineNo = off.split(":", 3)(1).toInt - 1
+          boundRx.findFirstIn(lines(lineNo)).isDefined
+        }
+    }
+    assert(offenders.isEmpty,
+      "unbounded rate filters in oracle SQL (add an `AND x < CAP` bound " +
+        "mirroring the Panels cap, or mark an intentional corpus " +
+        "fraction with a `-- corpus-fraction` comment):\n" +
         offenders.mkString("\n"))
   }
 }
