@@ -9,6 +9,12 @@ a DuckDB HUGEINT/decimal column to Spark's int64, the exact divergence class
 that kept two queries red in rounds 8-10), loads the Spark parquet result
 via pyarrow, sorts columns by name on both sides, and:
 
+  0. FAILS on any Spark emission type outside the driver-proven envelope
+     {double, int64/32/16, string, bool, timestamp, date} EVEN IF the
+     oracle side matches it — the round-13 lesson: two decimal surfaces
+     were bit-identical to DuckDB under this mirror and still failed the
+     driver's hash. A mirror that accepts matching-but-unproven types
+     does not mirror the gate that scores the round.
   1. FAILS on any arrow-type mismatch (decimal128 vs int64, double vs
      int64, int32 vs int64, ...) BEFORE comparing values — a value-equal
      but type-diverging result still fails the driver's type-aware hash.
@@ -125,6 +131,25 @@ for name in sorted(oracle):
     ec, gc = sorted(exp.column_names), sorted(got.column_names)
     if ec != gc:
         print(f"FAIL {name}: columns differ: oracle={ec} spark={gc}")
+        fails.append(name)
+        continue
+    # EMISSION ENVELOPE gate (round 14): the driver's hash has only ever
+    # proven {double, int64/32/16, string, bool, timestamp, date32}
+    # emissions. Round 13's DECIMAL(38,6) surfaces were bit-identical to
+    # DuckDB under this mirror at three scales and STILL failed the
+    # driver — so a mirror that accepts matching-but-unproven types does
+    # not mirror the gate that scores the round. Mirrors
+    # EmissionGuardSpec on the Spark side.
+    PROVEN = {"double", "int64", "int32", "int16", "string", "bool",
+              "date32[day]"}
+    env = [
+        (c, norm_type(got.schema.field(c).type)) for c in gc
+        if norm_type(got.schema.field(c).type) not in PROVEN
+        and not norm_type(got.schema.field(c).type).startswith("timestamp[")
+    ]
+    if env:
+        det = "; ".join(f"{c}: {t}" for c, t in env)
+        print(f"FAIL {name}: emission type outside the driver-proven envelope — {det}")
         fails.append(name)
         continue
     # dtype gate BEFORE values: a type-diverging column fails the driver's
