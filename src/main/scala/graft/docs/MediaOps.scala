@@ -291,4 +291,42 @@ object MediaOps {
         math.min(16, math.max(1, img.getRaster.getNumBands)))
     }
   }
+
+  /** Real-codec [[MediaDecoder]] for AUDIO payloads over the JDK-bundled
+    * `javax.sound.sampled` stack (WAV/AIFF/AU readers ship with every
+    * JRE). Same decode-degrade contract as [[ImageIoDecode]]: anything
+    * the header parse rejects lands on the 1x1x1 sentinel row.
+    *
+    * [[DecodedMeta]] is image-shaped, so the audio mapping is pinned
+    * here: `width` = sample rate in Hz (clamped to [1, 1e7]), `height` =
+    * frame count (clamped to [1, Int.MaxValue]; unknown lengths report
+    * 1), `channels` = channel count (clamped to the conformance bound
+    * [1, 16]). Header-only parse — the payload PCM is never decoded, so
+    * cost is O(1) per row regardless of clip length. */
+  object WavDecode extends MediaDecoder {
+    def decode(r: MediaRow): DecodedMeta = {
+      val n = if (r.payload == null) 0L else r.payload.length.toLong
+      val meta =
+        if (n == 0L) None
+        else
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val f = in.getFormat
+              val rate = f.getSampleRate
+              val frames = in.getFrameLength // -1 when unknown
+              Some((
+                if (rate.isNaN || rate < 1f) 1 else math.min(1.0e7, rate.toDouble).toInt,
+                if (frames < 1L) 1 else math.min(Int.MaxValue.toLong, frames).toInt,
+                math.min(16, math.max(1, f.getChannels))))
+            } finally in.close()
+          } catch { case _: Throwable => None } // not audio => sentinel row
+      meta match {
+        case Some((rate, frames, ch)) =>
+          DecodedMeta(r.media_id, r.kind, n, rate, frames, ch)
+        case None => DecodedMeta(r.media_id, r.kind, n, 1, 1, 1)
+      }
+    }
+  }
 }

@@ -177,3 +177,54 @@ class ImageIoDecodeConformance
       out.byte_len == 64)
   }
 }
+
+/** The real AUDIO codec instance: the seam proven against the
+  * JDK-bundled `javax.sound.sampled` WAV reader. Samples synthesized
+  * in-test (deterministic PCM ramp via `AudioSystem.write`), with the
+  * pinned audio→DecodedMeta mapping checked against the true header
+  * values (rate/frames/channels). */
+class WavDecodeConformance
+    extends MediaDecoderConformance("WavDecode", MediaOps.WavDecode) {
+
+  private def wav(rateHz: Int, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16,
+      channels, true, false)
+    val pcm = Array.tabulate(frames * channels * 2)(i => (i * 17 + 3).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private lazy val samples: Seq[(Int, Int, Int, Array[Byte])] = Seq(
+    (8000, 1, 160, wav(8000, 1, 160)),
+    (44100, 2, 441, wav(44100, 2, 441)))
+
+  override protected def extraPayloads: Seq[Array[Byte]] =
+    samples.map(_._4)
+
+  test("WavDecode: real WAV headers decode to their true rate/frames/channels") {
+    samples.foreach { case (rate, ch, frames, bytes) =>
+      val out = MediaOps.WavDecode.decode(
+        MediaOps.MediaRow(42L, "audio", bytes))
+      assert(out.width == rate && out.height == frames && out.channels == ch,
+        s"decoded (${out.width}, ${out.height}, ${out.channels}), " +
+          s"encoded ($rate, $frames, $ch)")
+      assert(out.byte_len == bytes.length)
+    }
+  }
+
+  test("WavDecode: an image payload degrades to the sentinel, not an exception") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val out = MediaOps.WavDecode.decode(MediaOps.MediaRow(8L, "audio", png))
+    assert(out.width == 1 && out.height == 1 && out.channels == 1)
+  }
+}
