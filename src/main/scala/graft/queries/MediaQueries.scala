@@ -66,9 +66,55 @@ object MediaQueries {
           // 2.09 at x20 before the cap (SCALING.md round 12)
           feats.filter(graft.queries.Panels.mediaAudit(col("vec_id"))), feats, 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // REAL-codec decode inside the driver-gated surface (round 14): a
+    // fixed 256-image PNG panel is synthesized IN EXECUTORS (dims a
+    // pure function of the id), decoded through ImageIoDecode behind
+    // the production MediaDecoder seam, and the decoded dims are
+    // emitted. The oracle recomputes the dims in closed form, so a
+    // codec that misreported dimensions, dropped ids, or threw on a
+    // valid PNG fails the HASH gate, not just a unit test. byte_len is
+    // deliberately NOT emitted: PNG byte size is an encoder property,
+    // decoded geometry is the codec contract. Fixed panel => corpus-
+    // independent by construction (the Panels lesson, strongest form);
+    // at scale this is an embarrassingly parallel mapPartitions with
+    // zero shuffle before the 256-row sort.
+    "media_decode_real" -> ((s, d) => {
+      import s.implicits._
+      val panel = s.range(256).as[Long].mapPartitions(_.map { id =>
+        val w = 4 + (id % 16).toInt
+        val h = 4 + ((id * 7) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { img.setRGB(x, y, ((x * 31 + y * 7) % 255) << 8); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaOps.MediaRow(id, "image", bos.toByteArray)
+      })
+      MediaOps.decodeStub(panel.toDF(), MediaOps.ImageIoDecode).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // closed-form dims: the panel generator and this formula are the
+    // SAME function of the id; the engine side additionally round-trips
+    // the image through a real PNG encode+decode
+    "media_decode_real" ->
+      """SELECT CAST(k AS BIGINT) AS media_id, 'image' AS kind,
+        |  CAST(4 + k % 16 AS INT) AS width,
+        |  CAST(4 + (k * 7) % 16 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
+        |FROM unnest(generate_series(0, 255)) AS g(k)
+        |ORDER BY media_id""".stripMargin,
+
     "media_meta_extract" -> docs(
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
