@@ -101,6 +101,35 @@ object MediaQueries {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("channels"))
         .orderBy("media_id")
+    }),
+
+    // The audio sibling of media_decode_real: a fixed 256-clip WAV
+    // panel (rate/frames/channels pure functions of the id), decoded
+    // through WavDecode's O(1) header parse; the pinned audio mapping
+    // (width=rate, height=frames, channels=channels) is what the
+    // closed-form oracle recomputes. Same contract: real-codec
+    // round-trip proven by the hash gate, corpus-independent panel,
+    // zero shuffle before the 256-row sort.
+    "media_decode_audio" -> ((s, d) => {
+      import s.implicits._
+      val panel = s.range(256).as[Long].mapPartitions(_.map { id =>
+        val rate = 8000 * (1 + (id % 3).toInt) // 8/16/24 kHz
+        val ch = 1 + (id % 2).toInt
+        val frames = 40 + (id * 3 % 100).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, ch, true, false)
+        val pcm = Array.tabulate(frames * ch * 2)(i => (i * 17 + 3).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaOps.MediaRow(id, "audio", bos.toByteArray)
+      })
+      MediaOps.decodeStub(panel.toDF(), MediaOps.WavDecode).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +141,14 @@ object MediaQueries {
         |  CAST(4 + k % 16 AS INT) AS width,
         |  CAST(4 + (k * 7) % 16 AS INT) AS height,
         |  CAST(3 AS INT) AS channels
+        |FROM unnest(generate_series(0, 255)) AS g(k)
+        |ORDER BY media_id""".stripMargin,
+
+    "media_decode_audio" ->
+      """SELECT CAST(k AS BIGINT) AS media_id, 'audio' AS kind,
+        |  CAST(8000 * (1 + k % 3) AS INT) AS width,
+        |  CAST(40 + (k * 3) % 100 AS INT) AS height,
+        |  CAST(1 + k % 2 AS INT) AS channels
         |FROM unnest(generate_series(0, 255)) AS g(k)
         |ORDER BY media_id""".stripMargin,
 
