@@ -61,13 +61,35 @@ object Memo {
       if (v == null) {
         v = java.util.UUID.randomUUID().toString
         sessionTokens.put(spark, v)
-        liveSessions.put(v, new java.lang.ref.WeakReference(spark))
       }
+      // (re-)register for sweeping: a session swept once (e.g. seen
+      // stopped mid-harness) but touched again must stay tracked, or
+      // its new structures would accumulate untracked forever
+      if (!liveSessions.contains(v))
+        liveSessions.put(v, new java.lang.ref.WeakReference(spark))
       v
     }
     sweep()
     t
   }
+
+  /** Test seam: clear a session's weak reference so the next [[sweep]]
+    * treats it as GC'd — the only way to exercise the eviction path
+    * deterministically (a real GC-clear is nondeterministic, and
+    * stopping the shared test SparkContext would kill the suite). */
+  private[graft] def simulateSessionCollected(spark: SparkSession): Unit =
+    sessionTokens.synchronized {
+      Option(sessionTokens.get(spark))
+        .flatMap(liveSessions.get).foreach(_.clear())
+    }
+
+  /** Test/diagnostic hook: whether any memo structure is still keyed to
+    * the session (frames, locks, or pin reservations). */
+  private[graft] def hasEntriesFor(spark: SparkSession): Boolean =
+    sessionTokens.synchronized(Option(sessionTokens.get(spark))).exists { t =>
+      frames.keys.exists(_._1 == t) || pinnedEst.keys.exists(_._1 == t) ||
+        locks.keySet.stream().anyMatch(_._1 == t)
+    }
 
   /** Evict every memo structure owned by a dead session — GC'd (weak ref
     * cleared) or explicitly stopped. Long-lived harnesses that cycle

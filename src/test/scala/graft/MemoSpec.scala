@@ -124,4 +124,26 @@ class MemoSpec extends SparkSpec {
     assert(counter.get() == 1,
       "per-key lock serializes racing builders into one materialization")
   }
+
+  test("dead sessions' memo structures are swept; live sessions keep theirs " +
+    "(r13 ADVICE: no leak, no stale budget charge)") {
+    val s2 = spark.newSession()
+    val k2 = tmpDir("memospec") + "/dead_session"
+    val kMain = tmpDir("memospec") + "/live_session"
+    Memo.of(s2, k2)(s2.range(5).toDF("v")).count(): Unit
+    Memo.of(spark, kMain)(spark.range(5).toDF("v")).count(): Unit
+    assert(Memo.hasEntriesFor(s2) && Memo.hasEntriesFor(spark))
+
+    // the deterministic stand-in for a GC-collected session (a real
+    // clear is nondeterministic; stopping the shared context would kill
+    // the suite) — the sweep path itself is the production code
+    Memo.simulateSessionCollected(s2)
+    // any memo touch triggers the sweep
+    Memo.of(spark, kMain)(spark.range(5).toDF("v")).count(): Unit
+
+    assert(!Memo.hasEntriesFor(s2),
+      "collected session's frames/locks/reservations must be evicted")
+    assert(Memo.hasEntriesFor(spark),
+      "the live session's entries must survive the sweep")
+  }
 }
