@@ -225,8 +225,12 @@ object SoakProbe {
       landed == totalRows &&
       nBatches >= (nSegments * 8) / 10 && flatRatio > 0 && flatRatio <= 2.0
 
+    // Control chars (newlines/tabs are common in IO/Spark messages) would
+    // make the verdict line invalid JSON exactly in the failure case this
+    // field exists to diagnose — flatten them to spaces before quoting.
     val feederErrJson = Option(feederError.get())
-      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("\\p{Cntrl}", " ") + "\"")
       .getOrElse("null")
     val line =
       f"""{"metric":"soak","ok":$ok,"segments":$nSegments,"batches":$nBatches,"rows":$totalRows,"landed":$landed,"wall_sec":$wallSec%.1f,"head_median_ms":$headMed%.0f,"tail_median_ms":$tailMed%.0f,"flat_ratio":$flatRatio%.2f,"marker_sweeps":${sweeps.get()},"compactions":${compactions.get()},"maint_errors":${maintErrors.get()},"feeder_error":$feederErrJson,"drift_rows":$driftRows,"ingest_exception":${ingestErr.isDefined},"drift_exception":${driftErr.isDefined},"sf":"$sfDir"}"""

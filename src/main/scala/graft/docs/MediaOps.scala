@@ -277,8 +277,19 @@ object MediaOps {
     * codec exception both land there. One bad object must cost one row,
     * never an executor. Stateless object => trivially serializable and
     * deterministic across driver/executor copies. */
+  /** ImageIO's default stream cache spools every read/write through a
+    * temp FILE under `java.io.tmpdir` — per-image create+delete disk
+    * churn on executors for payloads that are tiny in-memory byte
+    * arrays, and accumulated /tmp state is a measured bench hazard in
+    * this repo (SCALING.md §5). One JVM-global switch, evaluated once
+    * per JVM via lazy-val semantics; referenced by every ImageIO call
+    * site before its first read/write. */
+  private[graft] lazy val imageIoMemoryOnly: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   object ImageIoDecode extends MediaDecoder {
     def decode(r: MediaRow): DecodedMeta = {
+      imageIoMemoryOnly
       val n = if (r.payload == null) 0L else r.payload.length.toLong
       val img =
         if (n == 0L) null

@@ -94,6 +94,7 @@ object MediaQueries {
           x += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
+        MediaOps.imageIoMemoryOnly // no per-image temp file under /tmp
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaOps.MediaRow(id, "image", bos.toByteArray)
       })

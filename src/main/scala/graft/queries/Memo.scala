@@ -100,10 +100,19 @@ object Memo {
     liveSessions.foreach { case (t, ref) =>
       val s = ref.get()
       if (s == null || s.sparkContext.isStopped) {
-        liveSessions.remove(t)
         frames.keys.filter(_._1 == t).foreach(frames.remove)
         pinnedEst.keys.filter(_._1 == t).foreach(pinnedEst.remove)
-        locks.keySet.removeIf(_._1 == t)
+        // Locks only die with the session OBJECT (weak ref cleared): a
+        // stopped-but-still-reachable session can keep issuing memo
+        // calls, and evicting its lock would let a concurrent caller
+        // computeIfAbsent a FRESH lock for the same key and race the
+        // first builder on one scratch path — the overwrite the lock
+        // exists to prevent. The liveSessions entry stays too, so a
+        // later sweep sees the token again once GC clears the ref.
+        if (s == null) {
+          liveSessions.remove(t)
+          locks.keySet.removeIf(_._1 == t)
+        }
       }
     }
 

@@ -25,12 +25,13 @@ import org.apache.spark.sql.types._
   */
 class EmissionGuardSpec extends SparkSpec {
 
-  /** The driver-proven emission types. DateType is included on the
-    * strength of the driver's own compare path (dates hashed green in
-    * early rounds); everything else is observed live in the current
-    * 225-query surface: int64 x360, string x185, double x178, int32 x95,
-    * bool x40, timestamp_ntz x18 (arrow timestamp[us], no tz),
-    * int16 x1 (scan_parquet.line_no).
+  /** The driver-proven emission types — every member is now LIVE in a
+    * fully-green driver gate (CORRECTNESS_r14: 227/227 rows+schema+hash,
+    * including DateType and TimestampNTZType columns), so the whole set
+    * is measured, not inferred. Observed census on that surface:
+    * int64 x360, string x185, double x178, int32 x95, bool x40,
+    * timestamp_ntz x18 (arrow timestamp[us], no tz), date and int16
+    * (scan_parquet.line_no) at least x1 each.
     */
   private val proven: Set[DataType] = Set(
     DoubleType, LongType, IntegerType, ShortType,
