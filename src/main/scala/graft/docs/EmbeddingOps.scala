@@ -112,6 +112,29 @@ object EmbeddingOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Exact cosine re-rank restricted to an explicit candidate-pair set
+    * `pairs(query_id, neighbor_id)` — the BOUNDED audit tier (VERDICT r14
+    * #6): cost O(|pairs|), never O(probes × corpus). The full-exact scan
+    * stays the truth op; this is the audit a production corpus can
+    * afford, fed by a stratified candidate superset (e.g. LSH/band mates
+    * ∪ a fixed-size hash-ordered sample). Self-pairs are dropped to match
+    * the exact tier's contract. */
+  def candidateTopK(queries: DataFrame, corpus: DataFrame,
+                    pairs: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val scored = pairs.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Bucketed ANN: same scoring but only within the query's sign bucket.
     * Recall < 1 by design; the scale path (bucket equi-join, no cross
     * product). */

@@ -1,0 +1,397 @@
+package graft.lambda
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.batch.StarModel
+import graft.functions.TaxiFunctions._
+import graft.model.TaxiModel
+import graft.ops.SnapshotTable
+import graft.stream.HourLoad
+
+/** The lambda architecture's actual promise: BOTH lanes load ONE star.
+  *
+  * In the reference, the batch daily ELT and the streaming hourly
+  * micro-batch write the SAME warehouse tables — batch
+  * `sql/batchELT/core/12_trip_clean.dedupe_load.sql` (DELETE WHERE
+  * ingest_date = @d, then INSERT) and streaming
+  * `sql/streaming/staging/usp_upsert_trip_clean_from_slice_streaming.sql`
+  * (MERGE ON trip_id) both hit `core.trip_clean`; batch
+  * `sql/batchELT/mdl/load/40_fact_trip.load.sql` and streaming
+  * `usp_upsert_fact_trip_streaming.sql` both hit `mdl.fact_trip`. The
+  * standalone [[graft.batch.Runner]] / [[graft.stream.HourLoad]] lanes
+  * each prove their own pipeline; THIS module is the composition — the
+  * unified table schemas and the per-lane commit discipline that let the
+  * two coexist in one warehouse:
+  *
+  *  - '''Key disjointness.''' Batch core rows carry NULL `trip_id`
+  *    (ref: `11_trip_clean.slice_ctas.sql:17` — `TRY_CAST(s.trip_id AS
+  *    BIGINT)` of a staging feed that has no trip id), so the streaming
+  *    MERGE's `ON tgt.trip_id = src.trip_id` can never match a batch row
+  *    (NULL equality is not TRUE). In fact, batch keys are SHA-256 hex
+  *    (64 chars, ref `40_fact_trip.load.sql:70-79`) while stream keys are
+  *    the decimal render of the signed-positive hash64 (≤ 19 digits, ref
+  *    `usp_upsert_trips_from_streaming.sql:24` inserted into the CHAR
+  *    trip_id of `mdl/fact_trip.table.sql:6`): the two lanes' keyspaces
+  *    are disjoint BY FORMAT, so the stream merge upserts only its own
+  *    rows — ever.
+  *  - '''Slice ownership.''' Batch idempotence is DELETE-WHERE-
+  *    ingest_date + INSERT (never a whole-table overwrite — that is the
+  *    one semantic the standalone Runner's stage-boundary overwrite could
+  *    not carry into a shared warehouse); a batch re-run replaces exactly
+  *    the ingest_dates it owns and never reads or rewrites stream rows
+  *    (whose wall-clock ingest_dates are disjoint from the historical
+  *    batch dates in any live deployment — and whose rows survive even a
+  *    colliding date only if the reference's would: the reference DELETE
+  *    takes the whole date slice, and so does this one).
+  *  - '''Shared dims.''' One SK space (reference IDENTITY columns):
+  *    batch seeds the five dims, the stream lane anti-join-appends novel
+  *    vendor/payment NKs (`usp_upsert_dims_from_slice_streaming.sql`);
+  *    SKs never move once assigned, so fact rows from either lane stay
+  *    valid forever.
+  *
+  * Scale shape: both shared tables are hive-partitioned by
+  * `pickup_month` (yyyymm INT — functionally determined by each lane's
+  * merge/ownership key, so replays land in their original partition).
+  * The stream merge is partition-scoped O(months touched by the hour) ≈
+  * 1-2; the batch replace rewrites only months holding its slice's rows
+  * (a daily slice at 100 TB touches the current month plus the bounded
+  * late-arrival tail, and locating owned rows is a predicate scan that
+  * parquet ingest_date min/max stats prune to those same months). All
+  * commits are single atomic manifest publishes ([[SnapshotTable]]), so
+  * a BI reader never sees a torn cross-lane state.
+  */
+object Lambda {
+
+  /** Unified `core.trip_clean` (ref `11_trip_clean.slice_ctas.sql:14-55`
+    * column set + the streaming lineage trio of
+    * `usp_upsert_trip_clean_from_slice_streaming.sql:45-49`, plus the
+    * batch lane's pass-through attribute columns the star build consumes
+    * — NULL on stream rows, exactly as the reference's streaming fact
+    * proc resolves their SKs to -1 without them). */
+  val coreSchema: StructType = StructType.fromDDL(
+    "trip_id BIGINT, vendor_code STRING, pickup_ts_utc TIMESTAMP_NTZ, " +
+      "dropoff_ts_utc TIMESTAMP_NTZ, trip_distance_km DOUBLE, " +
+      "fare_amount DOUBLE, payment_type STRING, is_night_ride INT, " +
+      "tip_amount DOUBLE, tolls_amount DOUBLE, total_amount DOUBLE, " +
+      "rate_code INT, flag_raw STRING, pu_location_id INT, " +
+      "do_location_id INT, ingest_date DATE, source_file_name STRING, " +
+      "loaded_at TIMESTAMP_NTZ, _runId STRING, _blobPath STRING, " +
+      "_ingestedAt TIMESTAMP_NTZ, pickup_month INT")
+
+  /** Unified `mdl.fact_trip` (ref `mdl/fact_trip.table.sql:3-31`: CHAR
+    * trip_id + 8 SK columns + additive measures + lineage), with `_runId`
+    * carried per the streaming proc's optional lineage column. */
+  val factSchema: StructType = StructType.fromDDL(
+    "trip_id STRING, pickup_date_key INT, pickup_time_key INT, " +
+      "vendor_sk INT, payment_sk INT, rate_sk INT, flag_sk INT, " +
+      "pu_location_sk INT, do_location_sk INT, trip_distance_km DOUBLE, " +
+      "fare_amount DOUBLE, tip_amount DOUBLE, tolls_amount DOUBLE, " +
+      "total_amount DOUBLE, ingest_date DATE, source_file_name STRING, " +
+      "loaded_at TIMESTAMP_NTZ, _runId STRING, pickup_month INT")
+
+  private def dimSchema(nk: String, nkType: String, sk: String): StructType =
+    StructType.fromDDL(s"$nk $nkType, $sk INT")
+
+  /** One shared warehouse, both lanes. The stream lane's stg + slice
+    * scratch tables keep their lane-local names/schemas (they never
+    * collide with batch tables); `core_trip_clean` and `fact_trip` are
+    * the shared star. */
+  final case class SharedWarehouse(spark: SparkSession, dir: String) {
+    val core: SnapshotTable =
+      SnapshotTable(spark, s"$dir/core_trip_clean", coreSchema, Seq("pickup_month"))
+    val fact: SnapshotTable =
+      SnapshotTable(spark, s"$dir/fact_trip", factSchema, Seq("pickup_month"))
+    val dimVendor: SnapshotTable =
+      SnapshotTable(spark, s"$dir/dim_vendor", dimSchema("vendor_nk", "STRING", "vendor_sk"))
+    val dimPayment: SnapshotTable =
+      SnapshotTable(spark, s"$dir/dim_payment", dimSchema("payment_nk", "STRING", "payment_sk"))
+    val dimRate: SnapshotTable =
+      SnapshotTable(spark, s"$dir/dim_rate", dimSchema("rate_nk", "INT", "rate_sk"))
+    val dimFlag: SnapshotTable =
+      SnapshotTable(spark, s"$dir/dim_flag", dimSchema("flag_nk", "STRING", "flag_sk"))
+    val dimLocation: SnapshotTable =
+      SnapshotTable(spark, s"$dir/dim_location", dimSchema("loc_nk", "INT", "loc_sk"))
+    val stg: SnapshotTable = SnapshotTable(spark, s"$dir/stg_trips_streaming",
+      HourLoad.stgSchema, Seq("p_date", "p_hour"))
+    val slice: SnapshotTable =
+      SnapshotTable(spark, s"$dir/core_trip_clean_slice", HourLoad.coreSchema)
+    val audit: SnapshotTable =
+      SnapshotTable(spark, s"$dir/ingest_audit", HourLoad.auditSchema)
+  }
+
+  private def pickupMonth(ts: Column): Column =
+    (year(ts) * 100 + month(ts)).cast("int")
+
+  /** Slice-idempotent replace — the reference's `DELETE FROM t WHERE
+    * <owns>; INSERT <fresh>` pair as ONE atomic dynamic partition
+    * overwrite: rewrite exactly the `pickup_month` partitions that either
+    * receive fresh rows or still hold rows this lane owns, carrying every
+    * non-owned row in them forward untouched. Months left empty (a
+    * shrinking re-run — rare) are dropped in a follow-up metadata commit;
+    * between the two commits a reader sees the superseded owned rows, the
+    * same anomaly the reference's two-statement DELETE+INSERT shows
+    * between its statements outside an explicit transaction. */
+  private[graft] def sliceReplace(table: SnapshotTable, fresh: DataFrame,
+                                  owns: Column): Unit = {
+    val freshMonths = fresh.select(col("pickup_month").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // months still holding owned rows: predicate scan, pruned by parquet
+    // ingest_date stats (date-clustered data → only candidate months read)
+    val ownedMonths = table.read.filter(owns)
+      .select(col("pickup_month").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = freshMonths ++ ownedMonths
+    if (touched.isEmpty) return
+    val survivors = table.readPartitionsByFirstValue {
+      case Some(v) => touched.contains(v)
+      case None    => false // pickup_month is never null (domain-filtered)
+    }.filter(not(coalesce(owns, lit(false))))
+    table.overwritePartitions(survivors.unionByName(fresh))
+    // Emptied-month cleanup: a month receiving no fresh rows and losing
+    // all its owned ones writes zero rows, so the overwrite leaves its
+    // old dir live. Only months in ownedMonths \ freshMonths can qualify
+    // (the steady-state re-run has none — this costs nothing), and the
+    // re-check reads just those partitions of the NEW version.
+    // (the dir of an emptied month is still mapped by the manifest — the
+    // overwrite only re-mapped months that produced files — so the check
+    // must ask the SURVIVORS frame, whose plan reads immutable old-version
+    // files, which candidate months still hold a non-owned row)
+    val maybeEmptied = ownedMonths -- freshMonths
+    if (maybeEmptied.nonEmpty) {
+      val stillThere = survivors
+        .filter(col("pickup_month").cast("string").isin(maybeEmptied.toSeq: _*))
+        .select(col("pickup_month").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val emptied = maybeEmptied -- stillThere
+      if (emptied.nonEmpty)
+        table.dropPartitions(v => v.exists(emptied.contains)): Unit
+    }
+  }
+
+  /** Upsert all five dims from a cleaned-shape frame (batch seeds every
+    * dim; the stream lane's frame simply contributes NULL-free NKs only
+    * where it has them — vendor/payment — matching
+    * `usp_upsert_dims_from_slice_streaming.sql`'s vendor/payment/location
+    * scope). SKs continue after max and never move (IDENTITY analog). */
+  private def upsertDims(wh: SharedWarehouse, cleaned: DataFrame): Unit = {
+    wh.dimVendor.overwrite(StarModel.upsertDim(
+      wh.dimVendor.read, cleaned, "vendor_code", "vendor_nk", "vendor_sk"))
+    wh.dimPayment.overwrite(StarModel.upsertDim(
+      wh.dimPayment.read, cleaned, "payment_type", "payment_nk", "payment_sk"))
+    wh.dimRate.overwrite(StarModel.upsertDim(
+      wh.dimRate.read, cleaned, "rate_code", "rate_nk", "rate_sk"))
+    wh.dimFlag.overwrite(StarModel.upsertDim(
+      wh.dimFlag.read, cleaned, "flag_raw", "flag_nk", "flag_sk"))
+    val locs = cleaned.select(col("pu_location_id").as("loc_nk"))
+      .unionByName(cleaned.select(col("do_location_id").as("loc_nk")))
+    wh.dimLocation.overwrite(StarModel.upsertDim(
+      wh.dimLocation.read, locs, "loc_nk", "loc_nk", "loc_sk"))
+  }
+
+  /** The batch daily load into the SHARED star: fixtures → cleaned →
+    * deduped (the Runner's exact transforms), dims upserted (not
+    * rebuilt — the shared SK space), then slice-idempotent replace of
+    * the run's ingest_dates in `core_trip_clean` and `fact_trip`
+    * (ref `12_trip_clean.dedupe_load.sql:6` + `40_fact_trip.load.sql:4`:
+    * `DELETE ... WHERE ingest_date = @d` then INSERT). Returns (core
+    * rows, fact rows) loaded. Re-runs are byte-level no-ops on the other
+    * lane's rows: the replace never touches a row it does not own. */
+  def runDaily(wh: SharedWarehouse, sfDir: String, runId: String): (Long, Long) = {
+    val spark = wh.spark
+    val deduped = TaxiModel.deduped(TaxiModel.cleaned(
+      TaxiModel.tripsWithDups(spark, sfDir), TaxiModel.paymentTypeMap(spark)))
+      .persist() // read by 5 dim upserts + core projection + fact build
+    try {
+      upsertDims(wh, deduped)
+
+      // Literal reference ownership: the batch DELETE takes the WHOLE
+      // ingest_date slice (12_trip_clean.dedupe_load.sql:6 has no lane
+      // qualifier). The lanes coexist because their ingest_dates are
+      // operationally disjoint — batch loads historical daily files,
+      // stream rows stamp wall-clock ingestion dates (LambdaSpec asserts
+      // the invariant and the coexistence it buys).
+      val ownedDates = deduped.select(col("ingest_date")).distinct()
+        .collect().map(_.getDate(0)).toSeq
+      val owns = col("ingest_date").isin(ownedDates: _*)
+
+      // core rows: batch trip_id is NULL (ref 11_trip_clean.slice_ctas.sql:17
+      // — the staging feed carries no reliable trip id), stream lineage NULL
+      val coreRows = deduped.select(
+        lit(null).cast("bigint").as("trip_id"),
+        col("vendor_code"), col("pickup_ts_utc"), col("dropoff_ts_utc"),
+        col("trip_distance_km"), col("fare_amount"), col("payment_type"),
+        col("is_night_ride").cast("int").as("is_night_ride"),
+        col("tip_amount"), col("tolls_amount"), col("total_amount"),
+        col("rate_code").cast("int").as("rate_code"), col("flag_raw"),
+        col("pu_location_id"), col("do_location_id"),
+        col("ingest_date"), col("source_file_name"), col("loaded_at"),
+        lit(null).cast("string").as("_runId"),
+        lit(null).cast("string").as("_blobPath"),
+        lit(null).cast("timestamp_ntz").as("_ingestedAt"),
+        pickupMonth(col("pickup_ts_utc")).as("pickup_month"))
+      sliceReplace(wh.core, coreRows, owns)
+
+      // fact rows: the Runner's star build, resolved against the SHARED
+      // dims (broadcast LocalRelations after the bounded dim reads)
+      val factAll = StarModel.fact(deduped,
+        wh.dimVendor.read, wh.dimPayment.read, wh.dimRate.read,
+        wh.dimFlag.read, wh.dimLocation.read)
+      val factRows = factAll.select(
+        col("trip_id"), col("pickup_date_key"), col("pickup_time_key"),
+        col("vendor_sk"), col("payment_sk"), col("rate_sk"), col("flag_sk"),
+        col("pu_location_sk"), col("do_location_sk"),
+        col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
+        col("tolls_amount"), col("total_amount"),
+        col("ingest_date"), col("source_file_name"), col("loaded_at"),
+        lit(runId).as("_runId"),
+        (col("pickup_date_key") / 100).cast("int").as("pickup_month"))
+      // fact ownership is the same literal date slice
+      // (40_fact_trip.load.sql:4)
+      sliceReplace(wh.fact, factRows, owns)
+
+      (wh.core.read.filter(col("trip_id").isNull).count(),
+        wh.fact.read.filter(length(col("trip_id")) === 64).count())
+    } finally deduped.unpersist(): Unit
+  }
+
+  /** One streaming hour into the SHARED star: the stream lane's own
+    * staging + slice build ([[HourLoad.stageHourAndSlice]], unchanged
+    * semantics), then the slice projected to the unified cleaned shape
+    * (ref `usp_upsert_trips_from_streaming.sql:20-47`) and MERGEd on
+    * `trip_id` into the shared core and fact — partition-scoped
+    * update-then-insert, never matching a batch row. */
+  def runHour(wh: SharedWarehouse, curatedDir: String, date: String,
+              hour: String, runId: String): HourLoad.HourResult = {
+    val spark = wh.spark
+    val stagedHour = HourLoad.stageHourAndSlice(spark, wh.stg, wh.slice,
+      curatedDir, date, hour, runId)
+      .getOrElse(return HourLoad.HourResult(0, 0, 0, 0, 0))
+
+    // unified cleaned shape (usp_upsert_trips_from_streaming.sql:20-47):
+    // vendor as-is, miles→km, payment truncated to the core column's 16
+    // (LEFT(payment_type,16) in the core MERGE), night flag per SURVEY
+    // §7.4 decision 6 ([22,5] — the pinned normalization of the
+    // reference's two variants), ingest_date from the ingestion stamp,
+    // source_file_name = blob basename with the 'streaming' fallback.
+    // Two pinned deviations from the proc, both documented: fare_amount
+    // is the stream's fare (the proc's `CAST(b.totalAmount) AS
+    // fare_amount` template slip would double-book totals as fares), and
+    // loaded_at = _ingestedAt (SYSUTCDATETIME() at slice build would make
+    // every re-run a spurious column change).
+    val slice = wh.slice.read.filter(col("_runId") === runId)
+    val cleanedSlice = slice.select(
+      col("trip_id"),
+      col("vendor_id").as("vendor_code"),
+      col("pickup_ts").as("pickup_ts_utc"),
+      col("dropoff_ts").as("dropoff_ts_utc"),
+      milesToKm(col("trip_distance")).as("trip_distance_km"),
+      col("fare_amount"),
+      substring(col("payment_type"), 1, 16).as("payment_type"),
+      nightFlag(col("pickup_ts")).cast("int").as("is_night_ride"),
+      col("tip_amount"),
+      lit(null).cast("double").as("tolls_amount"),
+      col("total_amount"),
+      lit(null).cast("int").as("rate_code"),
+      lit(null).cast("string").as("flag_raw"),
+      lit(null).cast("int").as("pu_location_id"),
+      lit(null).cast("int").as("do_location_id"),
+      col("ingest_date"),
+      coalesce(basename(col("_blobPath")), lit("streaming")).as("source_file_name"),
+      col("_ingestedAt").as("loaded_at"),
+      col("_runId"), col("_blobPath"), col("_ingestedAt"),
+      pickupMonth(col("pickup_ts")).as("pickup_month"))
+
+    // usp_upsert_trip_clean_from_slice_streaming: MERGE ON trip_id —
+    // batch rows (NULL trip_id) never match, so they are carried forward
+    // untouched by the partition-scoped update-then-insert
+    val (inserted, updated) =
+      HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month")
+
+    // usp_upsert_dims_from_slice_streaming: novel vendor/payment NKs
+    // (rate/flag/location frames are all-NULL here → anti-join appends
+    // nothing, the proc's "if present" scope)
+    upsertDims(wh, cleanedSlice)
+
+    // usp_upsert_fact_trip_streaming: resolve SKs against the SHARED dims
+    // (COALESCE -1 unknown; pu/do forced -1 per the proc), stream key
+    // rendered into the string trip_id column — format-disjoint from the
+    // batch lane's SHA-256 hex
+    val factStaged = cleanedSlice
+      .join(broadcast(wh.dimVendor.read),
+        cleanedSlice("vendor_code") === col("vendor_nk"), "left")
+      .join(broadcast(wh.dimPayment.read),
+        cleanedSlice("payment_type") === col("payment_nk"), "left")
+      .select(
+        col("trip_id").cast("string").as("trip_id"),
+        dateKey(col("pickup_ts_utc")).as("pickup_date_key"),
+        timeKey(col("pickup_ts_utc")).as("pickup_time_key"),
+        coalesce(col("vendor_sk"), lit(-1)).as("vendor_sk"),
+        coalesce(col("payment_sk"), lit(-1)).as("payment_sk"),
+        lit(-1).as("rate_sk"), lit(-1).as("flag_sk"),
+        lit(-1).as("pu_location_sk"), lit(-1).as("do_location_sk"),
+        col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
+        col("tolls_amount"), col("total_amount"),
+        col("ingest_date"), col("source_file_name"), col("loaded_at"),
+        col("_runId"), col("pickup_month"))
+    HourLoad.scopedMerge(wh.fact, factStaged, "pickup_month"): Unit
+
+    // usp_purge_trip_clean_slice_streaming + audit
+    wh.slice.deleteWhere(col("_runId") === runId)
+    val res = HourLoad.HourResult(stagedHour.files, stagedHour.rowsCopied,
+      inserted, updated, inserted + updated)
+    import spark.implicits._
+    wh.audit.append(Seq((runId, date, hour, res.files, res.rowsCopied,
+      res.inserted, res.updated, res.total))
+      .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
+    res
+  }
+
+  /** `vw_fact_trip_bi` analog over the MERGED star
+    * (ref `mdl/views/vw_fact_trip_bi.view.sql`): fact ⋈ broadcast dims
+    * (LEFT — the -1 unknown members resolve to NULL attributes, as the
+    * reference view's LEFT JOINs do), calendar/time attributes derived
+    * from the smart keys (the dim_date/dim_time rows are pure functions
+    * of the key — deriving them inline keeps the view total over BOTH
+    * lanes' disjoint date ranges), plus the view's tip_pct / fare_per_km
+    * QA measures. */
+  def biView(wh: SharedWarehouse): DataFrame = {
+    val f = wh.fact.read
+    val dv = wh.dimVendor.read.withColumnRenamed("vendor_sk", "_dv_sk")
+    val dp = wh.dimPayment.read.withColumnRenamed("payment_sk", "_dp_sk")
+    val dr = wh.dimRate.read.withColumnRenamed("rate_sk", "_dr_sk")
+    val dfl = wh.dimFlag.read.withColumnRenamed("flag_sk", "_df_sk")
+    val pu = wh.dimLocation.read
+      .select(col("loc_nk").as("_pu_nk"), col("loc_sk").as("_pu_sk"))
+    val dol = wh.dimLocation.read
+      .select(col("loc_nk").as("_do_nk"), col("loc_sk").as("_do_sk"))
+    val hh = (col("pickup_time_key") / 3600).cast("int")
+    f.join(broadcast(dv), f("vendor_sk") === col("_dv_sk"), "left")
+      .join(broadcast(dp), f("payment_sk") === col("_dp_sk"), "left")
+      .join(broadcast(dr), f("rate_sk") === col("_dr_sk"), "left")
+      .join(broadcast(dfl), f("flag_sk") === col("_df_sk"), "left")
+      .join(broadcast(pu), f("pu_location_sk") === col("_pu_sk"), "left")
+      .join(broadcast(dol), f("do_location_sk") === col("_do_sk"), "left")
+      .select(
+        col("trip_id"),
+        col("pickup_date_key"),
+        to_date(col("pickup_date_key").cast("string"), "yyyyMMdd").as("pickup_date"),
+        col("pickup_time_key"),
+        hh.as("pickup_hour"),
+        (hh >= 22 || hh <= 5).as("is_night_ride"),
+        col("vendor_nk").as("vendor_code"),
+        col("payment_nk").as("payment_type"),
+        col("rate_nk").as("rate_code"),
+        col("flag_nk").as("store_and_fwd_flag"),
+        col("_pu_nk").as("pu_location_id"),
+        col("_do_nk").as("do_location_id"),
+        col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
+        col("tolls_amount"), col("total_amount"),
+        when(col("fare_amount") > 0, col("tip_amount") / col("fare_amount"))
+          .as("tip_pct"),
+        when(col("trip_distance_km") > 0,
+          col("fare_amount") / col("trip_distance_km")).as("fare_per_km"),
+        col("ingest_date"), col("source_file_name"))
+  }
+}

@@ -90,4 +90,13 @@ object StreamOracle {
 
   def streamWith(extraCtes: String, select: String): String =
     s"WITH $typed, $enriched, $routed, $slice,\n$extraCtes\n$select"
+
+  /** BOTH lanes' chains in one query (the dual-lane merged star): the
+    * full taxi chain over `lineitem` plus the stream chain over `events`.
+    * CTE namespaces are disjoint (taxi: trips…fact; stream: ev_*);
+    * DuckDB prunes whatever the SELECT doesn't reference. */
+  def lambdaWith(extraCtes: String, select: String): String =
+    s"WITH ${OracleCte.trips}, ${OracleCte.tripsDup}, ${OracleCte.paymentMap}, " +
+      s"${OracleCte.cleaned}, ${OracleCte.deduped}, ${OracleCte.dims}, " +
+      s"${OracleCte.fact},\n$typed, $enriched, $routed, $slice,\n$extraCtes\n$select"
 }

@@ -68,6 +68,36 @@ object MediaQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BOUNDED audit tier for the exact media scan (VERDICT r14 #6):
+    // media_ann's full exact tier is the truth op but is linear in the
+    // corpus per audit (x50 exp 0.93 — the one exponent tail). This is
+    // the audit a 100 TB corpus can afford: exact cosine re-rank over a
+    // STRATIFIED CANDIDATE SUPERSET — (a) the probe's aHash 16-bit band
+    // mates (the perceptual candidate generator, equi-join on band keys)
+    // ∪ (b) a FIXED-SIZE hash-ordered global stratum (512 items at any
+    // corpus size) — so cost is O(candidates), never O(probes × corpus).
+    // MediaAnnAuditSpec measures its recall against the full exact tier.
+    "media_ann_audit" -> ((s, d) => {
+      val m = media(s, d)
+      val feats = MediaOps.featureVector(m)
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      val probes = feats.filter(graft.queries.Panels.mediaAudit(col("vec_id")))
+      val bands = MediaOps.phashBands(m)
+      val probeBands = bands
+        .join(probes.select(col("vec_id").as("media_id")), "media_id")
+        .select(col("media_id").as("query_id"), col("band"), col("bval"))
+      val bandMates = bands.join(probeBands, Seq("band", "bval"))
+        .select(col("query_id"), col("media_id").as("neighbor_id"))
+      val sample = m.select(col("media_id").as("neighbor_id"))
+        .orderBy(sha2(col("media_id").cast("string"), 256), col("media_id"))
+        .limit(512)
+      val samplePairs = probes.select(col("vec_id").as("query_id"))
+        .crossJoin(sample)
+      val pairs = bandMates.unionByName(samplePairs).distinct()
+      graft.docs.EmbeddingOps.candidateTopK(probes, feats, pairs, 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // REAL-codec decode inside the driver-gated surface (round 14): a
     // fixed 256-image PNG panel is synthesized IN EXECUTORS (dims a
     // pure function of the id), decoded through ImageIoDecode behind
@@ -257,6 +287,62 @@ object MediaQueries {
           |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
           |FROM phc WHERE bit_count(xor(ph_a, ph_b)) <= 2
           |ORDER BY media_a, media_b""".stripMargin)
+    },
+
+    "media_ann_audit" -> {
+      val dot = graft.oracle.DocsOracle.dotSql("q.e", "c.e")
+      val bits = (0 until 64)
+        .map { c =>
+          val mask =
+            if (c == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $c)"
+          s"CASE WHEN e[${c + 1}] > m THEN $mask ELSE 0::BIGINT END"
+        }
+        .mkString("(", " | ", ")")
+      graft.oracle.DocsOracle.docsWith(
+        s"""fva AS MATERIALIZED (
+           |  SELECT vec_id, e, sqrt(${graft.oracle.DocsOracle.dotSql("e", "e")}) AS n
+           |  FROM (
+           |    SELECT doc_id AS vec_id, list_transform(generate_series(0, 15),
+           |      c -> CAST((b[c*4+1] + b[c*4+2] + b[c*4+3] + b[c*4+4]) / 4.0 AS FLOAT)) AS e
+           |    FROM (
+           |      SELECT doc_id, list_transform(generate_series(1, 64),
+           |        i -> CASE WHEN i <= length(text)
+           |             THEN ascii(substr(text, i, 1)) ELSE 0 END) AS b
+           |      FROM documents) fb) fv0),
+           |mpa AS (
+           |  SELECT doc_id AS media_id, e,
+           |    list_reduce(list_transform(e, x -> x::DOUBLE), (a, b) -> a + b)
+           |      / 64.0 AS m
+           |  FROM (
+           |    SELECT doc_id, list_transform(generate_series(0, 63),
+           |      c -> CASE WHEN length(text) = 0 THEN 0
+           |             ELSE ascii(substr(text,
+           |               CAST((c * length(text)) // 64 AS INT) + 1, 1)) END) AS e
+           |    FROM documents) xe),
+           |phba AS MATERIALIZED (
+           |  SELECT media_id, bb AS band, (phash >> (bb * 16)) & 65535 AS bval
+           |  FROM (SELECT media_id, $bits AS phash FROM mpa) pha,
+           |    unnest(generate_series(0, 3)) AS g(bb)),
+           |bm AS (
+           |  SELECT DISTINCT p.media_id AS query_id, a.media_id AS neighbor_id
+           |  FROM phba a JOIN phba p ON a.band = p.band AND a.bval = p.bval
+           |  WHERE p.media_id % 40 = 0 AND p.media_id < 5000),
+           |samp AS (
+           |  SELECT doc_id AS neighbor_id FROM documents
+           |  ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 512),
+           |sp AS (
+           |  SELECT d.doc_id AS query_id, s.neighbor_id FROM documents d, samp s
+           |  WHERE d.doc_id % 40 = 0 AND d.doc_id < 5000),
+           |prs AS (SELECT DISTINCT query_id, neighbor_id FROM (
+           |  SELECT * FROM bm UNION ALL SELECT * FROM sp) u)""".stripMargin,
+        s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT p.query_id, p.neighbor_id, $dot / (q.n * c.n) AS cosine,
+           |    CAST(row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY $dot / (q.n * c.n) DESC, p.neighbor_id) AS INTEGER) AS rank
+           |  FROM prs p JOIN fva q ON q.vec_id = p.query_id
+           |    JOIN fva c ON c.vec_id = p.neighbor_id
+           |  WHERE p.neighbor_id <> p.query_id) x
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
     },
 
     "media_ann" -> {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.QFn
 import graft.model.EventsModel
-import graft.oracle.StreamOracle.{stream, streamWith}
+import graft.oracle.StreamOracle.{lambdaWith, stream, streamWith}
 import graft.stream.StreamTransforms
 
 /** Streaming-lane operator queries (SURVEY.md §2.8) declared over the
@@ -259,6 +259,37 @@ object StreamQueries {
       StreamTransforms.mergeByTripId(target, staged, Seq("fare_amount", "total_amount"))
         .groupBy("merge_action").agg(count(lit(1)).as("cnt"))
         .orderBy("merge_action")
+    }),
+
+    // The dual-lane merged star as a declared, oracle-checked program
+    // (the lambda promise LambdaSpec proves physically): batch fact rows
+    // (SHA-256 hex trip_id, ref 40_fact_trip.load.sql:70-79) and already-
+    // loaded stream rows form ONE target; a re-delivered stream window is
+    // MERGEd on trip_id (usp_upsert_fact_trip_streaming.sql:88-90) via the
+    // production merge program. The lane split falls out of the key
+    // FORMAT (64-hex vs ≤19 decimal digits) — and the oracle certifies
+    // the invariant that makes the architecture sound: batch rows are
+    // 'unchanged' under any stream merge, stream re-delivery updates only
+    // its own keyspace.
+    "lambda_merged_star" -> ((s, d) => {
+      val bFact = TaxiQueries.factDf(s, d)
+        .select(col("trip_id"), col("fare_amount"))
+      val st = slice(s, d).select(col("trip_id").cast("string").as("trip_id"),
+        col("fare_amount"), col("arrival_ts"))
+      val target = bFact.unionByName(
+        st.filter(to_date(col("arrival_ts")) < "2024-01-15").drop("arrival_ts"))
+      val staged = st.filter(
+        to_date(col("arrival_ts")).between("2024-01-10", "2024-01-20"))
+        .drop("arrival_ts")
+      StreamTransforms.mergeByTripId(target, staged, Seq("fare_amount"))
+        .groupBy(
+          when(length(col("trip_id")) === 64, "batch").otherwise("stream")
+            .as("lane"),
+          col("merge_action"))
+        .agg(count(lit(1)).as("trips"),
+          round(sum(col("fare_amount").cast("decimal(18,6)")), 2)
+            .cast("double").as("total_fare"))
+        .orderBy("lane", "merge_action")
     }),
 
     "idempotent_reload_blob" -> ((s, d) => {
@@ -621,6 +652,32 @@ object StreamQueries {
         |              ELSE 'unchanged' END AS merge_action
         |  FROM stg s FULL OUTER JOIN tgt t ON s.trip_id = t.trip_id) m
         |GROUP BY 1 ORDER BY merge_action""".stripMargin),
+
+    "lambda_merged_star" -> lambdaWith(
+      """b AS (SELECT trip_id, fare_amount FROM fact),
+        |st AS (SELECT CAST(trip_id AS VARCHAR) AS trip_id, fare_amount, arrival_ts
+        |       FROM ev_slice),
+        |ltgt AS (SELECT trip_id, fare_amount FROM b
+        |         UNION ALL
+        |         SELECT trip_id, fare_amount FROM st
+        |         WHERE CAST(arrival_ts AS DATE) < DATE '2024-01-15'),
+        |lstg AS (SELECT trip_id, fare_amount FROM st
+        |         WHERE CAST(arrival_ts AS DATE)
+        |           BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'),
+        |lmerged AS (
+        |  SELECT coalesce(s.trip_id, t.trip_id) AS trip_id,
+        |         CASE WHEN s.trip_id IS NOT NULL THEN s.fare_amount
+        |              ELSE t.fare_amount END AS fare_amount,
+        |         CASE WHEN s.trip_id IS NOT NULL AND t.trip_id IS NOT NULL
+        |                THEN 'updated'
+        |              WHEN s.trip_id IS NOT NULL THEN 'inserted'
+        |              ELSE 'unchanged' END AS merge_action
+        |  FROM lstg s FULL OUTER JOIN ltgt t ON s.trip_id = t.trip_id)""".stripMargin,
+      """SELECT CASE WHEN length(trip_id) = 64 THEN 'batch' ELSE 'stream' END AS lane,
+        |  merge_action, count(*) AS trips,
+        |  CAST(round(sum(CAST(fare_amount AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS total_fare
+        |FROM lmerged GROUP BY 1, 2 ORDER BY lane, merge_action""".stripMargin),
 
     "idempotent_reload_blob" -> stream(
       """SELECT _blobPath, count(*) AS rows FROM ev_slice

@@ -29,7 +29,7 @@ object TaxiQueries {
     TaxiModel.deduped(cleanedDf(s, d))
   }
 
-  private def factDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+  private[queries] def factDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Memo(s"$d/fact") { StarModel.factFromDeduped(dedupedDf(s, d)) }
 
   /** Materialize the shared memo chain (cleaned → deduped → fact) so

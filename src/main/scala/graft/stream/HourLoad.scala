@@ -142,6 +142,76 @@ object HourLoad {
   final case class HourResult(files: Long, rowsCopied: Long, inserted: Long,
                               updated: Long, total: Long)
 
+  /** Outcome of the lane-local staging half of an hour load (blob copy +
+    * slice build), shared by the standalone stream warehouse and the
+    * dual-lane shared star ([[graft.lambda.Lambda]]). */
+  private[graft] final case class StagedHour(files: Long, rowsCopied: Long,
+                                             perBlob: Seq[(String, Long)])
+
+  /** CopyCuratedToStg + slice build (the first two streaming procs:
+    * per-blob idempotent staging reload, ref 0005_delete.sql +
+    * 0006_LogSuccess.sql, then usp_build_trip_clean_slice_streaming's
+    * hash-id + winner-pick dedupe). Returns None — and performs no
+    * writes — when the hour folder is absent. Extracted from [[runHour]]
+    * unchanged so the SAME staging semantics feed both the stream-only
+    * warehouse and the lambda shared star; everything after the slice
+    * (which tables the merge targets, and in what schema) is what the
+    * two warehouses legitimately differ on. */
+  private[graft] def stageHourAndSlice(spark: SparkSession, stg: SnapshotTable,
+      slice: SnapshotTable, curatedDir: String, date: String, hour: String,
+      runId: String): Option[StagedHour] = {
+    val hourPath = s"$curatedDir/p_date=$date/p_hour=$hour"
+    val fs = new Path(hourPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hourPath))) return None // skip absent hour
+
+    // CopyCuratedToStg: positional read + lineage + per-blob idempotent delete
+    val raw = spark.read.schema(curatedReadSchema).option("header", "false")
+      .csv(hourPath)
+      .withColumn("_blobPath", input_file_name())
+    val typed = raw.select(
+      col("c_event_id").cast("bigint").as("event_id"),
+      col("c_vendor_id").as("vendor_id"),
+      col("c_pickup").cast("timestamp_ntz").as("pickup_ts"),
+      col("c_dropoff").cast("timestamp_ntz").as("dropoff_ts"),
+      col("c_passengers").cast("bigint").as("passenger_count"),
+      col("c_distance").cast("double").as("trip_distance"),
+      col("c_fare").cast("double").as("fare_amount"),
+      col("c_tip").cast("double").as("tip_amount"),
+      col("c_total").cast("double").as("total_amount"),
+      col("c_payment").as("payment_type"),
+      col("c_producer").cast("timestamp_ntz").as("producer_ts"),
+      lit(runId).as("_runId"),
+      col("_blobPath"),
+      current_timestamp().cast("timestamp_ntz").as("_ingestedAt"),
+      lit(date).as("p_date"), lit(hour).as("p_hour"))
+    // one job yields the blob list AND the per-blob counts (lineage_inject)
+    val perBlob = typed.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val blobs = perBlob.map(_._1)
+    // Per-blob idempotent reload, partition-scoped (ref 0005_delete.sql):
+    // see the class doc — survivors from other blobs of the same hour +
+    // the fresh copy, via a manifest-pruned read of this hour only.
+    val hourKey = s"p_date=$date/p_hour=$hour"
+    val survivors = stg.readPartitions(_ == hourKey)
+      .filter(!col("_blobPath").isin(blobs: _*))
+    stg.overwritePartitions(survivors.unionByName(typed))
+
+    // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
+    // dedupe. The manifest-pruned read plans this hour's dirs only.
+    val staged = stg.readPartitions(_ == hourKey)
+      .filter(col("_runId") === runId)
+      .withColumn("trip_id", StreamTransforms.streamTripId)
+    val w = Window.partitionBy(col("trip_id"))
+      .orderBy(col("producer_ts").desc, col("_ingestedAt").desc, col("_blobPath").desc)
+    val sliceDf = staged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("ingest_date", col("_ingestedAt").cast("date"))
+      .withColumn("pickup_date", to_date(col("pickup_ts")))
+    slice.deleteWhere(col("_runId") === runId)
+    slice.append(sliceDf)
+    Some(StagedHour(blobs.length.toLong, perBlob.map(_._2).sum, perBlob))
+  }
+
   /** Update-then-insert merge of `staged` into the partitions of `target`
     * that share `staged`'s values of `partCol` (all on `trip_id`).
     * Returns (inserted, updated) and commits via the snapshot table's
@@ -200,64 +270,12 @@ object HourLoad {
   def runHour(wh: Warehouse, curatedDir: String, date: String, hour: String,
               runId: String): HourResult = {
     val spark = wh.spark
-    val hourPath = s"$curatedDir/p_date=$date/p_hour=$hour"
-    val fs = new Path(hourPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hourPath))) return HourResult(0, 0, 0, 0, 0) // skip absent hour
-
-    // CopyCuratedToStg: positional read + lineage + per-blob idempotent delete
-    val raw = spark.read.schema(curatedReadSchema).option("header", "false")
-      .csv(hourPath)
-      .withColumn("_blobPath", input_file_name())
-    val typed = raw.select(
-      col("c_event_id").cast("bigint").as("event_id"),
-      col("c_vendor_id").as("vendor_id"),
-      col("c_pickup").cast("timestamp_ntz").as("pickup_ts"),
-      col("c_dropoff").cast("timestamp_ntz").as("dropoff_ts"),
-      col("c_passengers").cast("bigint").as("passenger_count"),
-      col("c_distance").cast("double").as("trip_distance"),
-      col("c_fare").cast("double").as("fare_amount"),
-      col("c_tip").cast("double").as("tip_amount"),
-      col("c_total").cast("double").as("total_amount"),
-      col("c_payment").as("payment_type"),
-      col("c_producer").cast("timestamp_ntz").as("producer_ts"),
-      lit(runId).as("_runId"),
-      col("_blobPath"),
-      current_timestamp().cast("timestamp_ntz").as("_ingestedAt"),
-      lit(date).as("p_date"), lit(hour).as("p_hour"))
-    // one job yields the blob list AND the per-blob counts (lineage_inject)
-    val perBlob = typed.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val blobs = perBlob.map(_._1)
-    val files = blobs.length.toLong
-    val rowsCopied = perBlob.map(_._2).sum
-    // Per-blob idempotent reload, partition-scoped (ref 0005_delete.sql):
-    // a blob's rows always land in the (p_date, p_hour) partition its path
-    // encodes, so DELETE-by-blob + append collapses to a dynamic overwrite
-    // of this hour's partition: survivors from other blobs of the same hour
-    // + the fresh copy. Other hours' partition dirs are never read or
-    // written (byte-identity asserted in StreamingSpec). The read prunes
-    // at the MANIFEST (readPartitions), not just at the file listing: an
-    // hourly pipeline accumulates one commit dir per hour, and a plain
-    // read.filter would plan every one of them as a union branch — O(hours)
-    // planning per hour, quadratic over the table's life.
-    val hourKey = s"p_date=$date/p_hour=$hour"
-    val survivors = wh.stg.readPartitions(_ == hourKey)
-      .filter(!col("_blobPath").isin(blobs.toSeq: _*))
-    wh.stg.overwritePartitions(survivors.unionByName(typed))
-
-    // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
-    // dedupe. The manifest-pruned read plans this hour's dirs only.
-    val staged = wh.stg.readPartitions(_ == hourKey)
-      .filter(col("_runId") === runId)
-      .withColumn("trip_id", StreamTransforms.streamTripId)
-    val w = Window.partitionBy(col("trip_id"))
-      .orderBy(col("producer_ts").desc, col("_ingestedAt").desc, col("_blobPath").desc)
-    val sliceDf = staged.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .withColumn("ingest_date", col("_ingestedAt").cast("date"))
-      .withColumn("pickup_date", to_date(col("pickup_ts")))
-    wh.slice.deleteWhere(col("_runId") === runId)
-    wh.slice.append(sliceDf)
+    val stagedHour = stageHourAndSlice(spark, wh.stg, wh.slice,
+      curatedDir, date, hour, runId)
+      .getOrElse(return HourResult(0, 0, 0, 0, 0)) // skip absent hour
+    val perBlob = stagedHour.perBlob
+    val files = stagedHour.files
+    val rowsCopied = stagedHour.rowsCopied
 
     // usp_upsert_trip_clean_from_slice_streaming: partition-scoped
     // update-then-insert merge (see class doc)

@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.lambda.Lambda
+import graft.stream.{HourLoad, Ingest}
+import graft.model.EventsModel
+
+/** Dual-lane lambda reconciliation e2e (VERDICT r14 next-round #1): BOTH
+  * lanes load ONE warehouse — the batch daily DAG and the streaming hour
+  * micro-batch interleaved and re-run against the same shared star — and
+  * the merged table obeys the reference's key semantics: batch rows carry
+  * NULL core trip_id / 64-hex fact trip_id, stream rows MERGE on their
+  * hash64 key, each lane's re-run is a no-op against the other's rows,
+  * and the BI view over the merged star reconciles totals.
+  *
+  * Ref: `12_trip_clean.dedupe_load.sql` + `40_fact_trip.load.sql` (batch
+  * DELETE-by-ingest_date + INSERT) vs `usp_upsert_trip_clean_from_slice_
+  * streaming.sql` + `usp_upsert_fact_trip_streaming.sql` (stream MERGE)
+  * sharing `core.trip_clean` / `mdl.fact_trip`.
+  */
+class LambdaSpec extends SparkSpec {
+
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop())
+    super.afterAll()
+  }
+
+  private def lake(): (String, Ingest.LakeDirs) = {
+    val base = tmpDir("graft_lambda")
+    (base, Ingest.LakeDirs(
+      raw = s"$base/raw", curated = s"$base/curated", dlq = s"$base/dlq",
+      checkpoint = s"$base/chk"))
+  }
+
+  private def buildCuratedLake(): (String, Ingest.LakeDirs) = {
+    val (base, dirs) = lake()
+    val input = s"$base/landing"
+    EventsModel.envelopes(spark, sf()).select("json")
+      .coalesce(2).write.mode("overwrite").text(input)
+    val q = Ingest.start(spark, input, dirs)
+    assert(q.awaitTermination(120000) && q.exception.isEmpty)
+    (base, dirs)
+  }
+
+  private def curatedHours(dirs: Ingest.LakeDirs): Seq[(String, String)] =
+    spark.read.schema(HourLoad.curatedReadSchema)
+      .option("header", "false").csv(dirs.curated)
+      .select(regexp_extract(input_file_name(), "p_date=([0-9-]+)", 1).as("d"),
+        regexp_extract(input_file_name(), "p_hour=([0-9]+)", 1).as("h"))
+      .distinct().orderBy("d", "h").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The live data files of `t` serving the given pickup_month
+    * partitions — byte-untouched lanes keep this set identical. */
+  private def liveFiles(t: graft.ops.SnapshotTable, months: Set[Int]): Set[String] =
+    t.read.inputFiles
+      .filter(f => months.exists(m => f.contains(s"pickup_month=$m/"))).toSet
+
+  private def monthsOf(df: DataFrame): Set[Int] =
+    df.select("pickup_month").distinct().collect().map(_.getInt(0)).toSet
+
+  private def fareSum(df: DataFrame): java.math.BigDecimal =
+    df.agg(sum(col("fare_amount").cast("decimal(18,6)"))).collect()(0).getDecimal(0)
+
+  test("dual-lane: batch + stream share one star; coexistence, " +
+      "cross-lane idempotence, BI reconciliation") {
+    val (base, dirs) = buildCuratedLake()
+    val wh = Lambda.SharedWarehouse(spark, s"$base/wh")
+
+    // ---- batch daily bootstrap ----
+    val (bCore, bFact) = Lambda.runDaily(wh, sf(), "batch-1")
+    assert(bCore > 0 && bFact == bCore, "rowcount_fact_eq_core holds per lane")
+    assert(wh.core.read.count() == bCore)
+    // batch core rows carry NULL trip_id (ref 11_trip_clean.slice_ctas.sql:17)
+    assert(wh.core.read.filter(col("trip_id").isNotNull).count() == 0)
+    // SK stability probe: remember a batch vendor's SK before the stream lane runs
+    val v0skBefore = wh.dimVendor.read.filter(col("vendor_nk") === "V0")
+      .collect()(0).getInt(1)
+
+    // ---- stream hour 1 into the SAME warehouse ----
+    val hours = curatedHours(dirs)
+    assert(hours.length >= 2, "fixture lake spans at least two hours")
+    val (d1, h1) = hours(0)
+    val (d2, h2) = hours.find(_._1 != d1).getOrElse(hours(1))
+    val r1 = Lambda.runHour(wh, dirs.curated, d1, h1, s"run-$d1-$h1")
+    assert(r1.inserted > 0 && r1.updated == 0, "first hour only inserts")
+
+    // coexistence: counts add, key semantics split the lanes exactly
+    assert(wh.core.read.count() == bCore + r1.inserted)
+    assert(wh.core.read.filter(col("trip_id").isNotNull).count() == r1.inserted,
+      "stream rows are the non-null-key rows")
+    assert(wh.core.read.filter(col("trip_id").isNull).count() == bCore,
+      "batch rows all survive the stream merge")
+    // the deployment invariant literal date-slice ownership relies on:
+    // historical batch ingest_dates never collide with the stream lane's
+    // wall-clock ones
+    assert(wh.core.read.filter(col("trip_id").isNull).select("ingest_date")
+      .intersect(wh.core.read.filter(col("trip_id").isNotNull)
+        .select("ingest_date")).count() == 0,
+      "lanes own disjoint ingest_date slices")
+
+    // fact: one table, format-disjoint keyspaces (SHA-256 hex vs decimal)
+    assert(wh.fact.read.count() == bFact + r1.inserted)
+    assert(wh.fact.read.filter(length(col("trip_id")) === 64).count() == bFact)
+    assert(wh.fact.read.filter(col("trip_id").rlike("^[0-9]{1,19}$"))
+      .count() == r1.inserted)
+    assert(wh.fact.read.select("trip_id").distinct().count() ==
+      wh.fact.read.count(), "merged fact keyspace stays unique")
+    // stream fact rows resolved against the SHARED dims the stream lane
+    // itself upserted — never the -1 fallback for vendor/payment
+    assert(wh.fact.read.filter(col("trip_id").rlike("^[0-9]+$") &&
+      (col("vendor_sk") === -1 || col("payment_sk") === -1)).count() == 0)
+
+    // the lanes' pickup months are disjoint partition sets (batch
+    // 1995-2001 fixture dates, stream 2024 arrivals) — the lever for the
+    // byte-identity checks below
+    val batchMonths = monthsOf(wh.core.read.filter(col("trip_id").isNull))
+    val streamMonths = monthsOf(wh.core.read.filter(col("trip_id").isNotNull))
+    assert((batchMonths & streamMonths).isEmpty,
+      "fixture lanes land in disjoint months")
+    val streamRowsProj = wh.core.read.filter(col("trip_id").isNotNull)
+      .select("trip_id", "vendor_code", "pickup_ts_utc", "fare_amount",
+        "payment_type", "ingest_date", "_runId")
+    val streamRowsBefore = streamRowsProj.collect().sortBy(_.getLong(0))
+    val streamCoreFiles = liveFiles(wh.core, streamMonths)
+    val streamFactFiles = liveFiles(wh.fact, streamMonths)
+    assert(streamCoreFiles.nonEmpty && streamFactFiles.nonEmpty)
+
+    // ---- batch re-run AFTER the stream hour (interleaved backfill) ----
+    val (bCore2, bFact2) = Lambda.runDaily(wh, sf(), "batch-2")
+    assert(bCore2 == bCore && bFact2 == bFact, "batch re-run is idempotent")
+    assert(wh.core.read.count() == bCore + r1.inserted)
+    assert(wh.fact.read.count() == bFact + r1.inserted)
+    // stream rows value-identical AND byte-untouched: the batch replace
+    // never read or rewrote the stream lane's partitions
+    assert(streamRowsProj.collect().sortBy(_.getLong(0))
+      .sameElements(streamRowsBefore), "stream rows value-identical")
+    assert(liveFiles(wh.core, streamMonths) == streamCoreFiles,
+      "batch re-run never rewrites a stream core partition")
+    assert(liveFiles(wh.fact, streamMonths) == streamFactFiles,
+      "batch re-run never rewrites a stream fact partition")
+
+    // ---- stream hour 1 replay (late re-delivery of the whole hour) ----
+    val batchRowsProj = wh.core.read.filter(col("trip_id").isNull)
+      .select("vendor_code", "pickup_ts_utc", "dropoff_ts_utc",
+        "fare_amount", "payment_type", "ingest_date", "loaded_at")
+    val batchCoreFiles = liveFiles(wh.core, batchMonths)
+    val batchFactFiles = liveFiles(wh.fact, batchMonths)
+    val r1b = Lambda.runHour(wh, dirs.curated, d1, h1, s"rerun-$d1-$h1")
+    assert(r1b.inserted == 0 && r1b.updated == r1.inserted,
+      "hour replay updates every one of its own rows, inserts none")
+    assert(wh.core.read.count() == bCore + r1.inserted, "replay adds no rows")
+    // batch rows untouched by the stream MERGE — values and bytes
+    assert(batchRowsProj.exceptAll(wh.core.read.filter(col("trip_id").isNull)
+      .select(batchRowsProj.columns.map(col).toSeq: _*)).count() == 0)
+    assert(liveFiles(wh.core, batchMonths) == batchCoreFiles,
+      "stream replay never rewrites a batch core partition")
+    assert(liveFiles(wh.fact, batchMonths) == batchFactFiles,
+      "stream replay never rewrites a batch fact partition")
+
+    // ---- stream hour 2 ----
+    val r2 = Lambda.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
+    assert(r2.inserted > 0)
+    assert(wh.core.read.count() == bCore + r1.inserted + r2.inserted)
+    assert(wh.core.read.filter(col("trip_id").isNotNull)
+      .select("trip_id").distinct().count() == r1.inserted + r2.inserted,
+      "stream keyspace stays unique across hours")
+
+    // ---- shared dims: one SK space, stable, both lanes' NKs coexist ----
+    val vendors = wh.dimVendor.read.collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(vendors.map(_._2).distinct.length == vendors.length, "unique SKs")
+    val streamNks = wh.core.read.filter(col("trip_id").isNotNull)
+      .select("vendor_code").distinct().collect().map(_.getString(0)).toSet
+    assert(streamNks.nonEmpty && streamNks.forall(nk => vendors.exists(_._1 == nk)),
+      s"every stream (raw, lowercase) vendor NK joined the dim: $streamNks")
+    assert(vendors.exists(_._1 == "V0") && !streamNks.contains("V0"),
+      "batch (canonicalized) NKs coexist, the lanes' NK spellings stay distinct")
+    assert(wh.dimVendor.read.filter(col("vendor_nk") === "V0")
+      .collect()(0).getInt(1) == v0skBefore,
+      "a batch SK never moves once the stream lane starts upserting")
+
+    // ---- core↔fact and BI-view reconciliation over the MERGED star ----
+    val coreFare = fareSum(wh.core.read)
+    val factFare = fareSum(wh.fact.read)
+    assert(coreFare.compareTo(factFare) == 0,
+      "sum_fare reconciles core vs fact across BOTH lanes")
+    val bi = Lambda.biView(wh)
+    assert(bi.count() == wh.fact.read.count(),
+      "the BI view is total over the merged star (both lanes' date ranges)")
+    assert(fareSum(bi).compareTo(factFare) == 0, "view preserves the measure")
+    // lane split is visible through the view's conformed dims: stream
+    // rows carry the -1 flag SK (ref streaming proc resolves no flag) →
+    // NULL attribute through the LEFT join; batch flags always resolve
+    assert(bi.filter(col("store_and_fwd_flag").isNull).count() ==
+      r1.inserted + r2.inserted)
+
+    // audit rows: one per hour run, replay visible (counts contract)
+    assert(wh.audit.read.count() == 3)
+    assert(wh.audit.read.filter(col("run_id") === s"rerun-$d1-$h1")
+      .select("updated").collect()(0).getLong(0) == r1.inserted)
+
+    // absent hour stays a no-op in the shared warehouse too
+    assert(Lambda.runHour(wh, dirs.curated, "1970-01-01", "00", "skip") ==
+      HourLoad.HourResult(0, 0, 0, 0, 0))
+  }
+
+  test("sliceReplace: a shrinking batch re-run vacates emptied months " +
+      "and spares the other lane") {
+    import spark.implicits._
+    val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_sr"))
+    def rows(month: Int, d: String, n: Int, key: Option[Long]): DataFrame =
+      spark.range(n).select(
+        key.map(k => (lit(k) + col("id")).cast("bigint")).getOrElse(
+          lit(null).cast("bigint")).as("trip_id"),
+        lit("V1").as("vendor_code"),
+        lit(s"$d 10:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
+        lit(s"$d 10:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
+        lit(1.0).as("trip_distance_km"), lit(10.0).as("fare_amount"),
+        lit("CARD").as("payment_type"), lit(0).as("is_night_ride"),
+        lit(1.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
+        lit(12.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
+        lit(null).cast("string").as("flag_raw"),
+        lit(null).cast("int").as("pu_location_id"),
+        lit(null).cast("int").as("do_location_id"),
+        lit(d).cast("date").as("ingest_date"),
+        lit("f.parquet").as("source_file_name"),
+        lit(s"$d 12:00:00").cast("timestamp_ntz").as("loaded_at"),
+        lit(null).cast("string").as("_runId"),
+        lit(null).cast("string").as("_blobPath"),
+        lit(null).cast("timestamp_ntz").as("_ingestedAt"),
+        lit(month).as("pickup_month"))
+
+    // stream-lane row in its own month (must survive everything below)
+    wh.core.overwritePartitions(rows(202401, "2024-01-05", 1, key = Some(7L)))
+    // batch load 1: ingest_date 1993-02-01 lands rows in TWO months
+    val owns = col("ingest_date") === lit("1993-02-01").cast("date")
+    Lambda.sliceReplace(wh.core,
+      rows(199302, "1993-02-01", 3, None)
+        .unionByName(rows(199303, "1993-02-01", 2, None)), owns)
+    assert(wh.core.read.count() == 6)
+    assert(wh.core.partitions.exists(_.contains("199303")))
+
+    // batch re-run of the SAME date now produces rows in month 199302
+    // only — 199303 must vacate entirely, 202401 must stay untouched
+    Lambda.sliceReplace(wh.core, rows(199302, "1993-02-01", 3, None), owns)
+    assert(wh.core.read.count() == 4)
+    assert(!wh.core.partitions.exists(_.contains("199303")),
+      "emptied month is dropped from the manifest")
+    assert(wh.core.read.filter(col("trip_id") === 7L).count() == 1,
+      "the other lane's row is never touched")
+  }
+}

@@ -59,6 +59,14 @@ import duckdb
 K = int(sys.argv[1])
 OUT = sys.argv[2]
 SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+# Optional 4th arg: comma-separated table subset to SCALE; every other
+# table is copied through at x1 (ops-focused sweeps -- an x100 point for
+# two document/embedding operators does not need a 60M-row lineitem, and
+# the x1 passthrough keeps warmup lanes runnable at x1 cost).
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+def scaled(name):
+    return ONLY is None or name in ONLY
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -73,6 +81,9 @@ def span(table, key):
 
 def replicate(name, shifts):
     """shifts: {col: span}; each copy c adds c*span to col."""
+    if not scaled(name):
+        copy_asis(name)
+        return
     base = con.execute(
         f"SELECT * FROM '{SRC}/{name}.parquet' LIMIT 0").df().columns
     parts = []
@@ -115,6 +126,9 @@ def letter_perm(c):
     return "".join(letters)
 
 def scale_documents():
+    if not scaled("documents"):
+        copy_asis("documents")
+        return
     did = span("documents", "doc_id")
     parts = []
     for c in range(K):
@@ -130,17 +144,54 @@ def scale_documents():
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{OUT}/documents.parquet' (FORMAT PARQUET)")
 
+def sign_pattern(c, dims):
+    """Deterministic per-copy +-1 pattern (LCG bits). Copies < dims use
+    all-ones so existing fixtures (x5/x20/x50) stay byte-identical."""
+    if c < dims:
+        return [1] * dims
+    # BALANCED pattern (dims/2 of each sign), LCG-shuffled: an imbalanced
+    # random pattern d gives E[cos(x, x*s)] = sum(s_i x_i^2) ~ d/dims --
+    # a systematic cross-copy correlation (measured -0.25 at d=-16);
+    # balance pins the expectation at ~0.
+    state = 0x85EBCA6B * (c + 1) & 0xFFFFFFFF
+    def rnd(n):
+        nonlocal state
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        return (state >> 7) % n
+    pat = [1, -1] * (dims // 2) + [1] * (dims % 2)
+    for i in range(dims - 1, 0, -1):
+        j = rnd(i + 1)
+        pat[i], pat[j] = pat[j], pat[i]
+    return pat
+
 def scale_embeddings():
+    if not scaled("embeddings"):
+        copy_asis("embeddings")
+        return
     vid = span("embeddings", "vec_id")
     dims = con.execute(
         f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
     ).fetchone()[0]
-    assert K <= dims, f"embeddings: K={K} > dims={dims} -- rotations would repeat"
+    # Copy transform = SIGNED circular rotation: rotate by c % dims, then
+    # (for copies >= dims, where the bare rotation would repeat and
+    # reintroduce the quadratic cross-copy artifact) flip a per-copy
+    # deterministic sign pattern. Rotation+sign-flip is a signed
+    # permutation matrix -- orthogonal, so norms and within-copy geometry
+    # are exactly preserved -- and two copies collide only on (same
+    # rotation AND same pattern), which distinct copy indices never
+    # produce; cross-copy cosines stay ~random. Unbounded K.
     parts = []
     for c in range(K):
         r = c % dims
         vec = ("embedding" if r == 0 else
-               f"(embedding[{r + 1}:{dims}] || embedding[1:{r}])::FLOAT[]")
+               f"(embedding[{r + 1}:{dims}] || embedding[1:{r}])")
+        pat = sign_pattern(c, dims)
+        if any(x < 0 for x in pat):
+            lit = "[" + ", ".join(str(x) for x in pat) + "]"
+            vec = (f"list_transform(generate_series(1, {dims}), "
+                   f"i -> ({vec}[i] * ({lit})[i])::FLOAT)")
+        else:
+            vec = f"({vec})::FLOAT[]"
         parts.append(
             f"SELECT vec_id + {c * int(vid)} AS vec_id, {vec} AS embedding, "
             f"label FROM '{SRC}/embeddings.parquet'")
