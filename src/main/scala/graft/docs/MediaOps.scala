@@ -214,20 +214,6 @@ object MediaOps {
     * and a corpus where near-identical hashes still flood one bucket is
     * a true dup cluster whose pairs ARE the answer (cap it upstream
     * with [[dedupByContent]], the exact tier that runs first). */
-  /** (media_id, band, bval) — the 4×16-bit aHash band keys of each item:
-    * [[phashPairs]]'s candidate-generation key exposed on its own, for
-    * consumers that need band MATES rather than confirmed near-dup pairs
-    * (the bounded ANN audit's perceptual candidate tier). */
-  def phashBands(media: DataFrame): DataFrame = {
-    val ph = media.select(col("media_id"),
-      graft.functions.AHash64.of(col("payload")).as("phash"))
-    ph.select(col("media_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("bb"))
-      .select(col("media_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-  }
-
   def phashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     // The 64-sample grid RESAMPLES the whole payload (sample c reads the
     // byte at floor(c·len/64)) — the nearest-neighbor analog of aHash's
@@ -264,6 +250,28 @@ object MediaOps {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Explode a phash-carrying frame into one row per 16-bit band:
+    * appends (band, bval) — THE band scheme, shared by the dedup tier
+    * ([[phashPairs]]) and the audit candidate tier ([[phashBands]]) so a
+    * band-width change can never silently diverge the two. */
+  private def explodeBands(ph: DataFrame): DataFrame =
+    ph.select(col("*"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("bb"))
+      .select((ph.columns.map(col) :+ col("bb.band").as("band") :+
+        col("bb.bval").as("bval")).toSeq: _*)
+
+  /** (media_id, band, bval) — the aHash band keys of each item:
+    * [[phashPairs]]'s candidate-generation key exposed on its own, for
+    * consumers that need band MATES rather than confirmed near-dup pairs
+    * (the bounded ANN audit's perceptual candidate tier). */
+  def phashBands(media: DataFrame): DataFrame =
+    explodeBands(media.select(col("media_id"),
+      graft.functions.AHash64.of(col("payload")).as("phash")))
+      .select("media_id", "band", "bval")
+
 
   /** Batched per-partition decode — the `mapInPandas` analog: a typed
     * Dataset processed one partition-iterator at a time. The decoder is

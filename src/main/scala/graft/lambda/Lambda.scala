@@ -119,6 +119,83 @@ object Lambda {
       SnapshotTable(spark, s"$dir/core_trip_clean_slice", HourLoad.coreSchema)
     val audit: SnapshotTable =
       SnapshotTable(spark, s"$dir/ingest_audit", HourLoad.auditSchema)
+    val fileAudit: SnapshotTable =
+      SnapshotTable(spark, s"$dir/ingest_file_audit", HourLoad.fileAuditSchema)
+  }
+
+  /** Cross-lane WRITER serialization — the transaction-boundary analog of
+    * the reference warehouse's locks. The snapshot layer gives READERS
+    * atomic versions, but two writers read-merge-overwriting the same
+    * `pickup_month` partition are last-writer-wins (the survivors each
+    * read at its own base version; the loser's commit maps the partition
+    * to only its own files — a lost update), and the lanes legitimately
+    * collide: a daily batch backfill touches the month the hourly stream
+    * is loading. One coarse per-warehouse mutex around each lane's
+    * read-merge-commit section makes the composition serializable, as
+    * the reference's MERGE/DELETE are under its engine's locking.
+    *
+    * Mechanics: the same atomic no-overwrite publish primitive as
+    * [[SnapshotTable]] commits (local scheme: link(2), EEXIST is the
+    * kernel-atomic lose signal; cluster schemes: FileContext rename
+    * NONE) on a `_lane_lock` marker carrying its acquisition epoch; a
+    * crashed holder's lock is taken over after `ttlMs` (both takers race
+    * the same atomic create — one wins). Audit APPENDS stay outside the
+    * lock: append commits CAS-merge against the live tip and are
+    * conflict-free by construction. */
+  private[graft] def withLaneLock[T](wh: SharedWarehouse,
+                                     ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val fs = new org.apache.hadoop.fs.Path(wh.dir)
+      .getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${wh.dir}/.lock-tmp-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.dir))
+    def tryAcquire(): Boolean = {
+      val out = fs.create(tmp, false)
+      try out.write(System.currentTimeMillis().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val won =
+        if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(lock.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try {
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(fs.getUri, wh.spark.sparkContext.hadoopConfiguration)
+              .rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.NONE)
+            return true // rename consumed tmp
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          }
+        }
+      fs.delete(tmp, false)
+      won
+    }
+    var acquired = false
+    while (!acquired) {
+      acquired = tryAcquire()
+      if (!acquired) {
+        // stale takeover: a crashed holder never releases — past the TTL
+        // delete and re-race the atomic create (both takers may delete;
+        // exactly one wins the link)
+        val stale =
+          try {
+            val in = fs.open(lock)
+            val ts = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+            System.currentTimeMillis() - ts > ttlMs
+          } catch { case _: Exception => false } // vanished = retry soon
+        if (stale) fs.delete(lock, false): Unit
+        else Thread.sleep(200)
+      }
+    }
+    try body
+    finally fs.delete(lock, false): Unit
   }
 
   private def pickupMonth(ts: Column): Column =
@@ -204,7 +281,10 @@ object Lambda {
       TaxiModel.tripsWithDups(spark, sfDir), TaxiModel.paymentTypeMap(spark)))
       .persist() // read by 5 dim upserts + core projection + fact build
     try {
-      upsertDims(wh, deduped)
+      // materialize the expensive transform chain BEFORE taking the lane
+      // lock — the locked section then pays only projections + writes;
+      // the count doubles as this run's core load size
+      val coreLoaded = deduped.count()
 
       // Literal reference ownership: the batch DELETE takes the WHOLE
       // ingest_date slice (12_trip_clean.dedupe_load.sql:6 has no lane
@@ -215,10 +295,16 @@ object Lambda {
       val ownedDates = deduped.select(col("ingest_date")).distinct()
         .collect().map(_.getDate(0)).toSeq
       val owns = col("ingest_date").isin(ownedDates: _*)
+      // the locked section = everything whose read-merge-write could race
+      // the stream lane: dim upserts (read-modify-overwrite) + both
+      // shared-table slice replaces
+      withLaneLock(wh) {
+        upsertDims(wh, deduped)
 
-      // core rows: batch trip_id is NULL (ref 11_trip_clean.slice_ctas.sql:17
-      // — the staging feed carries no reliable trip id), stream lineage NULL
-      val coreRows = deduped.select(
+        // core rows: batch trip_id is NULL (ref
+        // 11_trip_clean.slice_ctas.sql:17 — the staging feed carries no
+        // reliable trip id), stream lineage NULL
+        val coreRows = deduped.select(
         lit(null).cast("bigint").as("trip_id"),
         col("vendor_code"), col("pickup_ts_utc"), col("dropoff_ts_utc"),
         col("trip_distance_km"), col("fare_amount"), col("payment_type"),
@@ -231,28 +317,29 @@ object Lambda {
         lit(null).cast("string").as("_blobPath"),
         lit(null).cast("timestamp_ntz").as("_ingestedAt"),
         pickupMonth(col("pickup_ts_utc")).as("pickup_month"))
-      sliceReplace(wh.core, coreRows, owns)
+        sliceReplace(wh.core, coreRows, owns)
 
-      // fact rows: the Runner's star build, resolved against the SHARED
-      // dims (broadcast LocalRelations after the bounded dim reads)
-      val factAll = StarModel.fact(deduped,
-        wh.dimVendor.read, wh.dimPayment.read, wh.dimRate.read,
-        wh.dimFlag.read, wh.dimLocation.read)
-      val factRows = factAll.select(
-        col("trip_id"), col("pickup_date_key"), col("pickup_time_key"),
-        col("vendor_sk"), col("payment_sk"), col("rate_sk"), col("flag_sk"),
-        col("pu_location_sk"), col("do_location_sk"),
-        col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
-        col("tolls_amount"), col("total_amount"),
-        col("ingest_date"), col("source_file_name"), col("loaded_at"),
-        lit(runId).as("_runId"),
-        (col("pickup_date_key") / 100).cast("int").as("pickup_month"))
-      // fact ownership is the same literal date slice
-      // (40_fact_trip.load.sql:4)
-      sliceReplace(wh.fact, factRows, owns)
-
-      (wh.core.read.filter(col("trip_id").isNull).count(),
-        wh.fact.read.filter(length(col("trip_id")) === 64).count())
+        // fact rows: the Runner's star build, resolved against the SHARED
+        // dims (broadcast LocalRelations after the bounded dim reads)
+        val factAll = StarModel.fact(deduped,
+          wh.dimVendor.read, wh.dimPayment.read, wh.dimRate.read,
+          wh.dimFlag.read, wh.dimLocation.read)
+        val factRows = factAll.select(
+          col("trip_id"), col("pickup_date_key"), col("pickup_time_key"),
+          col("vendor_sk"), col("payment_sk"), col("rate_sk"), col("flag_sk"),
+          col("pu_location_sk"), col("do_location_sk"),
+          col("trip_distance_km"), col("fare_amount"), col("tip_amount"),
+          col("tolls_amount"), col("total_amount"),
+          col("ingest_date"), col("source_file_name"), col("loaded_at"),
+          lit(runId).as("_runId"),
+          (col("pickup_date_key") / 100).cast("int").as("pickup_month"))
+        // fact ownership is the same literal date slice
+        // (40_fact_trip.load.sql:4); the count is THIS run's fact load
+        // (the dims it resolved against are pinned under the lock)
+        val factLoaded = factRows.count()
+        sliceReplace(wh.fact, factRows, owns)
+        (coreLoaded, factLoaded)
+      }
     } finally deduped.unpersist(): Unit
   }
 
@@ -288,7 +375,7 @@ object Lambda {
       col("dropoff_ts").as("dropoff_ts_utc"),
       milesToKm(col("trip_distance")).as("trip_distance_km"),
       col("fare_amount"),
-      substring(col("payment_type"), 1, 16).as("payment_type"),
+      truncateTo(col("payment_type"), 16).as("payment_type"),
       nightFlag(col("pickup_ts")).cast("int").as("is_night_ride"),
       col("tip_amount"),
       lit(null).cast("double").as("tolls_amount"),
@@ -305,20 +392,24 @@ object Lambda {
 
     // usp_upsert_trip_clean_from_slice_streaming: MERGE ON trip_id —
     // batch rows (NULL trip_id) never match, so they are carried forward
-    // untouched by the partition-scoped update-then-insert
-    val (inserted, updated) =
-      HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month")
+    // untouched by the partition-scoped update-then-insert. The whole
+    // merge+dims+fact section holds the lane lock: a concurrent batch
+    // replace of the same pickup_month would otherwise be lost-update
+    // (see [[withLaneLock]]).
+    val (inserted, updated) = withLaneLock(wh) {
+      val counts =
+        HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month")
 
-    // usp_upsert_dims_from_slice_streaming: novel vendor/payment NKs
-    // (rate/flag/location frames are all-NULL here → anti-join appends
-    // nothing, the proc's "if present" scope)
-    upsertDims(wh, cleanedSlice)
+      // usp_upsert_dims_from_slice_streaming: novel vendor/payment NKs
+      // (rate/flag/location frames are all-NULL here → anti-join appends
+      // nothing, the proc's "if present" scope)
+      upsertDims(wh, cleanedSlice)
 
-    // usp_upsert_fact_trip_streaming: resolve SKs against the SHARED dims
-    // (COALESCE -1 unknown; pu/do forced -1 per the proc), stream key
-    // rendered into the string trip_id column — format-disjoint from the
-    // batch lane's SHA-256 hex
-    val factStaged = cleanedSlice
+      // usp_upsert_fact_trip_streaming: resolve SKs against the SHARED
+      // dims (COALESCE -1 unknown; pu/do forced -1 per the proc), stream
+      // key rendered into the string trip_id column — format-disjoint
+      // from the batch lane's SHA-256 hex
+      val factStaged = cleanedSlice
       .join(broadcast(wh.dimVendor.read),
         cleanedSlice("vendor_code") === col("vendor_nk"), "left")
       .join(broadcast(wh.dimPayment.read),
@@ -335,7 +426,9 @@ object Lambda {
         col("tolls_amount"), col("total_amount"),
         col("ingest_date"), col("source_file_name"), col("loaded_at"),
         col("_runId"), col("pickup_month"))
-    HourLoad.scopedMerge(wh.fact, factStaged, "pickup_month"): Unit
+      HourLoad.scopedMerge(wh.fact, factStaged, "pickup_month"): Unit
+      counts
+    }
 
     // usp_purge_trip_clean_slice_streaming + audit
     wh.slice.deleteWhere(col("_runId") === runId)
@@ -345,6 +438,12 @@ object Lambda {
     wh.audit.append(Seq((runId, date, hour, res.files, res.rowsCopied,
       res.inserted, res.updated, res.total))
       .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
+    // per-blob audit rows (stg.usp_log_ingest: one 'Succeeded' row per
+    // file) — file-level forensics in the shared warehouse, same as the
+    // standalone lane
+    wh.fileAudit.append(stagedHour.perBlob
+      .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
+      .toDF(HourLoad.fileAuditSchema.fieldNames.toSeq: _*))
     res
   }
 

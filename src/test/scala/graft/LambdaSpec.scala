@@ -120,7 +120,10 @@ class LambdaSpec extends SparkSpec {
     val streamMonths = monthsOf(wh.core.read.filter(col("trip_id").isNotNull))
     assert((batchMonths & streamMonths).isEmpty,
       "fixture lanes land in disjoint months")
-    val streamRowsProj = wh.core.read.filter(col("trip_id").isNotNull)
+    // def, not val: SnapshotTable.read pins the manifest version at call
+    // time, so a val would re-collect the PRE-re-run snapshot and the
+    // "value-identical" check below would compare it to itself
+    def streamRowsProj = wh.core.read.filter(col("trip_id").isNotNull)
       .select("trip_id", "vendor_code", "pickup_ts_utc", "fare_amount",
         "payment_type", "ingest_date", "_runId")
     val streamRowsBefore = streamRowsProj.collect().sortBy(_.getLong(0))
@@ -143,6 +146,8 @@ class LambdaSpec extends SparkSpec {
       "batch re-run never rewrites a stream fact partition")
 
     // ---- stream hour 1 replay (late re-delivery of the whole hour) ----
+    // pinned PRE-replay batch rows (left side); the right side of the
+    // exceptAll below is a FRESH read taken after the replay
     val batchRowsProj = wh.core.read.filter(col("trip_id").isNull)
       .select("vendor_code", "pickup_ts_utc", "dropoff_ts_utc",
         "fare_amount", "payment_type", "ingest_date", "loaded_at")
@@ -204,6 +209,87 @@ class LambdaSpec extends SparkSpec {
     // absent hour stays a no-op in the shared warehouse too
     assert(Lambda.runHour(wh, dirs.curated, "1970-01-01", "00", "skip") ==
       HourLoad.HourResult(0, 0, 0, 0, 0))
+  }
+
+
+  test("cross-lane writer serialization: concurrent batch replace and " +
+      "stream merge into the SAME month lose nothing") {
+    // The snapshot layer's partition overwrite is last-writer-wins: two
+    // unserialized writers read-merge-overwriting one pickup_month would
+    // lose the loser's rows. withLaneLock makes the lanes serializable —
+    // this drives both lanes' write shapes at the same month from two
+    // threads, many rounds, and asserts conservation.
+    import spark.implicits._
+    val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_race"))
+    val month = 202401
+    def batchRows(n: Int): DataFrame = spark.range(n).select(
+      lit(null).cast("bigint").as("trip_id"),
+      lit("V1").as("vendor_code"),
+      lit("2024-01-05 10:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
+      lit("2024-01-05 10:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
+      lit(1.0).as("trip_distance_km"), lit(10.0).as("fare_amount"),
+      lit("CARD").as("payment_type"), lit(0).as("is_night_ride"),
+      lit(1.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
+      lit(12.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
+      lit(null).cast("string").as("flag_raw"),
+      lit(null).cast("int").as("pu_location_id"),
+      lit(null).cast("int").as("do_location_id"),
+      lit("1993-02-01").cast("date").as("ingest_date"),
+      lit("f.parquet").as("source_file_name"),
+      lit("1993-02-01 12:00:00").cast("timestamp_ntz").as("loaded_at"),
+      lit(null).cast("string").as("_runId"),
+      lit(null).cast("string").as("_blobPath"),
+      lit(null).cast("timestamp_ntz").as("_ingestedAt"),
+      lit(month).as("pickup_month"))
+    def streamRows(base: Long, n: Int): DataFrame = spark.range(n).select(
+      (lit(base) + col("id")).as("trip_id"),
+      lit("v1").as("vendor_code"),
+      lit("2024-01-05 11:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
+      lit("2024-01-05 11:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
+      lit(2.0).as("trip_distance_km"), lit(20.0).as("fare_amount"),
+      lit("CRD").as("payment_type"), lit(0).as("is_night_ride"),
+      lit(2.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
+      lit(24.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
+      lit(null).cast("string").as("flag_raw"),
+      lit(null).cast("int").as("pu_location_id"),
+      lit(null).cast("int").as("do_location_id"),
+      lit("2024-01-05").cast("date").as("ingest_date"),
+      lit("streaming").as("source_file_name"),
+      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("loaded_at"),
+      lit("race").as("_runId"),
+      lit(null).cast("string").as("_blobPath"),
+      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("_ingestedAt"),
+      lit(month).as("pickup_month"))
+
+    val owns = col("ingest_date") === lit("1993-02-01").cast("date")
+    val rounds = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val batchThread = new Thread(() =>
+      try (1 to rounds).foreach { _ =>
+        Lambda.withLaneLock(wh) {
+          Lambda.sliceReplace(wh.core, batchRows(50), owns)
+        }
+      } catch { case t: Throwable => errs.add(t): Unit })
+    val streamThread = new Thread(() =>
+      try (0 until rounds).foreach { r =>
+        Lambda.withLaneLock(wh) {
+          graft.stream.HourLoad.scopedMerge(
+            wh.core, streamRows(1000L + r * 100, 100), "pickup_month"): Unit
+        }
+      } catch { case t: Throwable => errs.add(t): Unit })
+    batchThread.start(); streamThread.start()
+    batchThread.join(300000); streamThread.join(300000)
+    assert(errs.isEmpty, s"no lane errored: ${errs.toArray.mkString(", ")}")
+
+    // conservation: every stream key from every round survives the
+    // interleaved batch replaces, and the final batch slice is intact
+    assert(wh.core.read.filter(col("trip_id").isNull).count() == 50,
+      "batch slice = its last replace, nothing else")
+    assert(wh.core.read.filter(col("trip_id").isNotNull).count() ==
+      rounds.toLong * 100,
+      "every stream merge round survived every batch replace")
+    assert(wh.core.read.select("trip_id").filter(col("trip_id").isNotNull)
+      .distinct().count() == rounds.toLong * 100)
   }
 
   test("sliceReplace: a shrinking batch re-run vacates emptied months " +
