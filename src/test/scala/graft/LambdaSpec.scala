@@ -212,6 +212,36 @@ class LambdaSpec extends SparkSpec {
   }
 
 
+
+  test("lane lock: a crashed holder's stale lock is taken over after the TTL") {
+    val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_lock"))
+    val fs = new org.apache.hadoop.fs.Path(wh.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.dir))
+    // a holder that died 10 minutes ago (timestamp inside the marker)
+    val lock = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock")
+    val out = fs.create(lock, false)
+    out.write((System.currentTimeMillis() - 600000L).toString.getBytes("UTF-8"))
+    out.close()
+    // TTL below the lock's age: the taker must break the stale lock and
+    // proceed rather than wait forever
+    var ran = false
+    Lambda.withLaneLock(wh, ttlMs = 60000L) { ran = true }
+    assert(ran, "stale lock broken and body executed")
+    assert(!fs.exists(lock), "lock released after the body")
+    // a FRESH lock (live holder) must block until released: hold it from
+    // another thread for ~1s and assert the taker entered only after
+    val holder = new Thread(() =>
+      Lambda.withLaneLock(wh, ttlMs = 600000L) { Thread.sleep(1000) })
+    holder.start()
+    Thread.sleep(200) // let the holder acquire
+    val t0 = System.currentTimeMillis()
+    Lambda.withLaneLock(wh, ttlMs = 600000L) { ran = true }
+    assert(System.currentTimeMillis() - t0 >= 500,
+      "taker waited for the live holder instead of stealing")
+    holder.join(10000)
+  }
+
   test("cross-lane writer serialization: concurrent batch replace and " +
       "stream merge into the SAME month lose nothing") {
     // The snapshot layer's partition overwrite is last-writer-wins: two
