@@ -455,6 +455,23 @@ object Lambda {
     * of the key — deriving them inline keeps the view total over BOTH
     * lanes' disjoint date ranges), plus the view's tip_pct / fare_per_km
     * QA measures. */
+  /** Pure-SQL surface over the SHARED star (the [[graft.Catalog]]
+    * pattern applied to a live dual-lane warehouse): every shared table
+    * plus the BI view as temp views, so a user of the reference's
+    * warehouse can point `spark.sql` at the merged star — the switch
+    * story end-to-end. View names mirror the reference's object names
+    * (mdl/core schema prefixes collapse into the name as elsewhere). */
+  def registerViews(wh: SharedWarehouse): Unit = {
+    wh.core.read.createOrReplaceTempView("lambda_core_trip_clean")
+    wh.fact.read.createOrReplaceTempView("lambda_fact_trip")
+    wh.dimVendor.read.createOrReplaceTempView("lambda_dim_vendor")
+    wh.dimPayment.read.createOrReplaceTempView("lambda_dim_payment")
+    wh.dimRate.read.createOrReplaceTempView("lambda_dim_rate")
+    wh.dimFlag.read.createOrReplaceTempView("lambda_dim_flag")
+    wh.dimLocation.read.createOrReplaceTempView("lambda_dim_location")
+    biView(wh).createOrReplaceTempView("lambda_vw_fact_trip_bi")
+  }
+
   def biView(wh: SharedWarehouse): DataFrame = {
     val f = wh.fact.read
     val dv = wh.dimVendor.read.withColumnRenamed("vendor_sk", "_dv_sk")

@@ -201,6 +201,17 @@ class LambdaSpec extends SparkSpec {
     assert(bi.filter(col("store_and_fwd_flag").isNull).count() ==
       r1.inserted + r2.inserted)
 
+    // pure-SQL surface over the merged star: SQL == API
+    Lambda.registerViews(wh)
+    assert(spark.sql("SELECT count(*) FROM lambda_vw_fact_trip_bi")
+      .collect()(0).getLong(0) == bi.count(), "SQL view == API frame")
+    assert(spark.sql(
+      """SELECT count(*) FROM lambda_fact_trip f
+        |JOIN lambda_dim_vendor v ON f.vendor_sk = v.vendor_sk""".stripMargin)
+      .collect()(0).getLong(0) ==
+      wh.fact.read.filter(col("vendor_sk") =!= -1).count(),
+      "SQL dim join resolves exactly the non-unknown fact rows")
+
     // audit rows: one per hour run, replay visible (counts contract)
     assert(wh.audit.read.count() == 3)
     assert(wh.audit.read.filter(col("run_id") === s"rerun-$d1-$h1")
