@@ -126,76 +126,32 @@ object Lambda {
   /** Cross-lane WRITER serialization — the transaction-boundary analog of
     * the reference warehouse's locks. The snapshot layer gives READERS
     * atomic versions, but two writers read-merge-overwriting the same
-    * `pickup_month` partition are last-writer-wins (the survivors each
-    * read at its own base version; the loser's commit maps the partition
-    * to only its own files — a lost update), and the lanes legitimately
+    * `pickup_month` partition would race, and the lanes legitimately
     * collide: a daily batch backfill touches the month the hourly stream
-    * is loading. One coarse per-warehouse mutex around each lane's
+    * is loading. One coarse per-warehouse [[LaneLock]] around each lane's
     * read-merge-commit section makes the composition serializable, as
     * the reference's MERGE/DELETE are under its engine's locking.
     *
-    * Mechanics: the same atomic no-overwrite publish primitive as
-    * [[SnapshotTable]] commits (local scheme: link(2), EEXIST is the
-    * kernel-atomic lose signal; cluster schemes: FileContext rename
-    * NONE) on a `_lane_lock` marker carrying its acquisition epoch; a
-    * crashed holder's lock is taken over after `ttlMs` (both takers race
-    * the same atomic create — one wins). Audit APPENDS stay outside the
-    * lock: append commits CAS-merge against the live tip and are
-    * conflict-free by construction. */
+    * The lock is FENCED (nonce identity, heartbeat renewal, publish-chain
+    * takeover — see [[LaneLock]]): the body receives the handle and the
+    * lane calls `assertHeld()` immediately before every publish, so a
+    * usurped slow holder aborts with [[LockLostException]] instead of
+    * last-writer-winning. Beneath it, every merge commit goes through
+    * [[SnapshotTable.overwritePartitionsCas]], which detects a
+    * same-partition race at the manifest tip — so even a LOST fencing
+    * race cannot erase the other lane's commit; the lock is throughput
+    * hygiene, the tip CAS is the correctness floor. Audit APPENDS run
+    * inside the locked section too (they are cheap CAS-merge commits);
+    * note they remain at-most-once relative to the data commit on a
+    * crash between the two — the same two-statement exposure the
+    * reference procs have outside an explicit transaction. */
   private[graft] def withLaneLock[T](wh: SharedWarehouse,
-                                     ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
-    val fs = new org.apache.hadoop.fs.Path(wh.dir)
-      .getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
-    val lock = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${wh.dir}/.lock-tmp-${java.util.UUID.randomUUID()}")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.dir))
-    def tryAcquire(): Boolean = {
-      val out = fs.create(tmp, false)
-      try out.write(System.currentTimeMillis().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val won =
-        if (Option(fs.getUri.getScheme).forall(_ == "file")) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(lock.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else {
-          try {
-            org.apache.hadoop.fs.FileContext
-              .getFileContext(fs.getUri, wh.spark.sparkContext.hadoopConfiguration)
-              .rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.NONE)
-            return true // rename consumed tmp
-          } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          }
-        }
-      fs.delete(tmp, false)
-      won
-    }
-    var acquired = false
-    while (!acquired) {
-      acquired = tryAcquire()
-      if (!acquired) {
-        // stale takeover: a crashed holder never releases — past the TTL
-        // delete and re-race the atomic create (both takers may delete;
-        // exactly one wins the link)
-        val stale =
-          try {
-            val in = fs.open(lock)
-            val ts = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-            finally in.close()
-            System.currentTimeMillis() - ts > ttlMs
-          } catch { case _: Exception => false } // vanished = retry soon
-        if (stale) fs.delete(lock, false): Unit
-        else Thread.sleep(200)
-      }
-    }
-    try body
-    finally fs.delete(lock, false): Unit
+                                     ttlMs: Long = 15 * 60 * 1000L,
+                                     renew: Boolean = true)
+                                    (body: LaneLock => T): T = {
+    val lock = LaneLock.acquire(wh.spark, wh.dir, ttlMs, renew)
+    try body(lock)
+    finally lock.release()
   }
 
   private def pickupMonth(ts: Column): Column =
@@ -211,39 +167,55 @@ object Lambda {
     * same anomaly the reference's two-statement DELETE+INSERT shows
     * between its statements outside an explicit transaction. */
   private[graft] def sliceReplace(table: SnapshotTable, fresh: DataFrame,
-                                  owns: Column): Unit = {
+                                  owns: Column,
+                                  fence: () => Unit = () => ()): Unit = {
     val freshMonths = fresh.select(col("pickup_month").cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
-    // months still holding owned rows: predicate scan, pruned by parquet
-    // ingest_date stats (date-clustered data → only candidate months read)
-    val ownedMonths = table.read.filter(owns)
-      .select(col("pickup_month").cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val touched = freshMonths ++ ownedMonths
-    if (touched.isEmpty) return
-    val survivors = table.readPartitionsByFirstValue {
-      case Some(v) => touched.contains(v)
-      case None    => false // pickup_month is never null (domain-filtered)
-    }.filter(not(coalesce(owns, lit(false))))
-    table.overwritePartitions(survivors.unionByName(fresh))
-    // Emptied-month cleanup: a month receiving no fresh rows and losing
-    // all its owned ones writes zero rows, so the overwrite leaves its
-    // old dir live. Only months in ownedMonths \ freshMonths can qualify
-    // (the steady-state re-run has none — this costs nothing), and the
-    // re-check reads just those partitions of the NEW version.
-    // (the dir of an emptied month is still mapped by the manifest — the
-    // overwrite only re-mapped months that produced files — so the check
-    // must ask the SURVIVORS frame, whose plan reads immutable old-version
-    // files, which candidate months still hold a non-owned row)
-    val maybeEmptied = ownedMonths -- freshMonths
-    if (maybeEmptied.nonEmpty) {
-      val stillThere = survivors
-        .filter(col("pickup_month").cast("string").isin(maybeEmptied.toSeq: _*))
+    var committed = false
+    while (!committed) {
+      // optimistic read-merge-write: pin the base version the merge is
+      // derived from; the commit below CAS-validates every touched month
+      // against it, so a concurrent writer to the same month makes THIS
+      // replace re-derive instead of silently erasing either side
+      val base = table.latestVersion
+      // months still holding owned rows: predicate scan, pruned by parquet
+      // ingest_date stats (date-clustered data → only candidate months read)
+      val ownedMonths = table.readAt(base).filter(owns)
         .select(col("pickup_month").cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
-      val emptied = maybeEmptied -- stillThere
-      if (emptied.nonEmpty)
-        table.dropPartitions(v => v.exists(emptied.contains)): Unit
+      val touched = freshMonths ++ ownedMonths
+      if (touched.isEmpty) return
+      val survivors = table.readPartitionsByFirstValueAt(base, {
+        case Some(v) => touched.contains(v)
+        case None    => false // pickup_month is never null (domain-filtered)
+      }).filter(not(coalesce(owns, lit(false))))
+      fence() // abort-before-publish if this lane's lock was usurped
+      committed =
+        table.overwritePartitionsCas(survivors.unionByName(fresh), base).isDefined
+      if (committed) {
+        // Emptied-month cleanup: a month receiving no fresh rows and losing
+        // all its owned ones writes zero rows, so the overwrite leaves its
+        // old dir live. Only months in ownedMonths \ freshMonths can qualify
+        // (the steady-state re-run has none — this costs nothing), and the
+        // re-check reads just those partitions of the NEW version.
+        // (the dir of an emptied month is still mapped by the manifest — the
+        // overwrite only re-mapped months that produced files — so the check
+        // must ask the SURVIVORS frame, whose plan reads immutable
+        // old-version files, which candidate months still hold a
+        // non-owned row)
+        val maybeEmptied = ownedMonths -- freshMonths
+        if (maybeEmptied.nonEmpty) {
+          val stillThere = survivors
+            .filter(col("pickup_month").cast("string").isin(maybeEmptied.toSeq: _*))
+            .select(col("pickup_month").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          val emptied = maybeEmptied -- stillThere
+          if (emptied.nonEmpty) {
+            fence()
+            table.dropPartitions(v => v.exists(emptied.contains)): Unit
+          }
+        }
+      }
     }
   }
 
@@ -252,17 +224,23 @@ object Lambda {
     * where it has them — vendor/payment — matching
     * `usp_upsert_dims_from_slice_streaming.sql`'s vendor/payment/location
     * scope). SKs continue after max and never move (IDENTITY analog). */
-  private def upsertDims(wh: SharedWarehouse, cleaned: DataFrame): Unit = {
+  private def upsertDims(wh: SharedWarehouse, cleaned: DataFrame,
+                         fence: () => Unit): Unit = {
+    fence()
     wh.dimVendor.overwrite(StarModel.upsertDim(
       wh.dimVendor.read, cleaned, "vendor_code", "vendor_nk", "vendor_sk"))
+    fence()
     wh.dimPayment.overwrite(StarModel.upsertDim(
       wh.dimPayment.read, cleaned, "payment_type", "payment_nk", "payment_sk"))
+    fence()
     wh.dimRate.overwrite(StarModel.upsertDim(
       wh.dimRate.read, cleaned, "rate_code", "rate_nk", "rate_sk"))
+    fence()
     wh.dimFlag.overwrite(StarModel.upsertDim(
       wh.dimFlag.read, cleaned, "flag_raw", "flag_nk", "flag_sk"))
     val locs = cleaned.select(col("pu_location_id").as("loc_nk"))
       .unionByName(cleaned.select(col("do_location_id").as("loc_nk")))
+    fence()
     wh.dimLocation.overwrite(StarModel.upsertDim(
       wh.dimLocation.read, locs, "loc_nk", "loc_nk", "loc_sk"))
   }
@@ -297,9 +275,11 @@ object Lambda {
       val owns = col("ingest_date").isin(ownedDates: _*)
       // the locked section = everything whose read-merge-write could race
       // the stream lane: dim upserts (read-modify-overwrite) + both
-      // shared-table slice replaces
-      withLaneLock(wh) {
-        upsertDims(wh, deduped)
+      // shared-table slice replaces. The handle fences every publish —
+      // a usurped holder aborts (LockLostException) before it can
+      // last-writer-win over the usurper's commit.
+      withLaneLock(wh) { lock =>
+        upsertDims(wh, deduped, () => lock.assertHeld())
 
         // core rows: batch trip_id is NULL (ref
         // 11_trip_clean.slice_ctas.sql:17 — the staging feed carries no
@@ -317,7 +297,7 @@ object Lambda {
         lit(null).cast("string").as("_blobPath"),
         lit(null).cast("timestamp_ntz").as("_ingestedAt"),
         pickupMonth(col("pickup_ts_utc")).as("pickup_month"))
-        sliceReplace(wh.core, coreRows, owns)
+        sliceReplace(wh.core, coreRows, owns, () => lock.assertHeld())
 
         // fact rows: the Runner's star build, resolved against the SHARED
         // dims (broadcast LocalRelations after the bounded dim reads)
@@ -337,7 +317,7 @@ object Lambda {
         // (40_fact_trip.load.sql:4); the count is THIS run's fact load
         // (the dims it resolved against are pinned under the lock)
         val factLoaded = factRows.count()
-        sliceReplace(wh.fact, factRows, owns)
+        sliceReplace(wh.fact, factRows, owns, () => lock.assertHeld())
         (coreLoaded, factLoaded)
       }
     } finally deduped.unpersist(): Unit
@@ -393,17 +373,22 @@ object Lambda {
     // usp_upsert_trip_clean_from_slice_streaming: MERGE ON trip_id —
     // batch rows (NULL trip_id) never match, so they are carried forward
     // untouched by the partition-scoped update-then-insert. The whole
-    // merge+dims+fact section holds the lane lock: a concurrent batch
-    // replace of the same pickup_month would otherwise be lost-update
-    // (see [[withLaneLock]]).
-    val (inserted, updated) = withLaneLock(wh) {
-      val counts =
-        HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month")
+    // merge+dims+fact+audit section holds the lane lock (the reference
+    // proc logs within the same procedure — audit appends are cheap CAS
+    // commits, and keeping them inside the writer turn means the audit
+    // order matches the serialization order; on a crash between the data
+    // commit and its audit row the row is simply missing — at-most-once,
+    // the same exposure the reference's two statements have outside an
+    // explicit transaction). Every publish is fenced via assertHeld.
+    val res = withLaneLock(wh) { lock =>
+      val fence = () => lock.assertHeld()
+      val (inserted, updated) =
+        HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month", fence)
 
       // usp_upsert_dims_from_slice_streaming: novel vendor/payment NKs
       // (rate/flag/location frames are all-NULL here → anti-join appends
       // nothing, the proc's "if present" scope)
-      upsertDims(wh, cleanedSlice)
+      upsertDims(wh, cleanedSlice, fence)
 
       // usp_upsert_fact_trip_streaming: resolve SKs against the SHARED
       // dims (COALESCE -1 unknown; pu/do forced -1 per the proc), stream
@@ -426,24 +411,28 @@ object Lambda {
         col("tolls_amount"), col("total_amount"),
         col("ingest_date"), col("source_file_name"), col("loaded_at"),
         col("_runId"), col("pickup_month"))
-      HourLoad.scopedMerge(wh.fact, factStaged, "pickup_month"): Unit
-      counts
+      HourLoad.scopedMerge(wh.fact, factStaged, "pickup_month", fence): Unit
+
+      val r = HourLoad.HourResult(stagedHour.files, stagedHour.rowsCopied,
+        inserted, updated, inserted + updated)
+      import spark.implicits._
+      fence()
+      wh.audit.append(Seq((runId, date, hour, r.files, r.rowsCopied,
+        r.inserted, r.updated, r.total))
+        .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
+      // per-blob audit rows (stg.usp_log_ingest: one 'Succeeded' row per
+      // file) — file-level forensics in the shared warehouse, same as the
+      // standalone lane
+      fence()
+      wh.fileAudit.append(stagedHour.perBlob
+        .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
+        .toDF(HourLoad.fileAuditSchema.fieldNames.toSeq: _*))
+      r
     }
 
-    // usp_purge_trip_clean_slice_streaming + audit
+    // usp_purge_trip_clean_slice_streaming: post-success purge of the
+    // lane-LOCAL slice scratch (no cross-lane state — outside the lock)
     wh.slice.deleteWhere(col("_runId") === runId)
-    val res = HourLoad.HourResult(stagedHour.files, stagedHour.rowsCopied,
-      inserted, updated, inserted + updated)
-    import spark.implicits._
-    wh.audit.append(Seq((runId, date, hour, res.files, res.rowsCopied,
-      res.inserted, res.updated, res.total))
-      .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
-    // per-blob audit rows (stg.usp_log_ingest: one 'Succeeded' row per
-    // file) — file-level forensics in the shared warehouse, same as the
-    // standalone lane
-    wh.fileAudit.append(stagedHour.perBlob
-      .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
-      .toDF(HourLoad.fileAuditSchema.fieldNames.toSeq: _*))
     res
   }
 

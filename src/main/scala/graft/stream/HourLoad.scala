@@ -222,7 +222,8 @@ object HourLoad {
     * row takes every column from the source (reference UPDATE-all-columns,
     * usp_upsert_trip_clean_from_slice_streaming.sql:37-44). */
   private[graft] def scopedMerge(table: SnapshotTable, staged: DataFrame,
-                                 partCol: String): (Long, Long) = {
+                                 partCol: String,
+                                 fence: () => Unit = () => ()): (Long, Long) = {
     // Encode the staged partition values with Spark's OWN partition-path
     // formatting: the writer builds `col=v` fragments by SQL-casting the
     // value to string (PartitioningUtils.getPathFragment), so the same
@@ -235,34 +236,48 @@ object HourLoad {
       .distinct().collect().map(r => Option(r.getString(0)))
     val keepVals = partVals.flatten.toSet
     val hasNull = partVals.contains(None)
-    // manifest-pruned target subset: the merge plan references ONLY the
-    // commit dirs owning the touched partitions, so per-merge planning is
-    // O(touched), not O(table history)
-    val target = table.readPartitionsByFirstValue {
-      case Some(v) => keepVals.contains(v)
-      case None    => hasNull
-    }
+    var result: Option[(Long, Long)] = None
+    while (result.isEmpty) {
+      // optimistic read-merge-write: the target subset is pinned at the
+      // base version and the commit CAS-validates every touched partition
+      // against it (overwritePartitionsCas) — a concurrent writer to the
+      // same partition makes THIS merge re-derive and retry rather than
+      // either side silently losing the race (two unserialized writers
+      // are now serializable; the lambda lane lock above this is
+      // throughput hygiene, not the correctness floor)
+      val base = table.latestVersion
+      // manifest-pruned target subset: the merge plan references ONLY the
+      // commit dirs owning the touched partitions, so per-merge planning
+      // is O(touched), not O(table history)
+      val target = table.readPartitionsByFirstValueAt(base, {
+        case Some(v) => keepVals.contains(v)
+        case None    => hasNull
+      })
 
-    val sEx = col("s._s_exists").isNotNull
-    val tEx = col("t._t_exists").isNotNull
-    val joined = staged.withColumn("_s_exists", lit(true)).as("s")
-      .join(target.withColumn("_t_exists", lit(true)).as("t"),
-        col("s.trip_id") === col("t.trip_id"), "full_outer")
-      .persist()
-    val merged = joined.select(
-      coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
-        table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
-          when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
-    val actions = joined.select(
-      when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
-      .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // snapshot commit: the overwrite job reads immutable old-version
-    // files that the commit never deletes — no defensive staging pass
-    // needed (the ParquetTable-era hazard of a re-read racing the
-    // delete+rewrite is structurally gone)
-    table.overwritePartitions(merged)
-    joined.unpersist()
-    (actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L))
+      val sEx = col("s._s_exists").isNotNull
+      val tEx = col("t._t_exists").isNotNull
+      val joined = staged.withColumn("_s_exists", lit(true)).as("s")
+        .join(target.withColumn("_t_exists", lit(true)).as("t"),
+          col("s.trip_id") === col("t.trip_id"), "full_outer")
+        .persist()
+      val merged = joined.select(
+        coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
+          table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
+            when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
+      val actions = joined.select(
+        when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
+        .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // snapshot commit: the overwrite job reads immutable old-version
+      // files that the commit never deletes — no defensive staging pass
+      // needed (the ParquetTable-era hazard of a re-read racing the
+      // delete+rewrite is structurally gone)
+      fence() // abort-before-publish if the caller's lane lock was usurped
+      if (table.overwritePartitionsCas(merged, base).isDefined)
+        result = Some((actions.getOrElse("inserted", 0L),
+          actions.getOrElse("updated", 0L)))
+      joined.unpersist()
+    }
+    result.get
   }
 
   /** Load one completed hour. Returns the merge counts; zero result (and

@@ -228,26 +228,39 @@ class LambdaSpec extends SparkSpec {
     val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_lock"))
     val fs = new org.apache.hadoop.fs.Path(wh.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.dir))
-    // a holder that died 10 minutes ago (timestamp inside the marker)
-    val lock = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock")
-    val out = fs.create(lock, false)
-    out.write((System.currentTimeMillis() - 600000L).toString.getBytes("UTF-8"))
+    // a holder that died 10 minutes ago: acquire (no heartbeat — a dead
+    // process beats nothing) and never release, then backdate its tip
+    val dead = graft.lambda.LaneLock.acquire(spark, wh.dir,
+      ttlMs = 600000L, renew = false)
+    val lockDir = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock.d")
+    val tipFile = fs.listStatus(lockDir).map(_.getPath)
+      .maxBy(_.getName)
+    val txt = {
+      val in = fs.open(tipFile)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    fs.delete(tipFile, false)
+    val out = fs.create(tipFile, false)
+    out.write(txt.trim.split("\\s+").take(2)
+      .mkString("", " ", s" ${System.currentTimeMillis() - 600000L}")
+      .getBytes("UTF-8"))
     out.close()
-    // TTL below the lock's age: the taker must break the stale lock and
+    // TTL below the lock's age: the taker must usurp the stale tip and
     // proceed rather than wait forever
     var ran = false
-    Lambda.withLaneLock(wh, ttlMs = 60000L) { ran = true }
-    assert(ran, "stale lock broken and body executed")
-    assert(!fs.exists(lock), "lock released after the body")
+    Lambda.withLaneLock(wh, ttlMs = 60000L) { _ => ran = true }
+    assert(ran, "stale lock usurped and body executed")
+    // the dead holder's identity is gone from the tip; its (late) release
+    // must be a no-op on the released state
+    dead.release()
     // a FRESH lock (live holder) must block until released: hold it from
     // another thread for ~1s and assert the taker entered only after
     val holder = new Thread(() =>
-      Lambda.withLaneLock(wh, ttlMs = 600000L) { Thread.sleep(1000) })
+      Lambda.withLaneLock(wh, ttlMs = 600000L) { _ => Thread.sleep(1000) })
     holder.start()
     Thread.sleep(200) // let the holder acquire
     val t0 = System.currentTimeMillis()
-    Lambda.withLaneLock(wh, ttlMs = 600000L) { ran = true }
+    Lambda.withLaneLock(wh, ttlMs = 600000L) { _ => ran = true }
     assert(System.currentTimeMillis() - t0 >= 500,
       "taker waited for the live holder instead of stealing")
     holder.join(10000)
@@ -307,15 +320,17 @@ class LambdaSpec extends SparkSpec {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val batchThread = new Thread(() =>
       try (1 to rounds).foreach { _ =>
-        Lambda.withLaneLock(wh) {
-          Lambda.sliceReplace(wh.core, batchRows(50), owns)
+        Lambda.withLaneLock(wh) { lock =>
+          Lambda.sliceReplace(wh.core, batchRows(50), owns,
+            () => lock.assertHeld())
         }
       } catch { case t: Throwable => errs.add(t): Unit })
     val streamThread = new Thread(() =>
       try (0 until rounds).foreach { r =>
-        Lambda.withLaneLock(wh) {
+        Lambda.withLaneLock(wh) { lock =>
           graft.stream.HourLoad.scopedMerge(
-            wh.core, streamRows(1000L + r * 100, 100), "pickup_month"): Unit
+            wh.core, streamRows(1000L + r * 100, 100), "pickup_month",
+            () => lock.assertHeld()): Unit
         }
       } catch { case t: Throwable => errs.add(t): Unit })
     batchThread.start(); streamThread.start()

@@ -1,0 +1,194 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.lambda.{Lambda, LaneLock, LockLostException}
+
+/** The fenced lane lock's adversarial interleavings (VERDICT r15 #1): the
+  * round-15 delete-based marker had (a) a TOCTOU blind delete in the
+  * stale-takeover path, (b) an unconditional release that could hand a
+  * usurper's lock to a third writer, and (c) no fencing for a
+  * live-but-slow holder past the TTL. The versioned-chain lock closes all
+  * three; these tests drive the exact interleavings.
+  */
+class LaneLockSpec extends SparkSpec {
+
+  private def backdateTip(dir: String, ageMs: Long): Unit = {
+    val lockDir = new org.apache.hadoop.fs.Path(s"$dir/_lane_lock.d")
+    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tipFile = fs.listStatus(lockDir).map(_.getPath).maxBy(_.getName)
+    val txt = {
+      val in = fs.open(tipFile)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val Array(state, nonce, _) = txt.trim.split("\\s+")
+    fs.delete(tipFile, false)
+    val out = fs.create(tipFile, false)
+    out.write(s"$state $nonce ${System.currentTimeMillis() - ageMs}"
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("usurped STILL-ALIVE slow holder: exactly one commit survives; " +
+      "the old holder aborts at the fence, its release spares the usurper") {
+    val dir = tmpDir("graft_lanelock_fence")
+    // slow holder: no heartbeat (simulates a wholly paused process — GC,
+    // straggler stage) with a tip older than the taker's TTL
+    val slow = LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false)
+    backdateTip(dir, ageMs = 10000L)
+
+    // taker judges the tip stale and usurps — NO delete anywhere, it
+    // publishes the next version over it
+    val usurper = LaneLock.acquire(spark, dir, ttlMs = 5000L, renew = false)
+    usurper.assertHeld()
+
+    // the old holder wakes up and reaches its pre-publish fence: it must
+    // ABORT, not last-writer-win
+    intercept[LockLostException] { slow.assertHeld() }
+
+    // the old holder's release must NOT free the usurper's lock (the
+    // round-15 marker's unconditional delete did): a third party still
+    // cannot enter
+    slow.release()
+    usurper.assertHeld()
+    val third = new Thread(() =>
+      LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false).release())
+    third.start()
+    third.join(1500)
+    assert(third.isAlive, "third party blocked while the usurper holds")
+    usurper.release()
+    third.join(10000)
+    assert(!third.isAlive, "third party entered after the usurper released")
+  }
+
+  test("two takers race one stale tip: one winner per version slot, " +
+      "mutual exclusion never violated across N contenders") {
+    val dir = tmpDir("graft_lanelock_race")
+    val dead = LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false)
+    backdateTip(dir, ageMs = 10000L)
+    assert(dead.nonce.nonEmpty) // silence unused warning; never released
+
+    val inside = new AtomicInteger(0)
+    val maxInside = new AtomicInteger(0)
+    val entries = new AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => try {
+        val l = LaneLock.acquire(spark, dir, ttlMs = 2000L, renew = false)
+        val now = inside.incrementAndGet()
+        maxInside.updateAndGet(m => math.max(m, now))
+        entries.incrementAndGet()
+        Thread.sleep(30)
+        l.assertHeld() // nobody usurped a live, fresh holder
+        inside.decrementAndGet()
+        l.release()
+      } catch { case t: Throwable => errs.add(t): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"no contender errored: ${errs.toArray.mkString(",")}")
+    assert(entries.get() == 6, "every contender eventually entered")
+    assert(maxInside.get() == 1,
+      s"mutual exclusion held (max concurrent holders = ${maxInside.get()})")
+  }
+
+  test("heartbeat renewal: a healthy holder outlives the TTL unstolen") {
+    val dir = tmpDir("graft_lanelock_beat")
+    // TTL 600ms, heartbeat at ttl/3 = 200ms; hold for 2s — ten TTL-thirds
+    val holder = LaneLock.acquire(spark, dir, ttlMs = 600L, renew = true)
+    val stolen = new AtomicInteger(0)
+    val taker = new Thread(() => {
+      val l = LaneLock.acquire(spark, dir, ttlMs = 600L, renew = false)
+      stolen.set(1) // only reachable once the holder releases (or goes stale)
+      l.release()
+    })
+    taker.start()
+    Thread.sleep(2000)
+    holder.assertHeld() // never usurped: the beats kept the tip fresh
+    assert(stolen.get() == 0, "taker never entered while the holder beat")
+    holder.release()
+    taker.join(10000)
+    assert(stolen.get() == 1, "taker entered after the release")
+  }
+
+  test("snapshot-tip CAS: two unserialized writers to the SAME partition " +
+      "lose nothing — the loser re-derives and retries (no lane lock at all)") {
+    import spark.implicits._
+    val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_cas_race"))
+    val month = 202401
+    def streamRows(base: Long, n: Int) = spark.range(n).select(
+      (lit(base) + col("id")).as("trip_id"),
+      lit("v1").as("vendor_code"),
+      lit("2024-01-05 11:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
+      lit("2024-01-05 11:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
+      lit(2.0).as("trip_distance_km"), lit(20.0).as("fare_amount"),
+      lit("CRD").as("payment_type"), lit(0).as("is_night_ride"),
+      lit(2.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
+      lit(24.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
+      lit(null).cast("string").as("flag_raw"),
+      lit(null).cast("int").as("pu_location_id"),
+      lit(null).cast("int").as("do_location_id"),
+      lit("2024-01-05").cast("date").as("ingest_date"),
+      lit("streaming").as("source_file_name"),
+      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("loaded_at"),
+      lit("cas").as("_runId"),
+      lit(null).cast("string").as("_blobPath"),
+      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("_ingestedAt"),
+      lit(month).as("pickup_month"))
+
+    // two writers, NO lock: every merge commit must survive via the tip
+    // CAS alone (scopedMerge re-derives on conflict)
+    val rounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() => try (0 until rounds).foreach { r =>
+      graft.stream.HourLoad.scopedMerge(
+        wh.core, streamRows(1000L + r * 100, 100), "pickup_month"): Unit
+    } catch { case t: Throwable => errs.add(t): Unit })
+    val t2 = new Thread(() => try (0 until rounds).foreach { r =>
+      graft.stream.HourLoad.scopedMerge(
+        wh.core, streamRows(100000L + r * 100, 100), "pickup_month"): Unit
+    } catch { case t: Throwable => errs.add(t): Unit })
+    t1.start(); t2.start()
+    t1.join(300000); t2.join(300000)
+    assert(errs.isEmpty, s"no writer errored: ${errs.toArray.mkString(",")}")
+    assert(wh.core.read.count() == 2L * rounds * 100,
+      "zero lost updates across unserialized same-partition merges")
+    assert(wh.core.read.select("trip_id").distinct().count() ==
+      2L * rounds * 100)
+    // the conflict path actually fired: with both writers interleaving on
+    // one partition, history shows more commits than a serial run would
+    // need only if at least one CAS retry re-derived — but retries don't
+    // burn versions, so instead assert the invariant that matters:
+    // the final live file set contains BOTH writers' last rounds
+    assert(wh.core.read.filter(col("trip_id") >= 100000L).count() ==
+      rounds.toLong * 100)
+  }
+
+  test("overwritePartitionsCas: conflict on a moved touched partition " +
+      "returns None and reaps the orphan; disjoint partitions commit freely") {
+    import spark.implicits._
+    val t = graft.ops.SnapshotTable(spark, tmpDir("graft_cas_unit"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING, p INT"),
+      Seq("p"))
+    val base0 = t.latestVersion // None: empty table
+    t.append(Seq((1, "a", 1)).toDF("k", "v", "p"))
+    // writer A derived from base0 (empty) but p=1 moved since → conflict
+    assert(t.overwritePartitionsCas(
+      Seq((2, "b", 1)).toDF("k", "v", "p"), base0).isEmpty)
+    assert(t.read.count() == 1, "conflicting rewrite never became visible")
+    assert(t.liveCommitDirs == 1, "the orphaned rewrite dir was reaped")
+    // a touched partition DISJOINT from the moved one commits fine
+    assert(t.overwritePartitionsCas(
+      Seq((3, "c", 2)).toDF("k", "v", "p"), base0).isDefined,
+      "concurrent append to a DIFFERENT partition is not a conflict")
+    assert(t.read.count() == 2)
+    // same-base re-derivation then succeeds
+    val base1 = t.latestVersion
+    assert(t.overwritePartitionsCas(
+      Seq((4, "d", 1)).toDF("k", "v", "p"), base1).isDefined)
+    assert(t.read.filter(col("p") === 1).select("k")
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+  }
+}
