@@ -292,6 +292,44 @@ object StreamQueries {
         .orderBy("lane", "merge_action")
     }),
 
+    // The merged-star BI view's QA measures as a declared, oracle-checked
+    // program (VERDICT r15 #4; Lambda.biView is the live-warehouse frame,
+    // spec-proven SQL==API in LambdaSpec — THIS certifies the measure
+    // semantics against DuckDB). Mirrors vw_fact_trip_bi.view.sql:36-49:
+    // tip_pct guarded on fare_amount > 0, fare_per_km on
+    // trip_distance_km > 0, per lane over the same two-lane union as
+    // lambda_merged_star (batch fact SHA-256-hex keys, stream hash64
+    // decimal renders; stream km = the production miles→km conversion).
+    // Ratio-of-sums over exact DECIMAL(18,6) sums keeps the emitted
+    // doubles order-independent (FLOATS.md) — the BI aggregate a
+    // dashboard computes over the view's per-row measures.
+    "lambda_bi_measures" -> ((s, d) => {
+      import graft.functions.TaxiFunctions.milesToKm
+      val b = TaxiQueries.factDf(s, d)
+        .select(col("trip_id"), col("trip_distance_km"),
+          col("fare_amount"), col("tip_amount"))
+      val st = slice(s, d).select(
+        col("trip_id").cast("string").as("trip_id"),
+        milesToKm(col("trip_distance")).as("trip_distance_km"),
+        col("fare_amount"), col("tip_amount"))
+      def dsumIf(cond: org.apache.spark.sql.Column, c: String) =
+        sum(when(cond, col(c)).cast("decimal(18,6)")).cast("double")
+      val fareOk = col("fare_amount") > 0
+      val kmOk = col("trip_distance_km") > 0
+      b.unionByName(st)
+        .groupBy(when(length(col("trip_id")) === 64, "batch")
+          .otherwise("stream").as("lane"))
+        .agg(count(lit(1)).as("trips"),
+          count(when(fareOk, 1)).as("tip_pct_rows"),
+          (dsumIf(fareOk, "tip_amount") /
+            nullif(dsumIf(fareOk, "fare_amount"), lit(0.0))).as("tip_pct"),
+          count(when(kmOk, 1)).as("fare_per_km_rows"),
+          (dsumIf(kmOk, "fare_amount") /
+            nullif(dsumIf(kmOk, "trip_distance_km"), lit(0.0)))
+            .as("fare_per_km"))
+        .orderBy("lane")
+    }),
+
     "idempotent_reload_blob" -> ((s, d) => {
       // DELETE-by-blob-then-recopy semantics: loading the same blobs twice
       // then applying per-blob idempotency must equal a single load.
@@ -678,6 +716,30 @@ object StreamQueries {
         |  CAST(round(sum(CAST(fare_amount AS DECIMAL(18,6))), 2) AS DOUBLE)
         |    AS total_fare
         |FROM lmerged GROUP BY 1, 2 ORDER BY lane, merge_action""".stripMargin),
+
+    "lambda_bi_measures" -> lambdaWith(
+      """lbi AS (
+        |  SELECT trip_id, trip_distance_km, fare_amount, tip_amount FROM fact
+        |  UNION ALL
+        |  SELECT CAST(trip_id AS VARCHAR),
+        |    round(trip_distance * 1.609344, 3), fare_amount, tip_amount
+        |  FROM ev_slice)""".stripMargin,
+      """SELECT
+        |  CASE WHEN length(trip_id) = 64 THEN 'batch' ELSE 'stream' END AS lane,
+        |  count(*) AS trips,
+        |  count(CASE WHEN fare_amount > 0 THEN 1 END) AS tip_pct_rows,
+        |  CAST(SUM(CASE WHEN fare_amount > 0
+        |             THEN CAST(tip_amount AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / nullif(CAST(SUM(CASE WHEN fare_amount > 0
+        |             THEN CAST(fare_amount AS DECIMAL(18,6)) END) AS DOUBLE),
+        |             0.0) AS tip_pct,
+        |  count(CASE WHEN trip_distance_km > 0 THEN 1 END) AS fare_per_km_rows,
+        |  CAST(SUM(CASE WHEN trip_distance_km > 0
+        |             THEN CAST(fare_amount AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / nullif(CAST(SUM(CASE WHEN trip_distance_km > 0
+        |             THEN CAST(trip_distance_km AS DECIMAL(18,6)) END) AS DOUBLE),
+        |             0.0) AS fare_per_km
+        |FROM lbi GROUP BY 1 ORDER BY lane""".stripMargin),
 
     "idempotent_reload_blob" -> stream(
       """SELECT _blobPath, count(*) AS rows FROM ev_slice

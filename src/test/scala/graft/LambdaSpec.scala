@@ -348,6 +348,60 @@ class LambdaSpec extends SparkSpec {
       .distinct().count() == rounds.toLong * 100)
   }
 
+  test("colliding ingest_date: the batch DELETE takes the WHOLE date " +
+      "slice, stream rows of that date included (reference-faithful)") {
+    // The deployment invariant (lanes own disjoint ingest_dates) is
+    // asserted by the dual-lane test above; THIS pins what happens when
+    // it is violated: the reference's batch DELETE has no lane qualifier
+    // (`12_trip_clean.dedupe_load.sql:6` — `DELETE ... WHERE ingest_date
+    // = @d`), so a stream row that landed in a batch-owned date is wiped
+    // by the batch re-run, exactly as the reference would wipe it. The
+    // prose claim at Lambda.scala's slice-ownership doc, executable.
+    import spark.implicits._
+    val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_collide"))
+    def rows(month: Int, d: String, ingestD: String, n: Int,
+             key: Option[Long]): DataFrame =
+      spark.range(n).select(
+        key.map(k => (lit(k) + col("id")).cast("bigint")).getOrElse(
+          lit(null).cast("bigint")).as("trip_id"),
+        lit("V1").as("vendor_code"),
+        lit(s"$d 10:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
+        lit(s"$d 10:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
+        lit(1.0).as("trip_distance_km"), lit(10.0).as("fare_amount"),
+        lit("CARD").as("payment_type"), lit(0).as("is_night_ride"),
+        lit(1.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
+        lit(12.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
+        lit(null).cast("string").as("flag_raw"),
+        lit(null).cast("int").as("pu_location_id"),
+        lit(null).cast("int").as("do_location_id"),
+        lit(ingestD).cast("date").as("ingest_date"),
+        lit("f.parquet").as("source_file_name"),
+        lit(s"$d 12:00:00").cast("timestamp_ntz").as("loaded_at"),
+        key.map(_ => lit("stream-run")).getOrElse(
+          lit(null).cast("string")).as("_runId"),
+        lit(null).cast("string").as("_blobPath"),
+        lit(null).cast("timestamp_ntz").as("_ingestedAt"),
+        lit(month).as("pickup_month"))
+
+    // two stream rows in the batch's own month 199302: one whose
+    // ingest_date COLLIDES with the batch date, one with its own date
+    wh.core.overwritePartitions(
+      rows(199302, "1993-02-10", "1993-02-01", 1, key = Some(77L))
+        .unionByName(rows(199302, "1993-02-11", "1993-02-02", 1, key = Some(88L))))
+    // batch load of ingest_date 1993-02-01 into the same month
+    val owns = col("ingest_date") === lit("1993-02-01").cast("date")
+    Lambda.sliceReplace(wh.core, rows(199302, "1993-02-01", "1993-02-01",
+      3, None), owns)
+
+    assert(wh.core.read.filter(col("trip_id") === 77L).count() == 0,
+      "the colliding stream row is WIPED — the batch DELETE takes the " +
+        "whole date slice, lane-blind, as the reference's does")
+    assert(wh.core.read.filter(col("trip_id") === 88L).count() == 1,
+      "a stream row with its OWN ingest_date in the same month survives " +
+        "(ownership is by date, not by partition)")
+    assert(wh.core.read.filter(col("trip_id").isNull).count() == 3)
+  }
+
   test("sliceReplace: a shrinking batch re-run vacates emptied months " +
       "and spares the other lane") {
     import spark.implicits._
