@@ -14,9 +14,14 @@ import graft.queries.MediaQueries
 class MediaAnnAuditSpec extends SparkSpec {
 
   test("bounded audit recalls the exact tier's neighbors on the fixture") {
-    val truth = MediaQueries.queries("media_ann")(spark, sf())
+    // sf0.1, not sf0.001: the corpus must EXCEED the 512-item fixed
+    // stratum (500 docs at the smaller SFs, 5000 here) or the stratum
+    // covers everything and the band-mate path's contribution (asserted
+    // below) is unobservable
+    val fixture = sf("sf0.1")
+    val truth = MediaQueries.queries("media_ann")(spark, fixture)
       .select("query_id", "neighbor_id")
-    val audit = MediaQueries.queries("media_ann_audit")(spark, sf())
+    val audit = MediaQueries.queries("media_ann_audit")(spark, fixture)
     assert(audit.columns.toSeq ==
       Seq("query_id", "rank", "neighbor_id", "cosine"),
       "audit emits the exact tier's shape — drop-in comparable")
@@ -26,10 +31,27 @@ class MediaAnnAuditSpec extends SparkSpec {
     val hits = truth.join(audit.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_semi").count()
     val recall = hits.toDouble / truthN
-    // fixture-deterministic; measured 0.9+ at sf0.001 — the floor leaves
-    // room for fixture regeneration without letting the audit rot into a
-    // coin flip
-    assert(recall >= 0.6, s"audit recall@3 vs exact tier: $recall")
+    // fixture-deterministic; measured ≈0.9 — a 0.8 floor (ADVICE r15)
+    // fails if EITHER candidate stratum silently dies (band-scheme
+    // change killing all band mates, or a stratum-size regression),
+    // not just if both do
+    info(s"audit recall@3 vs exact tier: $recall")
+    assert(recall >= 0.8, s"audit recall@3 vs exact tier: $recall")
+
+    // the band-mate stratum contributes on its own: some audit neighbor
+    // must fall OUTSIDE the fixed 512-item hash stratum (only the band
+    // path can produce it) — a band-scheme regression that left only the
+    // stratum would zero this even while aggregate recall looked alive
+    val stratum = graft.docs.MediaOps
+      .mediaFromDocuments(graft.docs.DocPipeline.documents(spark, fixture))
+      .select(col("media_id"))
+      .orderBy(sha2(col("media_id").cast("string"), 256), col("media_id"))
+      .limit(512)
+      .select(col("media_id").as("neighbor_id"))
+    val bandOnlyHits = audit.select("neighbor_id")
+      .join(stratum, Seq("neighbor_id"), "left_anti").count()
+    assert(bandOnlyHits > 0,
+      "the aHash band-mate stratum contributes neighbors beyond the fixed stratum")
 
     // the audit ranks at most k=3 per probe and covers every probe the
     // exact tier covers (the fixed stratum guarantees non-empty
