@@ -66,7 +66,25 @@ object Bench {
     // total = warm-up WALL-CLOCK (chains run concurrently — summing their
     // overlapping per-chain times would double-count) + per-query medians
     val total = warmWall + results.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"warmup":${json(warm)},"warmup_wall":$warmWall,"reps":$reps,"sf":"$sfDir"}"""
+    // Host-noise self-calibration (SCALING.md §S4, VERDICT r15 #7): the
+    // round-15 A/B intervention proved cross-round absolute times can be
+    // elevated ~1.4x by the HOST window with zero tree change. Every
+    // capture now carries its own control: the same fixed 5-query probe
+    // that diagnosed r15, as measured IN THIS RUN, over its clean-window
+    // anchor (BENCH_STEADY_r15.json, the 107.1 s capture). A cross-round
+    // total comparison divides by elevation_ratio first; a ratio ≈ 1.0
+    // certifies a clean window, ≈ 1.4 reproduces the r15 elevation.
+    // null when a SPARK_GRAFT_BENCH_FILTER excluded a probe query (the
+    // probe is then not comparable) or on a non-default SF dir.
+    val probeSet = Seq("merge_upsert_key", "graph_pagerank", "join_star_view",
+      "join_fact_dims", "agg_sum_reconcile")
+    val probeAnchorSf01 = 3.92549897 // sum of the 5 in BENCH_STEADY_r15
+    val probeVals = probeSet.flatMap(results.get)
+    val elevation =
+      if (probeVals.length == probeSet.length && sfDir.endsWith("sf0.1"))
+        (probeVals.sum / probeAnchorSf01).toString
+      else "null"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"warmup":${json(warm)},"warmup_wall":$warmWall,"reps":$reps,"elevation_ratio":$elevation,"probe_anchor":"BENCH_STEADY_r15 5-query sum $probeAnchorSf01 s","sf":"$sfDir"}"""
     println(line)
     // The stdout line alone is fragile — a capture that truncates the
     // tail loses per-query numbers (round-5's BENCH artifact kept only
