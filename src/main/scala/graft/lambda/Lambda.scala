@@ -224,25 +224,33 @@ object Lambda {
     * where it has them — vendor/payment — matching
     * `usp_upsert_dims_from_slice_streaming.sql`'s vendor/payment/location
     * scope). SKs continue after max and never move (IDENTITY analog). */
+  /** One dim's read-upsert-replace as an optimistic CAS loop: derive from
+    * the tip, commit only while the tip is unmoved ([[SnapshotTable
+    * .overwriteCas]]), re-derive on a lost race — so even two UNLOCKED
+    * dim upserters serialize (append-only NKs make every interleaving
+    * converge) and the lane lock stays throughput hygiene for dims too,
+    * exactly as the tip CAS makes it for the fact/core merges. */
+  private[graft] def upsertDimCas(table: SnapshotTable, src: DataFrame,
+                                  srcCol: String, nk: String, sk: String,
+                                  fence: () => Unit = () => ()): Unit = {
+    var committed = false
+    while (!committed) {
+      val base = table.latestVersion
+      val upserted = StarModel.upsertDim(table.readAt(base), src, srcCol, nk, sk)
+      fence()
+      committed = table.overwriteCas(upserted, base).isDefined
+    }
+  }
+
   private def upsertDims(wh: SharedWarehouse, cleaned: DataFrame,
                          fence: () => Unit): Unit = {
-    fence()
-    wh.dimVendor.overwrite(StarModel.upsertDim(
-      wh.dimVendor.read, cleaned, "vendor_code", "vendor_nk", "vendor_sk"))
-    fence()
-    wh.dimPayment.overwrite(StarModel.upsertDim(
-      wh.dimPayment.read, cleaned, "payment_type", "payment_nk", "payment_sk"))
-    fence()
-    wh.dimRate.overwrite(StarModel.upsertDim(
-      wh.dimRate.read, cleaned, "rate_code", "rate_nk", "rate_sk"))
-    fence()
-    wh.dimFlag.overwrite(StarModel.upsertDim(
-      wh.dimFlag.read, cleaned, "flag_raw", "flag_nk", "flag_sk"))
+    upsertDimCas(wh.dimVendor, cleaned, "vendor_code", "vendor_nk", "vendor_sk", fence)
+    upsertDimCas(wh.dimPayment, cleaned, "payment_type", "payment_nk", "payment_sk", fence)
+    upsertDimCas(wh.dimRate, cleaned, "rate_code", "rate_nk", "rate_sk", fence)
+    upsertDimCas(wh.dimFlag, cleaned, "flag_raw", "flag_nk", "flag_sk", fence)
     val locs = cleaned.select(col("pu_location_id").as("loc_nk"))
       .unionByName(cleaned.select(col("do_location_id").as("loc_nk")))
-    fence()
-    wh.dimLocation.overwrite(StarModel.upsertDim(
-      wh.dimLocation.read, locs, "loc_nk", "loc_nk", "loc_sk"))
+    upsertDimCas(wh.dimLocation, locs, "loc_nk", "loc_nk", "loc_sk", fence)
   }
 
   /** The batch daily load into the SHARED star: fixtures → cleaned →

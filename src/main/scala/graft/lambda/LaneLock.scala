@@ -71,14 +71,16 @@ final class LaneLock private (fs: FileSystem, conf: Configuration,
           try Thread.sleep(math.max(50L, ttlMs / 3))
           catch { case _: InterruptedException => () }
           if (!released.get()) {
-            LaneLock.readTip(fs, lockDir) match {
+            // a transient FS error must not kill the beat (a dead beater
+            // lets a HEALTHY holder go stale): swallow and retry next tick
+            try LaneLock.readTip(fs, lockDir) match {
               case Some(t0) if t0.held && t0.nonce == nonce =>
                 // lost CAS = a concurrent beat/taker moved the tip; the
                 // next iteration re-reads and re-judges
                 LaneLock.tryPublish(fs, conf, lockDir, t0.version + 1,
                   held = true, nonce): Unit
               case _ => released.set(true) // usurped: stop beating
-            }
+            } catch { case _: Exception => () }
           }
         }
       }, s"lane-lock-heartbeat-$nonce")
@@ -151,8 +153,11 @@ object LaneLock {
       new Path(lockDir, f"v$v%08d"),
       s"$state $nonce ${System.currentTimeMillis()}")
     // bounded chain: reap far-below-tip versions (readers only open the
-    // max; the margin keeps any in-flight list-then-open valid)
-    if (won && v > 8) (1L to v - 8).foreach { old =>
+    // max; the 8-version margin keeps any in-flight list-then-open
+    // valid). The reap window is itself BOUNDED (24 slots per publish,
+    // not 1..v) so publish cost stays O(1) as the chain grows; a gap
+    // left by a crash self-heals across the next publishes.
+    if (won && v > 8) (math.max(1L, v - 32) to v - 8).foreach { old =>
       try fs.delete(new Path(lockDir, f"v$old%08d"), false): Unit
       catch { case _: Exception => () }
     }

@@ -302,6 +302,35 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     else commit("overwrite")(_ => partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
   }
 
+  /** [[overwrite]] with whole-table optimistic conflict detection — the
+    * unpartitioned sibling of [[overwritePartitionsCas]] for
+    * read-modify-replace tables (dimension upserts): commits only while
+    * the tip is still the `expectedBase` the caller derived `df` from;
+    * a moved tip returns None (rewrite reaped), the caller re-derives
+    * from the new tip and retries. Two unserialized dim upserters then
+    * serialize instead of the loser silently erasing the winner's
+    * appended NKs. */
+  def overwriteCas(df: DataFrame, expectedBase: Option[Long]): Option[Long] = {
+    val rel = writeDataDir(df)
+    var result: Option[Option[Long]] = None
+    while (result.isEmpty) {
+      val base = versions.lastOption
+      if (base != expectedBase) {
+        fs.delete(new Path(s"$dir/$rel"), true)
+        result = Some(None)
+      } else {
+        val v = base.getOrElse(0L) + 1
+        val bodyTail =
+          if (partitionCols.isEmpty) filesBody(Seq(rel))
+          else partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap)
+        if (publishManifest(v, "overwrite", bodyTail)) result = Some(Some(v))
+        // else: lost the version slot — loop re-reads the tip (which has
+        // necessarily moved, so the next pass returns the conflict)
+      }
+    }
+    result.get
+  }
+
   /** ATOMIC dynamic partition overwrite: replaces ONLY the partitions
     * present in `df`; every other partition keeps its current files. The
     * single manifest publish is the commit point — a concurrent reader

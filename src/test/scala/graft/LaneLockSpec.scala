@@ -166,6 +166,30 @@ class LaneLockSpec extends SparkSpec {
       rounds.toLong * 100)
   }
 
+  test("dim upsert CAS: two UNLOCKED upserters lose no NK and never " +
+      "reuse or move an SK") {
+    import spark.implicits._
+    val dim = graft.ops.SnapshotTable(spark, tmpDir("graft_dim_cas"),
+      org.apache.spark.sql.types.StructType.fromDDL("nk STRING, sk INT"))
+    val rounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def upserter(prefix: String) = new Thread(() => try {
+      (0 until rounds).foreach { r =>
+        Lambda.upsertDimCas(dim,
+          Seq(s"$prefix-$r", s"$prefix-shared").toDF("src"), "src", "nk", "sk")
+      }
+    } catch { case t: Throwable => errs.add(t): Unit })
+    val a = upserter("a"); val b = upserter("b")
+    a.start(); b.start(); a.join(300000); b.join(300000)
+    assert(errs.isEmpty, s"no upserter errored: ${errs.toArray.mkString(",")}")
+    val rows = dim.read.collect().map(r => r.getString(0) -> r.getInt(1))
+    val expected = (0 until rounds).flatMap(r => Seq(s"a-$r", s"b-$r")) ++
+      Seq("a-shared", "b-shared")
+    assert(rows.map(_._1).sorted.toSeq == expected.sorted,
+      "every NK from both unserialized upserters survived")
+    assert(rows.map(_._2).distinct.length == rows.length, "SKs unique")
+  }
+
   test("overwritePartitionsCas: conflict on a moved touched partition " +
       "returns None and reaps the orphan; disjoint partitions commit freely") {
     import spark.implicits._
