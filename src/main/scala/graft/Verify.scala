@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — a FOCUSED dump for
+    // per-query scale gates (x20/x50 re-gates of a round's new/changed
+    // queries without paying the full-surface DuckDB sweep). The filtered
+    // oracle_sql.json keeps tools/oracle_check.py scoped to the same set.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(',').map(_.trim).toSet))
+    }
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +28,8 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(q => keep(q._1))
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -50,7 +59,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Failed queries: one _error.txt inside the (otherwise missing) query

@@ -161,11 +161,13 @@ object Lambda {
     * <owns>; INSERT <fresh>` pair as ONE atomic dynamic partition
     * overwrite: rewrite exactly the `pickup_month` partitions that either
     * receive fresh rows or still hold rows this lane owns, carrying every
-    * non-owned row in them forward untouched. Months left empty (a
-    * shrinking re-run — rare) are dropped in a follow-up metadata commit;
-    * between the two commits a reader sees the superseded owned rows, the
-    * same anomaly the reference's two-statement DELETE+INSERT shows
-    * between its statements outside an explicit transaction. */
+    * non-owned row in them forward untouched. Months left EMPTY by the
+    * replace (a shrinking re-run — rare) ride the SAME commit as manifest
+    * drops (`overwritePartitionsCas(dropWhere)`), CAS-validated like the
+    * rewritten months: the whole DELETE+INSERT is one atomic publish — no
+    * reader ever sees a half-replaced state, and a concurrent commit into
+    * a month this replace would empty fails the CAS and forces a
+    * re-derive instead of being erased by a follow-up drop. */
   private[graft] def sliceReplace(table: SnapshotTable, fresh: DataFrame,
                                   owns: Column,
                                   fence: () => Unit = () => ()): Unit = {
@@ -189,33 +191,21 @@ object Lambda {
         case Some(v) => touched.contains(v)
         case None    => false // pickup_month is never null (domain-filtered)
       }).filter(not(coalesce(owns, lit(false))))
+      // Months this replace empties: owned at base, no fresh rows, no
+      // surviving non-owned rows. Only ownedMonths \ freshMonths can
+      // qualify (the steady-state re-run has none — this costs nothing);
+      // the emptiness proof is pinned at `base`, which is exactly the
+      // snapshot the commit validates those months against.
+      val maybeEmptied = ownedMonths -- freshMonths
+      val emptied =
+        if (maybeEmptied.isEmpty) Set.empty[String]
+        else maybeEmptied -- survivors
+          .filter(col("pickup_month").cast("string").isin(maybeEmptied.toSeq: _*))
+          .select(col("pickup_month").cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
       fence() // abort-before-publish if this lane's lock was usurped
-      committed =
-        table.overwritePartitionsCas(survivors.unionByName(fresh), base).isDefined
-      if (committed) {
-        // Emptied-month cleanup: a month receiving no fresh rows and losing
-        // all its owned ones writes zero rows, so the overwrite leaves its
-        // old dir live. Only months in ownedMonths \ freshMonths can qualify
-        // (the steady-state re-run has none — this costs nothing), and the
-        // re-check reads just those partitions of the NEW version.
-        // (the dir of an emptied month is still mapped by the manifest — the
-        // overwrite only re-mapped months that produced files — so the check
-        // must ask the SURVIVORS frame, whose plan reads immutable
-        // old-version files, which candidate months still hold a
-        // non-owned row)
-        val maybeEmptied = ownedMonths -- freshMonths
-        if (maybeEmptied.nonEmpty) {
-          val stillThere = survivors
-            .filter(col("pickup_month").cast("string").isin(maybeEmptied.toSeq: _*))
-            .select(col("pickup_month").cast("string"))
-            .distinct().collect().map(_.getString(0)).toSet
-          val emptied = maybeEmptied -- stillThere
-          if (emptied.nonEmpty) {
-            fence()
-            table.dropPartitions(v => v.exists(emptied.contains)): Unit
-          }
-        }
-      }
+      committed = table.overwritePartitionsCas(survivors.unionByName(fresh),
+        base, dropWhere = v => v.exists(emptied.contains)).isDefined
     }
   }
 

@@ -127,16 +127,23 @@ object LaneLock {
 
   private[lambda] def readTip(fs: FileSystem, lockDir: Path): Option[Tip] = {
     if (!fs.exists(lockDir)) return None
-    // only the MAX version is ever opened, and cleanup never deletes the
-    // top 8 versions, so list-then-open cannot race a reap
+    // only the MAX version is ever opened, and cleanup keeps an 8-version
+    // margin below the tip, so list-then-open races a reap only when a
+    // reader stalls across ≥8 publishes — re-list rather than surface a
+    // spurious FileNotFound to the lease logic
     val vs = fs.listStatus(lockDir).toSeq.map(_.getPath.getName).collect {
       case versionRe(d) => d.toLong
     }.sorted
     vs.lastOption.map { v =>
-      val in = fs.open(new Path(lockDir, f"v$v%08d"))
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+      val txt =
+        try {
+          val in = fs.open(new Path(lockDir, f"v$v%08d"))
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return readTip(fs, lockDir)
+        }
       txt.trim.split("\\s+") match {
         case Array(state, nonce, ts) => Tip(v, state == "held", nonce, ts.toLong)
         case _ => // unparseable = treat as a live hold by nobody we know;

@@ -371,31 +371,50 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * ([[graft.lambda.LaneLock]]) is throughput hygiene (one re-merge
     * saved), not a correctness load-bearer.
     *
-    * @return committed version, or None on a touched-partition conflict */
-  def overwritePartitionsCas(df: DataFrame, expectedBase: Option[Long]): Option[Long] = {
+    * `dropWhere` covers the one replacement a dynamic overwrite cannot
+    * express: a partition the caller logically rewrote TO EMPTY (zero
+    * surviving rows → zero files → nothing for `df` to touch). Keys it
+    * selects (by decoded first-level value, evaluated against the
+    * EXPECTED base — the snapshot the caller proved emptiness on) are
+    * dropped from the manifest in the SAME atomic commit, and they join
+    * the conflict-validation set: a concurrent commit into an
+    * emptied-at-base partition (it is no longer empty!) fails this CAS
+    * instead of being silently erased — closing the check-then-drop
+    * TOCTOU a separate follow-up [[dropPartitions]] commit would leave
+    * open — and a reader never sees a half-replaced state between two
+    * commits.
+    *
+    * @return committed version, or None on a touched- or
+    *         dropped-partition conflict */
+  def overwritePartitionsCas(df: DataFrame, expectedBase: Option[Long],
+      dropWhere: Option[String] => Boolean = _ => false): Option[Long] = {
     require(partitionCols.nonEmpty, s"$dir is not partitioned")
+    val expParts = expectedBase.map(snapshotParts).getOrElse(Map.empty)
     val rel = writeDataDir(df)
     val touched = leafPartDirs(rel)
-    if (touched.isEmpty) { // empty frame: dynamic overwrite is a no-op
-      fs.delete(new Path(s"$dir/$rel"), true)
-      return Some(latestVersion.getOrElse(0L))
+    // emptied-at-base keys to drop atomically; a key that received fresh
+    // files is by definition not empty (callers keep the sets disjoint —
+    // the filter just makes a careless predicate safe)
+    val dropSel = selectPartKeys(dropWhere, expParts).filterNot(touched.contains)
+    if (touched.isEmpty) {
+      fs.delete(new Path(s"$dir/$rel"), true) // fileless commit dir
+      if (dropSel.isEmpty) return Some(latestVersion.getOrElse(0L)) // no-op
     }
-    val expParts = expectedBase.map(snapshotParts).getOrElse(Map.empty)
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val base = versions.lastOption
       val cur = baseParts(base)
-      // conflict = a touched partition's owner set moved since the base
-      // read (file-set equality; order is stable — partsBody sorts and
-      // appends deterministically)
-      if (touched.exists(k => cur.get(k) != expParts.get(k)) &&
+      // conflict = a touched or dropped partition's owner set moved since
+      // the base read (file-set equality; order is stable — partsBody
+      // sorts and appends deterministically)
+      if ((touched ++ dropSel).exists(k => cur.get(k) != expParts.get(k)) &&
           base != expectedBase) {
         fs.delete(new Path(s"$dir/$rel"), true) // orphaned rewrite: reap now
         result = Some(None)
       } else {
         val v = base.getOrElse(0L) + 1
         if (publishManifest(v, "overwrite_partitions",
-            partsBody(cur ++ touched.map(_ -> Seq(rel)))))
+            partsBody(cur ++ touched.map(_ -> Seq(rel)) -- dropSel)))
           result = Some(Some(v))
         // else: lost the version slot — loop re-derives AND re-checks
       }
@@ -404,9 +423,23 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   }
 
   /** DELETE WHERE cond (logical rewrite of the survivors into one commit
-    * dir; null conditions keep the row — SQL DELETE semantics). */
-  def deleteWhere(cond: Column): Long =
-    overwrite(read.filter(not(coalesce(cond, lit(false)))))
+    * dir; null conditions keep the row — SQL DELETE semantics). The
+    * rewrite is an optimistic CAS loop, not a blind overwrite: survivors
+    * derive from a pinned base version and commit only while the tip is
+    * unmoved ([[overwriteCas]]), so a concurrent APPEND between the
+    * survivor read and the commit makes this delete re-derive — its rows
+    * are carried forward — instead of being silently erased (the
+    * lost-append hazard of read-filter-overwrite; e.g. two hourly stream
+    * loads sharing one slice scratch table,
+    * [[graft.stream.HourLoad.stageHourAndSlice]]). */
+  def deleteWhere(cond: Column): Long = {
+    var res = Option.empty[Long]
+    while (res.isEmpty) {
+      val base = versions.lastOption
+      res = overwriteCas(readAt(base).filter(not(coalesce(cond, lit(false)))), base)
+    }
+    res.get
+  }
 
   /** Live leaf partition paths of the latest snapshot. */
   def partitions: Seq[String] = {

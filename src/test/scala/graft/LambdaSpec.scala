@@ -446,5 +446,30 @@ class LambdaSpec extends SparkSpec {
       "emptied month is dropped from the manifest")
     assert(wh.core.read.filter(col("trip_id") === 7L).count() == 1,
       "the other lane's row is never touched")
+
+    // The check-then-drop TOCTOU, closed: a concurrent commit lands in a
+    // month the re-run would empty, BETWEEN the emptiness proof and the
+    // publish (the fence seam is exactly that window). The atomic
+    // dropWhere CAS must fail and re-derive — the concurrent row
+    // survives, the batch-owned rows still vacate, and the month stays
+    // live because it is no longer empty.
+    Lambda.sliceReplace(wh.core,
+      rows(199302, "1993-02-01", 3, None)
+        .unionByName(rows(199303, "1993-02-01", 2, None)), owns)
+    assert(wh.core.read.count() == 6)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Lambda.sliceReplace(wh.core, rows(199302, "1993-02-01", 3, None), owns,
+      fence = () =>
+        if (injected.compareAndSet(false, true))
+          wh.core.append(rows(199303, "1993-03-05", 1, key = Some(55L))): Unit)
+    assert(injected.get(), "the seam fired inside the replace window")
+    assert(wh.core.read.filter(col("trip_id") === 55L).count() == 1,
+      "the concurrent commit into the emptied-at-base month survived")
+    assert(wh.core.read.filter(col("pickup_month") === 199303 &&
+      col("trip_id").isNull).count() == 0,
+      "the batch-owned rows of the emptied month still vacated")
+    assert(wh.core.partitions.exists(_.contains("199303")),
+      "the month stays live — it is not empty anymore")
+    assert(wh.core.read.count() == 5)
   }
 }

@@ -215,4 +215,69 @@ class LaneLockSpec extends SparkSpec {
     assert(t.read.filter(col("p") === 1).select("k")
       .collect().map(_.getInt(0)).toSeq == Seq(4))
   }
+
+  test("overwritePartitionsCas(dropWhere): emptied partition drops in the " +
+      "SAME commit; a concurrent write into it is a conflict, not a casualty") {
+    import spark.implicits._
+    val t = graft.ops.SnapshotTable(spark, tmpDir("graft_cas_drop"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING, p INT"),
+      Seq("p"))
+    t.append(Seq((1, "a", 1), (2, "b", 2)).toDF("k", "v", "p"))
+
+    // atomic DELETE+INSERT: p=1 rewritten, p=2 logically emptied — ONE
+    // commit does both (no follow-up drop a reader could observe missing)
+    val base = t.latestVersion
+    val v = t.overwritePartitionsCas(Seq((3, "c", 1)).toDF("k", "v", "p"),
+      base, dropWhere = _.contains("2"))
+    assert(v.isDefined && v.get == base.get + 1, "one commit, not two")
+    assert(!t.partitions.exists(_.contains("p=2")),
+      "emptied partition dropped atomically with the rewrite")
+    assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(3))
+
+    // the TOCTOU the follow-up-drop design left open: a commit lands in
+    // the to-be-emptied partition between the emptiness proof (base) and
+    // the publish — the CAS must refuse rather than erase it
+    t.append(Seq((5, "e", 2)).toDF("k", "v", "p"))
+    val base2 = t.latestVersion
+    t.append(Seq((6, "f", 2)).toDF("k", "v", "p")) // the concurrent write
+    assert(t.overwritePartitionsCas(Seq((7, "g", 1)).toDF("k", "v", "p"),
+      base2, dropWhere = _.contains("2")).isEmpty,
+      "emptied-at-base partition moved since base → conflict")
+    assert(t.read.filter(col("p") === 2).count() == 2,
+      "no row in the contested partition was lost")
+
+    // an unrelated partition moving does NOT conflict the drop
+    val base3 = t.latestVersion
+    t.append(Seq((8, "h", 3)).toDF("k", "v", "p"))
+    assert(t.overwritePartitionsCas(Seq((9, "i", 1)).toDF("k", "v", "p"),
+      base3, dropWhere = _.contains("2")).isDefined,
+      "disjoint concurrent append is not a conflict")
+    assert(!t.partitions.exists(_.contains("p=2")))
+    assert(t.read.filter(col("p") === 3).count() == 1)
+  }
+
+  test("deleteWhere CAS: concurrent appends during delete churn are " +
+      "carried forward, never erased by the survivor rewrite") {
+    import spark.implicits._
+    val t = graft.ops.SnapshotTable(spark, tmpDir("graft_delete_cas"),
+      org.apache.spark.sql.types.StructType.fromDDL("tag STRING, n INT"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val rounds = 12
+    val appender = new Thread(() => try {
+      (0 until rounds).foreach { i =>
+        t.append(Seq((s"keep-$i", i), ("dead", i)).toDF("tag", "n"))
+      }
+    } catch { case e: Throwable => errs.add(e): Unit })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deleter = new Thread(() => try {
+      while (!stop.get()) t.deleteWhere(col("tag") === "dead")
+    } catch { case e: Throwable => errs.add(e): Unit })
+    appender.start(); deleter.start()
+    appender.join(300000); stop.set(true); deleter.join(300000)
+    assert(errs.isEmpty, s"no writer errored: ${errs.toArray.mkString(",")}")
+    t.deleteWhere(col("tag") === "dead")
+    val keeps = t.read.collect().map(_.getString(0)).sorted.toSeq
+    assert(keeps == (0 until rounds).map(i => s"keep-$i").sorted,
+      "every appended row survived the concurrent delete rewrites")
+  }
 }
