@@ -3,7 +3,7 @@ package graft.ops
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, hash, lit, not, pmod}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
@@ -517,9 +517,12 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     *
     * Only the multi-dir portion is rewritten: an unpartitioned table with
     * one live dir, or a partition owned by one dir, is untouched. The
-    * rewrite shuffles by the partition columns (AQE folds the small
-    * groups; a deployment at scale would size output tasks by bytes) so
-    * each compacted partition lands as one file.
+    * rewrite is SIZED BY BYTES ([[compactTargetBytes]]): task count =
+    * `ceil(source bytes / target file size)`, shuffled by the partition
+    * columns plus a content-hash salt, so small partitions fold (AQE
+    * merges the tiny groups) while a huge one splits across tasks and
+    * files instead of serializing into one writer — the rewrite
+    * parallelizes across the cluster at any partition-size skew.
     *
     * CAS-safe against concurrent writers by the rewrite-validation rule
     * (Iceberg RewriteFiles, public knowledge): the commit closure
@@ -532,6 +535,28 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * when nothing needed folding. */
   def compact(): Long = compactHook(() => ())
 
+  /** Compaction output sizing: target bytes per rewritten file —
+    * `spark.graft.compact.targetFileBytes` if set, else the session's
+    * read-split size (`spark.sql.files.maxPartitionBytes`), so compacted
+    * files match what one scan task wants to read. The rewrite task count
+    * is `ceil(source bytes / target)`: a 2 GB fold runs ~16 tasks, not
+    * the one task a `coalesce(1)` would pin it to — the difference
+    * between a maintenance pass that parallelizes across the cluster and
+    * one that serializes on a single core at 100 TB. */
+  private def compactTargetBytes: Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.compact.targetFileBytes",
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+          s"${128L * 1024 * 1024}")))
+
+  private def rewriteTasks(srcBytes: Long): Int =
+    math.max(1L, math.min(1 << 20,
+      (srcBytes + compactTargetBytes - 1) / compactTargetBytes)).toInt
+
+  private def pathBytes(p: String): Long =
+    try fs.getContentSummary(new Path(p)).getLength
+    catch { case _: java.io.FileNotFoundException => 0L }
+
   /** [[compact]] with a test seam between the data rewrite and the
     * manifest commit — the window a concurrent committer races. */
   private[graft] def compactHook(beforeCommit: () => Unit): Long =
@@ -541,9 +566,10 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         val src = snapshotDirs(baseV)
         if (src.lengthCompare(1) <= 0) baseV
         else {
+          val n = rewriteTasks(src.map(d => pathBytes(s"$dir/$d")).sum)
           val rel = writeDataDir(
             spark.read.schema(schema).parquet(src.map(d => s"$dir/$d"): _*)
-              .coalesce(1))
+              .repartition(n))
           beforeCommit()
           commitIfChanged("compact") { base =>
             val cur = base.map(snapshotDirs).getOrElse(Nil)
@@ -569,7 +595,17 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
               .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
               .select(schema.fieldNames.map(col).toSeq: _*)
           }.reduce(_ unionByName _)
-          val rel = writeDataDir(df.repartition(partitionCols.map(col): _*))
+          val srcBytes = multi.toSeq
+            .flatMap { case (k, ds) => ds.map(d => pathBytes(s"$dir/$d/$k")) }.sum
+          val n = rewriteTasks(srcBytes)
+          // salt WITHIN a partition by a content hash: a single huge
+          // partition splits across ~`slices` tasks/files instead of
+          // serializing into one writer (the salt never reaches the
+          // output — repartitioning keys are not columns)
+          val slices = math.max(1, n / math.max(1, multi.size))
+          val salt = pmod(hash(schema.fieldNames.map(col).toSeq: _*), lit(slices))
+          val rel = writeDataDir(
+            df.repartition(n, partitionCols.map(col) :+ salt: _*))
           beforeCommit()
           commitIfChanged("compact") { base =>
             val cur = baseParts(base)

@@ -216,6 +216,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(un.compact() == 1L, "single-dir unpartitioned table: compact is a no-op, no new version")
   }
 
+  test("compact sizes the rewrite by bytes: a huge partition splits " +
+      "across files instead of serializing into one writer") {
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.graft.compact.targetFileBytes", "4096")
+    try {
+      // partitioned: part=a is ~40x the 4 KiB target across two commit
+      // dirs, part=b is tiny — the fold must split a and keep b at one file
+      val t = SnapshotTable(spark, tmpDir("snap_sized"), schema, Seq("part"))
+      def bulk(lo: Long, n: Long) = spark.range(lo, lo + n)
+        .select(col("id").as("k"), lit("a").as("part"))
+      t.append(bulk(0L, 20000L).unionByName(df(1000000L -> "b")))
+      t.append(bulk(20000L, 20000L))
+      val before = t.read.select("k").as[Long].collect().sorted.toSeq
+      t.compact()
+      assert(t.liveCommitDirs == 2, "a's rewrite dir + b's untouched original")
+      val aFiles = t.read.inputFiles.count(_.contains("/part=a/"))
+      assert(aFiles > 1, s"oversized partition split across files (got $aFiles)")
+      assert(t.read.inputFiles.count(_.contains("/part=b/")) == 1,
+        "tiny partition stays one file")
+      assert(t.read.select("k").as[Long].collect().sorted.toSeq == before,
+        "sized compaction is a logical no-op on content")
+
+      // unpartitioned: multi-dir fold of ~40x target ends up multi-file
+      val un = SnapshotTable(spark, tmpDir("snap_sized_un"), schema)
+      un.append(spark.range(0L, 20000L).select(col("id").as("k"), lit("x").as("part")))
+      un.append(spark.range(20000L, 40000L).select(col("id").as("k"), lit("x").as("part")))
+      val beforeUn = un.read.select("k").as[Long].collect().sorted.toSeq
+      un.compact()
+      assert(un.liveCommitDirs == 1)
+      assert(un.read.inputFiles.length > 1,
+        "oversized unpartitioned fold is not pinned to one task/file")
+      assert(un.read.select("k").as[Long].collect().sorted.toSeq == beforeUn)
+    } finally spark.conf.unset("spark.graft.compact.targetFileBytes")
+  }
+
   test("compact is CAS-safe: a concurrent append survives; a concurrent overwrite wins") {
     // append race: lands between the rewrite and the commit — its dir is
     // not in the fold's source set, so it survives alongside the rewrite
