@@ -120,7 +120,10 @@ object LambdaSoak {
         }
         batchDone.incrementAndGet()
       }
-    } catch { case t: Throwable => errs.add(s"batch: $t"): Unit }, "soak-batch")
+    } catch { case t: Throwable =>
+      errs.add(s"batch: $t")
+      lanesAtMid.countDown() // a dead lane must not hang the mid-soak gate
+    }, "soak-batch")
 
     val streamThread = new Thread(() => try {
       import spark.implicits._
@@ -140,7 +143,10 @@ object LambdaSoak {
         }
         streamDone.incrementAndGet()
       }
-    } catch { case t: Throwable => errs.add(s"stream: $t"): Unit }, "soak-stream")
+    } catch { case t: Throwable =>
+      errs.add(s"stream: $t")
+      lanesAtMid.countDown() // a dead lane must not hang the mid-soak gate
+    }, "soak-stream")
 
     // torn-read detector: every sample must show batch ∈ {0, batchN} and
     // stream ≡ 0 (mod streamN) — version-isolated snapshot reads can
@@ -167,10 +173,17 @@ object LambdaSoak {
     // dead process), drop an UNCOMMITTED orphan data dir into the shared
     // table, then release the lanes against the dead holder's lock: the
     // ONLY way they can finish is the TTL takeover
-    lanesAtMid.await()
+    // timed await: a lane that died pre-mid counts the latch down from
+    // its catch block, and the timeout is a last-resort backstop so the
+    // soak FAILS with its JSON diagnostics instead of hanging a CI job
+    if (!lanesAtMid.await(300, java.util.concurrent.TimeUnit.SECONDS))
+      errs.add("mid-soak gate timed out — a lane stalled pre-crash"): Unit
     val crasher = LaneLock.acquire(spark, whDir, ttlMs, renew = false)
+    // orphan sentinel strictly above every legitimate stream id
+    // (1000 + cycles*streamN), whatever SPARK_GRAFT_SOAK_CYCLES is
+    val orphanBase = 1000L + cycles.toLong * streamN + 1000000L
     val orphanRel = s"data/c-orphan-${java.util.UUID.randomUUID()}"
-    streamRows(spark, 999999L, 7, month).write
+    streamRows(spark, orphanBase, 7, month).write
       .parquet(s"$whDir/core_trip_clean/$orphanRel")
     val crashT0 = System.currentTimeMillis()
     val midCounts = (batchDone.get(), streamDone.get())
@@ -197,7 +210,7 @@ object LambdaSoak {
     val streamFinal = wh.core.read.filter(col("trip_id").isNotNull).count()
     val streamKeys = wh.core.read.filter(col("trip_id").isNotNull)
       .select("trip_id").distinct().count()
-    val orphanVisible = wh.core.read.filter(col("trip_id") >= 999999L).count()
+    val orphanVisible = wh.core.read.filter(col("trip_id") >= orphanBase).count()
     val auditRows = wh.audit.read.count()
     val vacuumed = wh.core.vacuum(keepVersions = 1, minAgeMs = 0L)
     val orphanReaped = vacuumed.exists(_.contains("c-orphan"))
@@ -219,7 +232,11 @@ object LambdaSoak {
         s""""ttl_takeover_proven":$takeoverProven,"fenced_aborts":${fencedAborts.get()},""" +
         s""""orphan_rows_visible":$orphanVisible,"orphan_reaped":$orphanReaped,""" +
         s""""lock_wait_ms_total":${lockWaitMs.get()},"wall_sec":$wallSec,""" +
-        s""""errors":[${errs.toArray.map(e => "\"" + e.toString.replace("\"", "'") + "\"").mkString(",")}]}"""
+        s""""errors":[${errs.toArray.map(e =>
+          // same flattening as SoakProbe: a multi-line Spark exception in
+          // the diagnostics must not make the artifact unparseable
+          "\"" + e.toString.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("\\p{Cntrl}", " ") + "\"").mkString(",")}]}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_LAMBDA.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -13,6 +13,14 @@ object Verify {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(',').map(_.trim).toSet))
     }
+    // fail fast on a typo'd filter name: an unmatched filter would dump
+    // nothing, emit an empty oracle_sql.json, and let the focused gate
+    // pass VACUOUSLY
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries in filter: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkEntry.configure(SparkSession.builder()

@@ -45,9 +45,13 @@ final class LockLostException(msg: String) extends RuntimeException(msg)
   *  - '''Heartbeat renewal.''' A daemon thread republishes `held` with a
   *    fresh timestamp every ttl/3, so a healthy long-running holder never
   *    goes stale — the TTL only ever fires on a genuinely crashed (or
-  *    wholly paused) process. Staleness compares the publisher's wall
-  *    clock against the reader's: the scheme assumes cross-node clock
-  *    skew ≪ ttl (minutes), the standard TTL-lease assumption.
+  *    wholly paused) process. The tip records the HOLDER's ttl and takers
+  *    judge staleness by it, so processes configured with different TTLs
+  *    share a warehouse safely (a short-TTL taker cannot usurp a healthy
+  *    long-TTL holder between its beats). Staleness compares the
+  *    publisher's wall clock against the reader's: the scheme assumes
+  *    cross-node clock skew ≪ ttl (minutes), the standard TTL-lease
+  *    assumption.
   *
   * Reference analog: the Synapse engine's MERGE/DELETE run under real
   * lock management (`12_trip_clean.dedupe_load.sql` executes inside the
@@ -78,7 +82,7 @@ final class LaneLock private (fs: FileSystem, conf: Configuration,
                 // lost CAS = a concurrent beat/taker moved the tip; the
                 // next iteration re-reads and re-judges
                 LaneLock.tryPublish(fs, conf, lockDir, t0.version + 1,
-                  held = true, nonce): Unit
+                  held = true, nonce, ttlMs): Unit
               case _ => released.set(true) // usurped: stop beating
             } catch { case _: Exception => () }
           }
@@ -109,7 +113,7 @@ final class LaneLock private (fs: FileSystem, conf: Configuration,
       LaneLock.readTip(fs, lockDir) match {
         case Some(t) if t.held && t.nonce == nonce =>
           done = LaneLock.tryPublish(fs, conf, lockDir, t.version + 1,
-            held = false, nonce)
+            held = false, nonce, ttlMs)
         // lost CAS: loop — either our heartbeat's last beat won the slot
         // (re-read, release over it) or a taker usurped (stop)
         case _ => done = true
@@ -120,8 +124,12 @@ final class LaneLock private (fs: FileSystem, conf: Configuration,
 
 object LaneLock {
 
+  /** `ttlMs` is the HOLDER's lease length, recorded in the tip so a
+    * taker judges staleness by the holder's own contract — two processes
+    * configured with different TTLs would otherwise let the shorter one
+    * usurp a healthy holder between its (ttl/3-spaced) heartbeats. */
   private[lambda] final case class Tip(version: Long, held: Boolean,
-                                       nonce: String, ts: Long)
+                                       nonce: String, ts: Long, ttlMs: Long)
 
   private val versionRe = "v(\\d{8})".r
 
@@ -144,21 +152,24 @@ object LaneLock {
         } catch {
           case _: java.io.FileNotFoundException => return readTip(fs, lockDir)
         }
-      txt.trim.split("\\s+") match {
-        case Array(state, nonce, ts) => Tip(v, state == "held", nonce, ts.toLong)
-        case _ => // unparseable = treat as a live hold by nobody we know;
-          // the TTL path recovers (ts 0 is maximally stale)
-          Tip(v, held = true, nonce = "?", ts = 0L)
-      }
+      // unparseable = treat as a live hold by nobody we know; the TTL
+      // path recovers (ts 0 + ttl 0 is maximally stale)
+      val fallback = Tip(v, held = true, nonce = "?", ts = 0L, ttlMs = 0L)
+      try txt.trim.split("\\s+") match {
+        case Array(state, nonce, ts, ttl) =>
+          Tip(v, state == "held", nonce, ts.toLong, ttl.toLong)
+        case _ => fallback
+      } catch { case _: NumberFormatException => fallback }
     }
   }
 
   private[lambda] def tryPublish(fs: FileSystem, conf: Configuration,
-      lockDir: Path, v: Long, held: Boolean, nonce: String): Boolean = {
+      lockDir: Path, v: Long, held: Boolean, nonce: String,
+      ttlMs: Long): Boolean = {
     val state = if (held) "held" else "released"
     val won = AtomicPublish.publishContent(fs, conf, lockDir,
       new Path(lockDir, f"v$v%08d"),
-      s"$state $nonce ${System.currentTimeMillis()}")
+      s"$state $nonce ${System.currentTimeMillis()} $ttlMs")
     // bounded chain: reap far-below-tip versions (readers only open the
     // max; the 8-version margin keeps any in-flight list-then-open
     // valid). The reap window is itself BOUNDED (24 slots per publish,
@@ -182,11 +193,16 @@ object LaneLock {
     val nonce = UUID.randomUUID().toString
     while (true) {
       val tip = readTip(fs, lockDir)
+      // staleness is judged by the HOLDER's recorded lease, not this
+      // taker's: processes with different TTLs can share a warehouse
+      // without the shortest one usurping a healthy holder between its
+      // heartbeats (the tip of a pre-TTL-field writer reads ttl 0 —
+      // maximally stale, recovered by the nonce/fence discipline)
       val free = tip.forall(t =>
-        !t.held || System.currentTimeMillis() - t.ts > ttlMs)
+        !t.held || System.currentTimeMillis() - t.ts > t.ttlMs)
       if (free) {
         val v = tip.map(_.version).getOrElse(0L) + 1
-        if (tryPublish(fs, conf, lockDir, v, held = true, nonce))
+        if (tryPublish(fs, conf, lockDir, v, held = true, nonce, ttlMs))
           return new LaneLock(fs, conf, lockDir, nonce, ttlMs, renew)
         // lost the slot to a racer: loop re-reads the new tip
       } else Thread.sleep(200)

@@ -406,9 +406,9 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
       val cur = baseParts(base)
       // conflict = a touched or dropped partition's owner set moved since
       // the base read (file-set equality; order is stable — partsBody
-      // sorts and appends deterministically)
-      if ((touched ++ dropSel).exists(k => cur.get(k) != expParts.get(k)) &&
-          base != expectedBase) {
+      // sorts and appends deterministically; an unmoved tip trivially
+      // passes — cur IS expParts then)
+      if ((touched ++ dropSel).exists(k => cur.get(k) != expParts.get(k))) {
         fs.delete(new Path(s"$dir/$rel"), true) // orphaned rewrite: reap now
         result = Some(None)
       } else {

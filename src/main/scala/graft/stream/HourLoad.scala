@@ -260,22 +260,26 @@ object HourLoad {
         .join(target.withColumn("_t_exists", lit(true)).as("t"),
           col("s.trip_id") === col("t.trip_id"), "full_outer")
         .persist()
-      val merged = joined.select(
-        coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
-          table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
-            when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
-      val actions = joined.select(
-        when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
-        .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // snapshot commit: the overwrite job reads immutable old-version
-      // files that the commit never deletes — no defensive staging pass
-      // needed (the ParquetTable-era hazard of a re-read racing the
-      // delete+rewrite is structurally gone)
-      fence() // abort-before-publish if the caller's lane lock was usurped
-      if (table.overwritePartitionsCas(merged, base).isDefined)
-        result = Some((actions.getOrElse("inserted", 0L),
-          actions.getOrElse("updated", 0L)))
-      joined.unpersist()
+      // unpersist in finally: fence() is DESIGNED to throw on usurpation
+      // (LockLostException), and a leaked cache entry per aborted merge
+      // would accumulate for the life of a long-running session
+      try {
+        val merged = joined.select(
+          coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
+            table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
+              when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
+        val actions = joined.select(
+          when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
+          .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // snapshot commit: the overwrite job reads immutable old-version
+        // files that the commit never deletes — no defensive staging pass
+        // needed (the ParquetTable-era hazard of a re-read racing the
+        // delete+rewrite is structurally gone)
+        fence() // abort-before-publish if the caller's lane lock was usurped
+        if (table.overwritePartitionsCas(merged, base).isDefined)
+          result = Some((actions.getOrElse("inserted", 0L),
+            actions.getOrElse("updated", 0L)))
+      } finally joined.unpersist(): Unit
     }
     result.get
   }

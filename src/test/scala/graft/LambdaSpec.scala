@@ -226,27 +226,13 @@ class LambdaSpec extends SparkSpec {
 
   test("lane lock: a crashed holder's stale lock is taken over after the TTL") {
     val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_lock"))
-    val fs = new org.apache.hadoop.fs.Path(wh.dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a holder that died 10 minutes ago: acquire (no heartbeat — a dead
+    // a holder that died past its lease: acquire (no heartbeat — a dead
     // process beats nothing) and never release, then backdate its tip
     val dead = graft.lambda.LaneLock.acquire(spark, wh.dir,
       ttlMs = 600000L, renew = false)
-    val lockDir = new org.apache.hadoop.fs.Path(s"${wh.dir}/_lane_lock.d")
-    val tipFile = fs.listStatus(lockDir).map(_.getPath)
-      .maxBy(_.getName)
-    val txt = {
-      val in = fs.open(tipFile)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    fs.delete(tipFile, false)
-    val out = fs.create(tipFile, false)
-    out.write(txt.trim.split("\\s+").take(2)
-      .mkString("", " ", s" ${System.currentTimeMillis() - 600000L}")
-      .getBytes("UTF-8"))
-    out.close()
-    // TTL below the lock's age: the taker must usurp the stale tip and
-    // proceed rather than wait forever
+    LockTestOps.backdateTip(spark, wh.dir, ageMs = 700000L)
+    // tip aged past the HOLDER's recorded lease: the taker must usurp
+    // the stale tip and proceed rather than wait forever
     var ran = false
     Lambda.withLaneLock(wh, ttlMs = 60000L) { _ => ran = true }
     assert(ran, "stale lock usurped and body executed")

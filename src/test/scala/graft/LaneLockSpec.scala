@@ -15,29 +15,18 @@ import graft.lambda.{Lambda, LaneLock, LockLostException}
   */
 class LaneLockSpec extends SparkSpec {
 
-  private def backdateTip(dir: String, ageMs: Long): Unit = {
-    val lockDir = new org.apache.hadoop.fs.Path(s"$dir/_lane_lock.d")
-    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tipFile = fs.listStatus(lockDir).map(_.getPath).maxBy(_.getName)
-    val txt = {
-      val in = fs.open(tipFile)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val Array(state, nonce, _) = txt.trim.split("\\s+")
-    fs.delete(tipFile, false)
-    val out = fs.create(tipFile, false)
-    out.write(s"$state $nonce ${System.currentTimeMillis() - ageMs}"
-      .getBytes("UTF-8"))
-    out.close()
-  }
+  private def backdateTip(dir: String, ageMs: Long): Unit =
+    LockTestOps.backdateTip(spark, dir, ageMs)
 
   test("usurped STILL-ALIVE slow holder: exactly one commit survives; " +
       "the old holder aborts at the fence, its release spares the usurper") {
     val dir = tmpDir("graft_lanelock_fence")
     // slow holder: no heartbeat (simulates a wholly paused process — GC,
-    // straggler stage) with a tip older than the taker's TTL
+    // straggler stage) with a tip older than its own recorded lease —
+    // staleness is judged by the HOLDER's ttl, so the backdate must
+    // exceed it
     val slow = LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false)
-    backdateTip(dir, ageMs = 10000L)
+    backdateTip(dir, ageMs = 700000L)
 
     // taker judges the tip stale and usurps — NO delete anywhere, it
     // publishes the next version over it
@@ -67,7 +56,7 @@ class LaneLockSpec extends SparkSpec {
       "mutual exclusion never violated across N contenders") {
     val dir = tmpDir("graft_lanelock_race")
     val dead = LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false)
-    backdateTip(dir, ageMs = 10000L)
+    backdateTip(dir, ageMs = 700000L)
     assert(dead.nonce.nonEmpty) // silence unused warning; never released
 
     val inside = new AtomicInteger(0)
@@ -92,6 +81,27 @@ class LaneLockSpec extends SparkSpec {
     assert(entries.get() == 6, "every contender eventually entered")
     assert(maxInside.get() == 1,
       s"mutual exclusion held (max concurrent holders = ${maxInside.get()})")
+  }
+
+  test("a short-TTL taker honors the HOLDER's recorded lease: a healthy " +
+      "long-TTL holder is never usurped between heartbeats") {
+    val dir = tmpDir("graft_lanelock_ttlmix")
+    // long-lease holder with no heartbeat — the inter-beat window (beats
+    // would come every ttl/3, far beyond this test's horizon)
+    val holder = LaneLock.acquire(spark, dir, ttlMs = 600000L, renew = false)
+    val entered = new AtomicInteger(0)
+    val taker = new Thread(() => {
+      val l = LaneLock.acquire(spark, dir, ttlMs = 200L, renew = false)
+      entered.set(1); l.release()
+    })
+    taker.start()
+    taker.join(1500)
+    assert(taker.isAlive && entered.get() == 0,
+      "staleness judged by the holder's lease, not the taker's shorter TTL")
+    holder.assertHeld() // never usurped
+    holder.release()
+    taker.join(10000)
+    assert(entered.get() == 1, "taker entered once the holder released")
   }
 
   test("heartbeat renewal: a healthy holder outlives the TTL unstolen") {

@@ -51,7 +51,40 @@ class MediaAnnAuditSpec extends SparkSpec {
     val bandOnlyHits = audit.select("neighbor_id")
       .join(stratum, Seq("neighbor_id"), "left_anti").count()
     assert(bandOnlyHits > 0,
-      "the aHash band-mate stratum contributes neighbors beyond the fixed stratum")
+      "the banded strata contribute neighbors beyond the fixed stratum")
+
+    // EACH banded stratum is alive as a candidate generator, separately:
+    // beyond-sample hits alone can't distinguish a dead aHash scheme
+    // hiding behind a healthy feature-LSH one (or vice versa), so pin
+    // that both produce candidate pairs beyond the fixed stratum for the
+    // audit's own probe panel
+    val m2 = graft.docs.MediaOps
+      .mediaFromDocuments(graft.docs.DocPipeline.documents(spark, fixture))
+    val probeIds = graft.docs.MediaOps.featureVector(m2)
+      .select(col("media_id"))
+      .filter(graft.queries.Panels.mediaAudit(col("media_id")))
+    val bands = graft.docs.MediaOps.phashBands(m2)
+    val probeBands = bands.join(probeIds, "media_id")
+      .select(col("band"), col("bval"))
+    val aHashMates = bands.join(probeBands, Seq("band", "bval"))
+      .select(col("media_id").as("neighbor_id")).distinct()
+      .join(stratum, Seq("neighbor_id"), "left_anti").count()
+    assert(aHashMates > 0,
+      "the aHash band scheme yields beyond-stratum candidates on its own")
+    val feats2 = graft.docs.MediaOps.featureVector(m2)
+      .select(col("media_id"), col("features").as("embedding"))
+    val emean = (1 to 16).map(j =>
+      element_at(col("embedding"), j).cast("double")).reduce(_ + _) / 16.0
+    val fsig = (0 until 8).map(j =>
+      when(element_at(col("embedding"), j + 1).cast("double") > emean,
+        lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    val featBands = feats2.select(col("media_id"), fsig.as("fbval"))
+    val probeFeat = featBands.join(probeIds, "media_id").select(col("fbval"))
+    val featMates = featBands.join(probeFeat, Seq("fbval"))
+      .select(col("media_id").as("neighbor_id")).distinct()
+      .join(stratum, Seq("neighbor_id"), "left_anti").count()
+    assert(featMates > 0,
+      "the feature-LSH scheme yields beyond-stratum candidates on its own")
 
     // the audit ranks at most k=3 per probe and covers every probe the
     // exact tier covers (the fixed stratum guarantees non-empty
