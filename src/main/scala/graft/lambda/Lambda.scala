@@ -140,7 +140,12 @@ object Lambda {
     * [[SnapshotTable.overwritePartitionsCas]], which detects a
     * same-partition race at the manifest tip — so even a LOST fencing
     * race cannot erase the other lane's commit; the lock is throughput
-    * hygiene, the tip CAS is the correctness floor. Audit APPENDS run
+    * hygiene, the tip CAS is the correctness floor. Corollary: a
+    * [[LockLostException]] escaping the body is RETRYABLE — the usurped
+    * holder's already-committed publishes are durable CAS commits and
+    * both lanes' merges are idempotent re-derivations, so the caller
+    * re-runs the whole locked section (the reference analog: a victim of
+    * the warehouse's lock timeout re-submits the batch). Audit APPENDS run
     * inside the locked section too (they are cheap CAS-merge commits);
     * note they remain at-most-once relative to the data commit on a
     * crash between the two — the same two-statement exposure the
