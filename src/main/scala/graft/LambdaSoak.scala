@@ -32,7 +32,11 @@ import graft.lambda.{Lambda, LaneLock, LockLostException}
   */
 object LambdaSoak {
 
-  private def batchRows(s: SparkSession, n: Int, month: Int): DataFrame =
+  /** Canonical batch-lane fixture rows (the 22-column coreSchema
+    * projection). Shared with LambdaSpec/LaneLockSpec so the projection
+    * lives in exactly one place — a coreSchema change edits one builder,
+    * not three drifting copies. */
+  private[graft] def batchRows(s: SparkSession, n: Int, month: Int): DataFrame =
     s.range(n.toLong).select(
       lit(null).cast("bigint").as("trip_id"),
       lit("V1").as("vendor_code"),
@@ -53,7 +57,9 @@ object LambdaSoak {
       lit(null).cast("timestamp_ntz").as("_ingestedAt"),
       lit(month).as("pickup_month"))
 
-  private def streamRows(s: SparkSession, base: Long, n: Int, month: Int): DataFrame =
+  /** Canonical stream-lane fixture rows — see [[batchRows]]. */
+  private[graft] def streamRows(s: SparkSession, base: Long, n: Int, month: Int,
+                                runId: String = "soak"): DataFrame =
     s.range(n.toLong).select(
       (lit(base) + col("id")).as("trip_id"),
       lit("v1").as("vendor_code"),
@@ -69,7 +75,7 @@ object LambdaSoak {
       lit("2024-01-05").cast("date").as("ingest_date"),
       lit("streaming").as("source_file_name"),
       lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("loaded_at"),
-      lit("soak").as("_runId"),
+      lit(runId).as("_runId"),
       lit(null).cast("string").as("_blobPath"),
       lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("_ingestedAt"),
       lit(month).as("pickup_month"))
@@ -202,34 +208,52 @@ object LambdaSoak {
     // timed await: a lane that died pre-mid counts the latch down from
     // its catch block, and the timeout is a last-resort backstop so the
     // soak FAILS with its JSON diagnostics instead of hanging a CI job
-    if (!lanesAtMid.await(300, java.util.concurrent.TimeUnit.SECONDS))
+    val gateOk = lanesAtMid.await(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!gateOk)
       errs.add("mid-soak gate timed out — a lane stalled pre-crash"): Unit
-    val crasher = LaneLock.acquire(spark, whDir, ttlMs, renew = false)
     // orphan sentinel strictly above every legitimate stream id
     // (1000 + cycles*streamN), whatever SPARK_GRAFT_SOAK_CYCLES is
     val orphanBase = 1000L + cycles.toLong * streamN + 1000000L
-    val orphanRel = s"data/c-orphan-${java.util.UUID.randomUUID()}"
-    streamRows(spark, orphanBase, 7, month).write
-      .parquet(s"$whDir/core_trip_clean/$orphanRel")
-    val crashT0 = System.currentTimeMillis()
-    val midCounts = (batchDone.get(), streamDone.get())
-    crashPlanted.countDown()
-    // lanes must progress past the dead lock — usurpation is their only
-    // path (the crasher never beats, never releases)
-    while ((batchDone.get() <= midCounts._1 || streamDone.get() <= midCounts._2)
-        && System.currentTimeMillis() - crashT0 < 120000)
-      Thread.sleep(100)
-    val takeoverProven =
-      batchDone.get() > midCounts._1 && streamDone.get() > midCounts._2
-    val crashWindowMs = System.currentTimeMillis() - crashT0
-    // the "dead" process wakes (a GC-pause survivor): its fence must abort
-    try { crasher.assertHeld(); errs.add("crasher assertHeld did NOT throw"): Unit }
-    catch { case _: LockLostException => fencedAborts.incrementAndGet(): Unit }
-    crasher.release() // late release: must be a no-op on the usurper chain
+    val (takeoverProven, crashWindowMs) = if (!gateOk) {
+      // a lane is wedged — possibly INSIDE its locked section with a
+      // healthy heartbeat, against which LaneLock.acquire would block
+      // forever (the very hang the timed gate exists to prevent). Skip
+      // the crash phase, release anything still waiting on the latch,
+      // and fall through to the timed joins + the fail-with-diagnostics
+      // report (ok is already false: errs is nonempty).
+      crashPlanted.countDown()
+      (false, 0L)
+    } else {
+      val crasher = LaneLock.acquire(spark, whDir, ttlMs, renew = false)
+      val orphanRel = s"data/c-orphan-${java.util.UUID.randomUUID()}"
+      streamRows(spark, orphanBase, 7, month).write
+        .parquet(s"$whDir/core_trip_clean/$orphanRel")
+      val crashT0 = System.currentTimeMillis()
+      val midCounts = (batchDone.get(), streamDone.get())
+      crashPlanted.countDown()
+      // lanes must progress past the dead lock — usurpation is their only
+      // path (the crasher never beats, never releases)
+      while ((batchDone.get() <= midCounts._1 || streamDone.get() <= midCounts._2)
+          && System.currentTimeMillis() - crashT0 < 120000)
+        Thread.sleep(100)
+      val proven =
+        batchDone.get() > midCounts._1 && streamDone.get() > midCounts._2
+      val windowMs = System.currentTimeMillis() - crashT0
+      // the "dead" process wakes (a GC-pause survivor): its fence must abort
+      try { crasher.assertHeld(); errs.add("crasher assertHeld did NOT throw"): Unit }
+      catch { case _: LockLostException => fencedAborts.incrementAndGet(): Unit }
+      crasher.release() // late release: must be a no-op on the usurper chain
+      (proven, windowMs)
+    }
 
-    batchThread.join(600000); streamThread.join(600000)
+    // a wedged lane makes these joins time out rather than hang: the
+    // report below then runs against whatever state exists and exits 1
+    batchThread.join(if (gateOk) 600000 else 60000)
+    streamThread.join(if (gateOk) 600000 else 60000)
     running = false
     readerThread.join(30000)
+    if (batchThread.isAlive || streamThread.isAlive)
+      errs.add("a lane thread is still alive at report time"): Unit
 
     // ---- conservation + audit integrity + orphan invisibility ----
     val batchFinal = wh.core.read.filter(col("trip_id").isNull).count()

@@ -146,10 +146,13 @@ object Lambda {
     * both lanes' merges are idempotent re-derivations, so the caller
     * re-runs the whole locked section (the reference analog: a victim of
     * the warehouse's lock timeout re-submits the batch). Audit APPENDS run
-    * inside the locked section too (they are cheap CAS-merge commits);
-    * note they remain at-most-once relative to the data commit on a
-    * crash between the two — the same two-statement exposure the
-    * reference procs have outside an explicit transaction. */
+    * inside the locked section too (they are cheap CAS-merge commits) and
+    * are IDEMPOTENT under that retry — a keyed (run_id, p_date, p_hour)
+    * existence check guards each append, so a section usurped between its
+    * audit row and its file-audit rows re-runs without double-logging;
+    * they remain at-most-once relative to the data commit on a crash
+    * between the two — the same two-statement exposure the reference
+    * procs have outside an explicit transaction. */
   private[graft] def withLaneLock[T](wh: SharedWarehouse,
                                      ttlMs: Long = 15 * 60 * 1000L,
                                      renew: Boolean = true)
@@ -419,17 +422,27 @@ object Lambda {
       val r = HourLoad.HourResult(stagedHour.files, stagedHour.rowsCopied,
         inserted, updated, inserted + updated)
       import spark.implicits._
+      // audit idempotence under the documented LockLostException retry:
+      // a re-run of the locked section must not double-log the hour. The
+      // row is keyed (run_id, p_date, p_hour) and only THIS caller ever
+      // writes its runId, so the check-then-append races nobody — and the
+      // read is footer-pruned to the few commit dirs whose run_id stats
+      // cover this runId
+      val hourKey = col("run_id") === runId &&
+        col("p_date") === date && col("p_hour") === hour
       fence()
-      wh.audit.append(Seq((runId, date, hour, r.files, r.rowsCopied,
-        r.inserted, r.updated, r.total))
-        .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
+      if (wh.audit.read.filter(hourKey).isEmpty)
+        wh.audit.append(Seq((runId, date, hour, r.files, r.rowsCopied,
+          r.inserted, r.updated, r.total))
+          .toDF(HourLoad.auditSchema.fieldNames.toSeq: _*))
       // per-blob audit rows (stg.usp_log_ingest: one 'Succeeded' row per
       // file) — file-level forensics in the shared warehouse, same as the
       // standalone lane
       fence()
-      wh.fileAudit.append(stagedHour.perBlob
-        .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
-        .toDF(HourLoad.fileAuditSchema.fieldNames.toSeq: _*))
+      if (wh.fileAudit.read.filter(hourKey).isEmpty)
+        wh.fileAudit.append(stagedHour.perBlob
+          .map { case (blob, rows) => (runId, date, hour, blob, rows, "Succeeded") }
+          .toDF(HourLoad.fileAuditSchema.fieldNames.toSeq: _*))
       r
     }
 

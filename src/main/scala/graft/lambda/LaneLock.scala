@@ -27,8 +27,12 @@ final class LockLostException(msg: String) extends RuntimeException(msg)
   *    never deletes the observed lock file, it publishes `held` over it;
   *    two takers racing the same stale tip race the same version slot
   *    and the kernel/namenode picks exactly one winner. A third party
-  *    can never slip in on a destroyed live lock because nothing is
-  *    ever destroyed.
+  *    can never slip in on a destroyed live lock because no LIVE state
+  *    is ever destroyed — the chain reap only touches slots ≥8 below the
+  *    tip, and every acquisition win is re-validated against the re-read
+  *    tip ([[tryAcquireFrom]]), so a stalled taker that wins a reaped
+  *    below-tip slot learns the win is meaningless instead of believing
+  *    it holds a lock another process owns.
   *  - '''Owner identity.''' Every state carries the holder's UUID nonce.
   *    [[release]] publishes `released` only while the tip is still its
   *    own nonce — a usurped holder's release is a no-op on the usurper's
@@ -128,12 +132,12 @@ object LaneLock {
     * taker judges staleness by the holder's own contract — two processes
     * configured with different TTLs would otherwise let the shorter one
     * usurp a healthy holder between its (ttl/3-spaced) heartbeats. */
-  private[lambda] final case class Tip(version: Long, held: Boolean,
+  private[graft] final case class Tip(version: Long, held: Boolean,
                                        nonce: String, ts: Long, ttlMs: Long)
 
   private val versionRe = "v(\\d{8})".r
 
-  private[lambda] def readTip(fs: FileSystem, lockDir: Path): Option[Tip] = {
+  private[graft] def readTip(fs: FileSystem, lockDir: Path): Option[Tip] = {
     if (!fs.exists(lockDir)) return None
     // only the MAX version is ever opened, and cleanup keeps an 8-version
     // margin below the tip, so list-then-open races a reap only when a
@@ -163,23 +167,54 @@ object LaneLock {
     }
   }
 
-  private[lambda] def tryPublish(fs: FileSystem, conf: Configuration,
+  private[graft] def tryPublish(fs: FileSystem, conf: Configuration,
       lockDir: Path, v: Long, held: Boolean, nonce: String,
       ttlMs: Long): Boolean = {
     val state = if (held) "held" else "released"
     val won = AtomicPublish.publishContent(fs, conf, lockDir,
       new Path(lockDir, f"v$v%08d"),
       s"$state $nonce ${System.currentTimeMillis()} $ttlMs")
-    // bounded chain: reap far-below-tip versions (readers only open the
-    // max; the 8-version margin keeps any in-flight list-then-open
-    // valid). The reap window is itself BOUNDED (24 slots per publish,
-    // not 1..v) so publish cost stays O(1) as the chain grows; a gap
-    // left by a crash self-heals across the next publishes.
-    if (won && v > 8) (math.max(1L, v - 32) to v - 8).foreach { old =>
+    // bounded chain: reap the one version falling out of the 8-slot
+    // margin (readers only open the max; the margin keeps any in-flight
+    // list-then-open valid) — ONE delete per publish, so a heartbeat at
+    // ttl/3 costs one RPC per beat, not a 24-slot sweep; [[acquire]] runs
+    // the wide sweep once per acquisition to heal crash gaps. Reaping
+    // re-OPENS the deleted slot for the publish-no-overwrite CAS, which is
+    // why every acquisition win is re-validated against the re-read tip
+    // ([[acquire]]) — a publish into a reaped below-tip slot "wins" the
+    // file but never the lock.
+    if (won && v > 8)
+      try fs.delete(new Path(lockDir, f"v${v - 8}%08d"), false): Unit
+      catch { case _: Exception => () }
+    won
+  }
+
+  /** Crash-gap healing: delete every slot at least 8 below `tip` within a
+    * bounded window. Run once per acquisition (not per publish). */
+  private def sweepBelow(fs: FileSystem, lockDir: Path, tip: Long): Unit =
+    if (tip > 8) (math.max(1L, tip - 40) to tip - 8).foreach { old =>
       try fs.delete(new Path(lockDir, f"v$old%08d"), false): Unit
       catch { case _: Exception => () }
     }
-    won
+
+  /** One acquisition attempt from an OBSERVED (possibly stale) tip:
+    * publish `tip+1` as held, then validate the win against the RE-READ
+    * tip. The validation is what makes the slot reaping sound: a taker
+    * that stalled between its tip read and its publish can win a slot the
+    * reap re-opened BELOW the live tip — the file-level "win" is then
+    * meaningless (readers only ever open the max version), and without
+    * re-validation the taker would believe it holds a lock another
+    * process owns. A genuine win re-reads as `held` by this nonce: the
+    * only way the tip moves off a fresh `held` tip within the validation
+    * window is a taker judging it stale, which needs a full TTL — not
+    * microseconds. (The heartbeat/release paths need no such check: a
+    * below-tip junk win there is ignored by every reader and reaped by
+    * later publishes, and both re-read the tip each iteration.) */
+  private[graft] def tryAcquireFrom(fs: FileSystem, conf: Configuration,
+      lockDir: Path, tip: Option[Tip], nonce: String, ttlMs: Long): Boolean = {
+    val v = tip.map(_.version).getOrElse(0L) + 1
+    tryPublish(fs, conf, lockDir, v, held = true, nonce, ttlMs) &&
+      readTip(fs, lockDir).exists(t => t.held && t.nonce == nonce)
   }
 
   /** Block until this process owns the lock. `renew = false` disables the
@@ -201,10 +236,12 @@ object LaneLock {
       val free = tip.forall(t =>
         !t.held || System.currentTimeMillis() - t.ts > t.ttlMs)
       if (free) {
-        val v = tip.map(_.version).getOrElse(0L) + 1
-        if (tryPublish(fs, conf, lockDir, v, held = true, nonce, ttlMs))
+        if (tryAcquireFrom(fs, conf, lockDir, tip, nonce, ttlMs)) {
+          sweepBelow(fs, lockDir, tip.map(_.version).getOrElse(0L) + 1)
           return new LaneLock(fs, conf, lockDir, nonce, ttlMs, renew)
-        // lost the slot to a racer: loop re-reads the new tip
+        }
+        // lost the slot to a racer, or won a reaped below-tip slot (the
+        // post-win validation rejected it): loop re-reads the new tip
       } else Thread.sleep(200)
     }
     throw new IllegalStateException("unreachable")

@@ -79,10 +79,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   def exists: Boolean = latestVersion.isDefined
 
   /** Committed versions, ascending (complete manifests only — a temp or
-    * half-renamed file never matches the `v*.json` name shape). */
+    * half-renamed file never matches the `v*.json` name shape, and a
+    * [[vacuum]] tombstone is excluded by its fixed length: a real
+    * manifest always starts `{"version": …` and is ≥ 40 bytes). */
   def versions: Seq[Long] =
     if (!fs.exists(manifestDir)) Seq.empty
     else fs.listStatus(manifestDir).toSeq
+      .filter(_.getLen != SnapshotTable.TombstoneLen)
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{8}\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
@@ -633,10 +636,23 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     SnapshotTable.CommitInfo(v, op, ts)
   }
 
-  /** Drop data dirs referenced by NO retained manifest and manifests older
-    * than the newest `keepVersions`. Returns deleted paths. Safe against
-    * in-flight commits: an uncommitted `data/c-*` dir younger than
-    * `minAgeMs` is left alone (it may be a commit racing this vacuum). */
+  /** Drop data dirs referenced by NO retained manifest and retire
+    * manifests older than the newest `keepVersions`. Returns reclaimed
+    * paths. Safe against in-flight commits: an uncommitted `data/c-*` dir
+    * younger than `minAgeMs` is left alone (it may be a commit racing
+    * this vacuum).
+    *
+    * Retired manifests are TOMBSTONED in place (content replaced by the
+    * fixed marker, name kept), never deleted: the commit protocol's
+    * publish-no-overwrite CAS is sound only while every decided version
+    * slot stays physically occupied. Deleting `vNN.json` would RE-OPEN
+    * slot NN — a writer that stalled between its base read and its
+    * publish (GC pause, straggler driver) could then "win" the reopened
+    * slot below the live tip and report a commit no reader will ever
+    * resolve, a silent lost update. A tombstone keeps the slot decided
+    * forever at ~8 bytes; [[versions]] filters tombstones by length, so
+    * retention semantics (the version list shrinks, old versions become
+    * unreadable) are unchanged. */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Seq[String] = {
     val vs = versions
     val keep = vs.takeRight(math.max(1, keepVersions))
@@ -648,8 +664,17 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         .filter(s => !live.contains(s"data/${s.getPath.getName}"))
         .filter(s => now - s.getModificationTime >= minAgeMs)
         .map(_.getPath)
-    val deadManifests = vs.dropRight(math.max(1, keepVersions)).map(manifestPath)
-    (deadData ++ deadManifests).map { p => fs.delete(p, true); p.toString }
+    val dataPaths = deadData.map { p => fs.delete(p, true); p.toString }
+    val manifestPaths = vs.dropRight(math.max(1, keepVersions)).map { v =>
+      val p = manifestPath(v)
+      // non-atomic rewrite is acceptable here: v is already past
+      // retention, so a reader still pinned on it has the same exposure
+      // as to the data-file deletes above
+      val out = fs.create(p, true)
+      try out.write(SnapshotTable.Tombstone) finally out.close()
+      p.toString
+    }
+    dataPaths ++ manifestPaths
   }
 }
 
@@ -657,6 +682,15 @@ object SnapshotTable {
 
   /** One [[SnapshotTable.history]] entry. */
   final case class CommitInfo(version: Long, op: String, ts: Long)
+
+  /** Content a [[SnapshotTable.vacuum]] leaves in a retired manifest —
+    * the slot stays physically occupied (so the publish CAS stays
+    * decided) but [[SnapshotTable.versions]] filters it out by its fixed
+    * length. A real manifest always starts `{"version": …` (≥ 40 bytes),
+    * so the length test is exact. */
+  private[ops] val Tombstone: Array[Byte] =
+    "vacuumed".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[ops] val TombstoneLen: Long = Tombstone.length.toLong
 
   private val opRe = """"op"\s*:\s*"([^"]+)"""".r
   private val tsRe = """"ts"\s*:\s*(\d+)""".r

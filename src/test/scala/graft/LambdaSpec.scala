@@ -165,6 +165,22 @@ class LambdaSpec extends SparkSpec {
     assert(liveFiles(wh.fact, batchMonths) == batchFactFiles,
       "stream replay never rewrites a batch fact partition")
 
+    // ---- same-runId re-run (the documented LockLostException retry
+    // shape: a usurped locked section is re-run by its caller with the
+    // SAME runId) — the keyed audit guard must not double-log the hour
+    val fileAuditBefore = wh.fileAudit.read
+      .filter(col("run_id") === s"rerun-$d1-$h1").count()
+    assert(fileAuditBefore > 0, "the replay logged its per-blob rows once")
+    Lambda.runHour(wh, dirs.curated, d1, h1, s"rerun-$d1-$h1"): Unit
+    assert(wh.audit.read.filter(col("run_id") === s"rerun-$d1-$h1" &&
+      col("p_date") === d1 && col("p_hour") === h1).count() == 1,
+      "a same-runId retry appends no second audit row")
+    assert(wh.fileAudit.read.filter(col("run_id") === s"rerun-$d1-$h1")
+      .count() == fileAuditBefore,
+      "a same-runId retry appends no second per-blob audit rows")
+    assert(wh.core.read.count() == bCore + r1.inserted,
+      "the retry's merge stays idempotent")
+
     // ---- stream hour 2 ----
     val r2 = Lambda.runHour(wh, dirs.curated, d2, h2, s"run-$d2-$h2")
     assert(r2.inserted > 0)
@@ -262,44 +278,9 @@ class LambdaSpec extends SparkSpec {
     import spark.implicits._
     val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_lambda_race"))
     val month = 202401
-    def batchRows(n: Int): DataFrame = spark.range(n).select(
-      lit(null).cast("bigint").as("trip_id"),
-      lit("V1").as("vendor_code"),
-      lit("2024-01-05 10:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
-      lit("2024-01-05 10:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
-      lit(1.0).as("trip_distance_km"), lit(10.0).as("fare_amount"),
-      lit("CARD").as("payment_type"), lit(0).as("is_night_ride"),
-      lit(1.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
-      lit(12.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
-      lit(null).cast("string").as("flag_raw"),
-      lit(null).cast("int").as("pu_location_id"),
-      lit(null).cast("int").as("do_location_id"),
-      lit("1993-02-01").cast("date").as("ingest_date"),
-      lit("f.parquet").as("source_file_name"),
-      lit("1993-02-01 12:00:00").cast("timestamp_ntz").as("loaded_at"),
-      lit(null).cast("string").as("_runId"),
-      lit(null).cast("string").as("_blobPath"),
-      lit(null).cast("timestamp_ntz").as("_ingestedAt"),
-      lit(month).as("pickup_month"))
-    def streamRows(base: Long, n: Int): DataFrame = spark.range(n).select(
-      (lit(base) + col("id")).as("trip_id"),
-      lit("v1").as("vendor_code"),
-      lit("2024-01-05 11:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
-      lit("2024-01-05 11:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
-      lit(2.0).as("trip_distance_km"), lit(20.0).as("fare_amount"),
-      lit("CRD").as("payment_type"), lit(0).as("is_night_ride"),
-      lit(2.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
-      lit(24.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
-      lit(null).cast("string").as("flag_raw"),
-      lit(null).cast("int").as("pu_location_id"),
-      lit(null).cast("int").as("do_location_id"),
-      lit("2024-01-05").cast("date").as("ingest_date"),
-      lit("streaming").as("source_file_name"),
-      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("loaded_at"),
-      lit("race").as("_runId"),
-      lit(null).cast("string").as("_blobPath"),
-      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("_ingestedAt"),
-      lit(month).as("pickup_month"))
+    def batchRows(n: Int): DataFrame = LambdaSoak.batchRows(spark, n, month)
+    def streamRows(base: Long, n: Int): DataFrame =
+      LambdaSoak.streamRows(spark, base, n, month, runId = "race")
 
     val owns = col("ingest_date") === lit("1993-02-01").cast("date")
     val rounds = 6

@@ -106,16 +106,19 @@ class LaneLockSpec extends SparkSpec {
 
   test("heartbeat renewal: a healthy holder outlives the TTL unstolen") {
     val dir = tmpDir("graft_lanelock_beat")
-    // TTL 600ms, heartbeat at ttl/3 = 200ms; hold for 2s — ten TTL-thirds
-    val holder = LaneLock.acquire(spark, dir, ttlMs = 600L, renew = true)
+    // TTL 2400ms, heartbeat at ttl/3 = 800ms; hold for 5s — six beats.
+    // The TTL-to-beat slack (1.6s) absorbs CI scheduling noise: a beat
+    // delayed past the slack on a loaded host would usurp a HEALTHY
+    // holder and fail this test spuriously (observed at a 600ms TTL)
+    val holder = LaneLock.acquire(spark, dir, ttlMs = 2400L, renew = true)
     val stolen = new AtomicInteger(0)
     val taker = new Thread(() => {
-      val l = LaneLock.acquire(spark, dir, ttlMs = 600L, renew = false)
+      val l = LaneLock.acquire(spark, dir, ttlMs = 2400L, renew = false)
       stolen.set(1) // only reachable once the holder releases (or goes stale)
       l.release()
     })
     taker.start()
-    Thread.sleep(2000)
+    Thread.sleep(5000)
     holder.assertHeld() // never usurped: the beats kept the tip fresh
     assert(stolen.get() == 0, "taker never entered while the holder beat")
     holder.release()
@@ -123,30 +126,47 @@ class LaneLockSpec extends SparkSpec {
     assert(stolen.get() == 1, "taker entered after the release")
   }
 
+  test("a file-level win in a reaped below-tip slot is NOT an acquisition " +
+      "(stalled taker vs the chain reap)") {
+    // the chain reap re-opens decided slot FILES below the tip; a taker
+    // that stalled between its tip read and its publish (GC pause) can
+    // therefore win a below-tip slot. The post-win tip re-validation in
+    // tryAcquireFrom must reject it — otherwise two processes both
+    // believe they hold the lock.
+    val dir = tmpDir("graft_lanelock_reopen")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lockDir = new org.apache.hadoop.fs.Path(s"$dir/_lane_lock.d")
+    val fs = lockDir.getFileSystem(conf)
+    fs.mkdirs(lockDir)
+    // live chain: a HEALTHY holder's fresh tip at v12 (long lease); the
+    // slots below it were reaped long ago — v3 in particular is free
+    def write(v: Long, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(lockDir, f"v$v%08d"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    write(12L, s"held live-holder ${System.currentTimeMillis()} 600000")
+    // a taker stalled holding an ANCIENT observation (tip v2, long stale):
+    // its publish lands in the reaped slot v3 and wins the FILE...
+    val staleObs = Some(LaneLock.Tip(2L, held = true, "long-dead", 0L, 0L))
+    val acquired = LaneLock.tryAcquireFrom(fs, conf, lockDir, staleObs,
+      "stalled-taker", 5000L)
+    // ...but the acquisition is rejected: the re-read tip is the live
+    // holder's, not ours
+    assert(!acquired, "a below-tip file win must not count as the lock")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lockDir, "v00000003")),
+      "the scenario is real: the stalled taker DID win the reaped slot file")
+    val tip = LaneLock.readTip(fs, lockDir).get
+    assert(tip.version == 12L && tip.nonce == "live-holder" && tip.held,
+      "the live holder's tip is untouched")
+  }
+
   test("snapshot-tip CAS: two unserialized writers to the SAME partition " +
       "lose nothing — the loser re-derives and retries (no lane lock at all)") {
     import spark.implicits._
     val wh = Lambda.SharedWarehouse(spark, tmpDir("graft_cas_race"))
     val month = 202401
-    def streamRows(base: Long, n: Int) = spark.range(n).select(
-      (lit(base) + col("id")).as("trip_id"),
-      lit("v1").as("vendor_code"),
-      lit("2024-01-05 11:00:00").cast("timestamp_ntz").as("pickup_ts_utc"),
-      lit("2024-01-05 11:30:00").cast("timestamp_ntz").as("dropoff_ts_utc"),
-      lit(2.0).as("trip_distance_km"), lit(20.0).as("fare_amount"),
-      lit("CRD").as("payment_type"), lit(0).as("is_night_ride"),
-      lit(2.0).as("tip_amount"), lit(null).cast("double").as("tolls_amount"),
-      lit(24.0).as("total_amount"), lit(null).cast("int").as("rate_code"),
-      lit(null).cast("string").as("flag_raw"),
-      lit(null).cast("int").as("pu_location_id"),
-      lit(null).cast("int").as("do_location_id"),
-      lit("2024-01-05").cast("date").as("ingest_date"),
-      lit("streaming").as("source_file_name"),
-      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("loaded_at"),
-      lit("cas").as("_runId"),
-      lit(null).cast("string").as("_blobPath"),
-      lit("2024-01-05 11:31:00").cast("timestamp_ntz").as("_ingestedAt"),
-      lit(month).as("pickup_month"))
+    def streamRows(base: Long, n: Int) =
+      LambdaSoak.streamRows(spark, base, n, month, runId = "cas")
 
     // two writers, NO lock: every merge commit must survive via the tip
     // CAS alone (scopedMerge re-derives on conflict)

@@ -56,6 +56,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.versions == Seq(2L))
   }
 
+  test("vacuum never re-opens a committed version slot: a stalled " +
+      "writer's publish into a vacuumed slot loses") {
+    val t = table()
+    t.append(df(1L -> "a"))    // v1
+    t.overwrite(df(2L -> "b")) // v2
+    t.overwrite(df(3L -> "c")) // v3
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.versions == Seq(3L), "retention semantics unchanged")
+    // a writer that stalled after reading base=v1 wakes and publishes its
+    // manifest as v2. If vacuum had DELETED v2's file, the slot would be
+    // re-opened and this publish would "win" below the tip — a commit no
+    // reader resolves, silently lost. The tombstone keeps the slot
+    // decided: the publish must lose, sending the writer's CAS loop back
+    // to the (moved) tip where the conflict is detected.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mdir = new org.apache.hadoop.fs.Path(s"${t.dir}/_manifests")
+    val fs = mdir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(mdir, ".tmp-stalled-writer.json")
+    val out = fs.create(tmp, false)
+    try out.write("""{"version": 2, "op": "overwrite", "ts": 0, "files": ["data/c-stalled"]}"""
+      .getBytes("UTF-8")) finally out.close()
+    assert(!t.casPublish(tmp, new org.apache.hadoop.fs.Path(mdir, "v00000002.json")),
+      "publish into a vacuumed slot must lose")
+    fs.delete(tmp, false)
+    assert(t.versions == Seq(3L))
+    assert(t.read.select("k").head().getLong(0) == 3L, "tip content untouched")
+    // and the end-to-end writer path: a stale-base overwriteCas reports
+    // the conflict instead of success
+    assert(t.overwriteCas(df(9L -> "z"), expectedBase = Some(1L)).isEmpty)
+  }
+
   test("deleteWhere keeps null-condition rows (SQL DELETE semantics)") {
     val t = table()
     t.append(df(1L -> "a", 2L -> null, 3L -> "b"))
