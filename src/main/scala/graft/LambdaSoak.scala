@@ -232,9 +232,16 @@ object LambdaSoak {
       val midCounts = (batchDone.get(), streamDone.get())
       crashPlanted.countDown()
       // lanes must progress past the dead lock — usurpation is their only
-      // path (the crasher never beats, never releases)
+      // path (the crasher never beats, never releases). The window is a
+      // DETECTION cap, not a protocol bound: "progress" means a full
+      // post-crash cycle per lane, which at mid-soak includes reads over
+      // 100+ accumulated commit dirs (~60 s in a clean window at 200
+      // cycles) — sized 5x that so a 2-3x elevated host window (observed:
+      // a 200-cycle run at elevation ~2.2 took >120 s and failed a 120 s
+      // cap despite a PROVEN takeover, fenced_aborts=1) cannot fail a
+      // healthy run
       while ((batchDone.get() <= midCounts._1 || streamDone.get() <= midCounts._2)
-          && System.currentTimeMillis() - crashT0 < 120000)
+          && System.currentTimeMillis() - crashT0 < 300000)
         Thread.sleep(100)
       val proven =
         batchDone.get() > midCounts._1 && streamDone.get() > midCounts._2
@@ -262,7 +269,14 @@ object LambdaSoak {
       .select("trip_id").distinct().count()
     val orphanVisible = wh.core.read.filter(col("trip_id") >= orphanBase).count()
     val auditRows = wh.audit.read.count()
-    val vacuumed = wh.core.vacuum(keepVersions = 1, minAgeMs = 0L)
+    // the minAgeMs=0 vacuum is only safe once both lanes are DEAD — run
+    // against a still-alive (wedged) lane it would reap the lane's
+    // in-flight uncommitted commit dir and bury the primary wedge
+    // diagnosis under a secondary FileNotFound; the report already fails
+    // on the alive-thread error above, so skip it and keep the evidence
+    val vacuumed =
+      if (batchThread.isAlive || streamThread.isAlive) Seq.empty[String]
+      else wh.core.vacuum(keepVersions = 1, minAgeMs = 0L)
     val orphanReaped = vacuumed.exists(_.contains("c-orphan"))
     val wallSec = (System.nanoTime() - t0) / 1e9
 

@@ -425,9 +425,10 @@ object Lambda {
       // audit idempotence under the documented LockLostException retry:
       // a re-run of the locked section must not double-log the hour. The
       // row is keyed (run_id, p_date, p_hour) and only THIS caller ever
-      // writes its runId, so the check-then-append races nobody — and the
-      // read is footer-pruned to the few commit dirs whose run_id stats
-      // cover this runId
+      // writes its runId, so the check-then-append races nobody. The
+      // read plans one relation per live audit commit dir — bounded by
+      // the post-success compaction below, so the check stays O(1)
+      // across years of hourly appends
       val hourKey = col("run_id") === runId &&
         col("p_date") === date && col("p_hour") === hour
       fence()
@@ -449,6 +450,13 @@ object Lambda {
     // usp_purge_trip_clean_slice_streaming: post-success purge of the
     // lane-LOCAL slice scratch (no cross-lane state — outside the lock)
     wh.slice.deleteWhere(col("_runId") === runId)
+    // keep the audit tables' live-dir count bounded: every hour appends
+    // one commit dir and the locked-section idempotence check plans one
+    // relation per live dir — fold them back periodically (compact is
+    // CAS-safe standalone, no lock needed) so that check never grows
+    // with table history
+    if (wh.audit.liveCommitDirs > 32) wh.audit.compact(): Unit
+    if (wh.fileAudit.liveCommitDirs > 32) wh.fileAudit.compact(): Unit
     res
   }
 

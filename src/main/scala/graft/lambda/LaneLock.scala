@@ -189,13 +189,19 @@ object LaneLock {
     won
   }
 
-  /** Crash-gap healing: delete every slot at least 8 below `tip` within a
-    * bounded window. Run once per acquisition (not per publish). */
+  /** Crash-gap healing: delete every slot that actually EXISTS at least
+    * 8 below `tip`. Run once per acquisition (not per publish). Listing
+    * first (one RPC) keeps the steady state at zero deletes and — unlike
+    * a fixed window — reaches slots leaked by transiently-failed
+    * per-publish deletes however far below the tip they sit, so the
+    * chain's file count stays bounded across arbitrarily long holds. */
   private def sweepBelow(fs: FileSystem, lockDir: Path, tip: Long): Unit =
-    if (tip > 8) (math.max(1L, tip - 40) to tip - 8).foreach { old =>
+    try fs.listStatus(lockDir).toSeq.map(_.getPath.getName).collect {
+      case versionRe(d) if d.toLong <= tip - 8 => d.toLong
+    }.foreach { old =>
       try fs.delete(new Path(lockDir, f"v$old%08d"), false): Unit
       catch { case _: Exception => () }
-    }
+    } catch { case _: Exception => () }
 
   /** One acquisition attempt from an OBSERVED (possibly stale) tip:
     * publish `tip+1` as held, then validate the win against the RE-READ
@@ -213,8 +219,25 @@ object LaneLock {
   private[graft] def tryAcquireFrom(fs: FileSystem, conf: Configuration,
       lockDir: Path, tip: Option[Tip], nonce: String, ttlMs: Long): Boolean = {
     val v = tip.map(_.version).getOrElse(0L) + 1
-    tryPublish(fs, conf, lockDir, v, held = true, nonce, ttlMs) &&
-      readTip(fs, lockDir).exists(t => t.held && t.nonce == nonce)
+    tryPublish(fs, conf, lockDir, v, held = true, nonce, ttlMs) && {
+      // the validation read retries transient FS errors: at this point the
+      // held tip may already be PUBLISHED, so surfacing a blip here would
+      // orphan a won lock (no handle → no heartbeat, no release — every
+      // taker then waits out the full TTL against a lock nobody holds)
+      var attempt = 0
+      var verdict = Option.empty[Boolean]
+      while (verdict.isEmpty) {
+        try verdict = Some(
+          readTip(fs, lockDir).exists(t => t.held && t.nonce == nonce))
+        catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt >= 5) throw e // persistent FS failure: TTL recovers
+            Thread.sleep(100)
+        }
+      }
+      verdict.get
+    }
   }
 
   /** Block until this process owns the lock. `renew = false` disables the

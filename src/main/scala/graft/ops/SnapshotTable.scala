@@ -80,12 +80,15 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
 
   /** Committed versions, ascending (complete manifests only — a temp or
     * half-renamed file never matches the `v*.json` name shape, and a
-    * [[vacuum]] tombstone is excluded by its fixed length: a real
-    * manifest always starts `{"version": …` and is ≥ 40 bytes). */
+    * [[vacuum]] tombstone is excluded by length: a real manifest always
+    * starts `{"version": …` and is ≥ 40 bytes, so ANYTHING shorter is
+    * retired — including the 0-byte state a vacuum crash between its
+    * truncate and its tombstone write leaves behind, which must not
+    * resurrect the version as a phantom empty snapshot). */
   def versions: Seq[Long] =
     if (!fs.exists(manifestDir)) Seq.empty
     else fs.listStatus(manifestDir).toSeq
-      .filter(_.getLen != SnapshotTable.TombstoneLen)
+      .filter(_.getLen >= SnapshotTable.MinManifestLen)
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{8}\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
@@ -685,12 +688,12 @@ object SnapshotTable {
 
   /** Content a [[SnapshotTable.vacuum]] leaves in a retired manifest —
     * the slot stays physically occupied (so the publish CAS stays
-    * decided) but [[SnapshotTable.versions]] filters it out by its fixed
-    * length. A real manifest always starts `{"version": …` (≥ 40 bytes),
-    * so the length test is exact. */
+    * decided) but [[SnapshotTable.versions]] filters it out by length:
+    * anything below [[MinManifestLen]] is retired. A real manifest
+    * always starts `{"version": …` (≥ 40 bytes), so the cut is exact. */
   private[ops] val Tombstone: Array[Byte] =
     "vacuumed".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-  private[ops] val TombstoneLen: Long = Tombstone.length.toLong
+  private[ops] val MinManifestLen: Long = 40L
 
   private val opRe = """"op"\s*:\s*"([^"]+)"""".r
   private val tsRe = """"ts"\s*:\s*(\d+)""".r

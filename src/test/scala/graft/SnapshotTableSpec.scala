@@ -87,6 +87,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.overwriteCas(df(9L -> "z"), expectedBase = Some(1L)).isEmpty)
   }
 
+  test("a vacuum crash window (0-byte manifest) never resurrects a " +
+      "version as a phantom empty snapshot") {
+    val t = table()
+    t.append(df(1L -> "a"))    // v1
+    t.overwrite(df(2L -> "b")) // v2
+    // simulate a vacuum killed between its in-place truncate and its
+    // tombstone write: v1's manifest exists at 0 bytes. Length-based
+    // retirement must treat ANYTHING below a real manifest's minimum
+    // size as retired — not just the exact tombstone — or v1 would
+    // reappear in `versions` reading as an EMPTY table (silently wrong
+    // time travel, worse than the plain FileNotFound of a deleted file).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mpath = new org.apache.hadoop.fs.Path(s"${t.dir}/_manifests/v00000001.json")
+    mpath.getFileSystem(conf).create(mpath, true).close() // 0 bytes
+    assert(t.versions == Seq(2L), "the truncated version stays retired")
+    assert(t.read.select("k").head().getLong(0) == 2L)
+  }
+
   test("deleteWhere keeps null-condition rows (SQL DELETE semantics)") {
     val t = table()
     t.append(df(1L -> "a", 2L -> null, 3L -> "b"))
