@@ -71,6 +71,9 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   extends PartitionedTableOps {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // fail at OPEN when the store cannot honor the publish-no-overwrite
+  // contract every commit below assumes — never silently last-writer-wins
+  AtomicPublish.requireSupported(fs)
   private val manifestDir = new Path(dir, "_manifests")
   private val dataDir = new Path(dir, "data")
 
@@ -267,9 +270,16 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   private def publishManifest(v: Long, op: String, bodyTail: String): Boolean = {
     val body =
       s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, $bodyTail}"""
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // [[versions]] retires anything shorter than MinManifestLen as a
+    // vacuum tombstone — a real manifest serializing under it would be
+    // silently unreadable forever. Fail fast on format drift instead.
+    require(bytes.length >= SnapshotTable.MinManifestLen,
+      s"manifest body (${bytes.length} B) under the tombstone cut " +
+        s"${SnapshotTable.MinManifestLen} — manifest format drift")
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     val won = casPublish(tmp, manifestPath(v))
     if (!won) fs.delete(tmp, false)
@@ -670,11 +680,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     val dataPaths = deadData.map { p => fs.delete(p, true); p.toString }
     val manifestPaths = vs.dropRight(math.max(1, keepVersions)).map { v =>
       val p = manifestPath(v)
-      // non-atomic rewrite is acceptable here: v is already past
-      // retention, so a reader still pinned on it has the same exposure
-      // as to the data-file deletes above
-      val out = fs.create(p, true)
-      try out.write(SnapshotTable.Tombstone) finally out.close()
+      // in-place replace via the scheme-aware helper: the slot must never
+      // read as ABSENT mid-replace (a vanished slot re-opens the publish
+      // CAS); a transiently TRUNCATED read is fine — v is already past
+      // retention and sub-MinManifestLen content reads as retired. The
+      // never-absent contract per store class lives on [[AtomicPublish
+      // .replaceInPlace]] next to the publish scheme dispatch.
+      AtomicPublish.replaceInPlace(fs, p, SnapshotTable.Tombstone)
       p.toString
     }
     dataPaths ++ manifestPaths
