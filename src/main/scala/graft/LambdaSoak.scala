@@ -122,10 +122,16 @@ object LambdaSoak {
     // live at 200 cycles under a concurrent DuckDB sweep) re-acquires and
     // re-runs the cycle instead of dying. The retry itself exercises the
     // usurpation-recovery path the fencing exists for.
+    // shared abort: set in the !gateOk diagnostic path so a lane spinning
+    // in this retry loop stops at its next iteration instead of running
+    // Spark jobs under the report reads and spark.stop() (which would
+    // bury the primary wedge diagnosis under shutdown exceptions)
+    @volatile var abortLanes = false
     def retryUsurped(body: => Unit): Unit = {
       var attempts = 0
       var ok = false
       while (!ok) {
+        if (abortLanes) throw new InterruptedException("soak abort")
         try { body; ok = true }
         catch { case _: LockLostException if attempts < 50 =>
           attempts += 1; usurpRetries.incrementAndGet(); Thread.sleep(100)
@@ -254,13 +260,25 @@ object LambdaSoak {
     }
 
     // a wedged lane makes these joins time out rather than hang: the
-    // report below then runs against whatever state exists and exits 1
+    // report below then runs against whatever state exists and exits 1.
+    // In the diagnostic path, abort + interrupt the lanes FIRST so they
+    // stop launching Spark jobs before the report reads and spark.stop()
+    if (!gateOk) {
+      abortLanes = true
+      batchThread.interrupt(); streamThread.interrupt()
+    }
     batchThread.join(if (gateOk) 600000 else 60000)
     streamThread.join(if (gateOk) 600000 else 60000)
     running = false
     readerThread.join(30000)
-    if (batchThread.isAlive || streamThread.isAlive)
+    if (batchThread.isAlive || streamThread.isAlive) {
       errs.add("a lane thread is still alive at report time"): Unit
+      // last resort before touching shared state: interrupt again (a lane
+      // may be sleeping in a lock wait rather than a Spark job)
+      abortLanes = true
+      batchThread.interrupt(); streamThread.interrupt()
+      batchThread.join(10000); streamThread.join(10000)
+    }
 
     // ---- conservation + audit integrity + orphan invisibility ----
     val batchFinal = wh.core.read.filter(col("trip_id").isNull).count()

@@ -232,13 +232,36 @@ object LaneLock {
         catch {
           case e: Exception =>
             attempt += 1
-            if (attempt >= 5) throw e // persistent FS failure: TTL recovers
+            if (attempt >= 5) {
+              // the held tip may already be PUBLISHED: rethrowing now
+              // orphans a won lock (no handle → no heartbeat/release,
+              // every taker waits out the full TTL). Best-effort release
+              // first — if our publish was real, v+1 `released` frees the
+              // lock immediately; if it landed in reaped below-tip junk,
+              // the extra junk slot is equally ignored and reaped.
+              try tryPublish(fs, conf, lockDir, v + 1, held = false,
+                nonce, ttlMs): Unit
+              catch { case _: Exception => () }
+              throw e // persistent FS failure: TTL is the last resort
+            }
             Thread.sleep(100)
         }
       }
       verdict.get
     }
   }
+
+  /** Margin beyond which a held tip's timestamp sitting in the taker's
+    * FUTURE is judged clock skew (holder's clock ahead). The lease math
+    * (`now - ts > ttl`) can never fire on a future ts anyway — this guard
+    * makes the refusal EXPLICIT and observable instead of reading as a
+    * mysteriously long wait: the taker logs once and counts
+    * [[skewRefusals]], so a mis-synced fleet surfaces in ops telemetry
+    * rather than as takeover latency. */
+  private[graft] val SkewMarginMs = 5000L
+
+  /** Takeover refusals attributed to publisher-clock-ahead skew. */
+  private[graft] val skewRefusals = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Block until this process owns the lock. `renew = false` disables the
     * heartbeat (tests use it to simulate a wholly paused holder). */
@@ -247,17 +270,31 @@ object LaneLock {
     val conf = spark.sparkContext.hadoopConfiguration
     val lockDir = new Path(s"$whDir/_lane_lock.d")
     val fs = lockDir.getFileSystem(conf)
+    AtomicPublish.requireSupported(fs) // loud at open, like the tables
     fs.mkdirs(lockDir)
     val nonce = UUID.randomUUID().toString
+    var skewLogged = false
     while (true) {
       val tip = readTip(fs, lockDir)
       // staleness is judged by the HOLDER's recorded lease, not this
       // taker's: processes with different TTLs can share a warehouse
       // without the shortest one usurping a healthy holder between its
       // heartbeats (the tip of a pre-TTL-field writer reads ttl 0 —
-      // maximally stale, recovered by the nonce/fence discipline)
-      val free = tip.forall(t =>
-        !t.held || System.currentTimeMillis() - t.ts > t.ttlMs)
+      // maximally stale, recovered by the nonce/fence discipline).
+      // Clock-skew guard: a held tip stamped in OUR future beyond the
+      // margin is a mis-synced publisher clock — refuse takeover and say
+      // so (the lease compares publisher vs reader wall clocks; the
+      // scheme assumes skew ≪ ttl, and this is where a violation shows).
+      val now = System.currentTimeMillis()
+      val skewed = tip.exists(t => t.held && t.ts - now > SkewMarginMs)
+      if (skewed && !skewLogged) {
+        skewLogged = true
+        skewRefusals.incrementAndGet()
+        System.err.println(s"[LaneLock] refusing takeover at $lockDir: held " +
+          s"tip ts is ${tip.get.ts - now} ms in this taker's future " +
+          "(publisher clock ahead?) — waiting, not usurping")
+      }
+      val free = !skewed && tip.forall(t => !t.held || now - t.ts > t.ttlMs)
       if (free) {
         if (tryAcquireFrom(fs, conf, lockDir, tip, nonce, ttlMs)) {
           sweepBelow(fs, lockDir, tip.map(_.version).getOrElse(0L) + 1)

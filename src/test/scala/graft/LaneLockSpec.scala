@@ -310,4 +310,31 @@ class LaneLockSpec extends SparkSpec {
     assert(keeps == (0 until rounds).map(i => s"keep-$i").sorted,
       "every appended row survived the concurrent delete rewrites")
   }
+
+  test("clock-skew guard: a held tip stamped in the taker's FUTURE is " +
+      "refused with an explicit skew signal — waited out, never usurped") {
+    val dir = tmpDir("graft_lanelock_skew")
+    // short-lease holder, no heartbeat; then forward-date its tip 60 s:
+    // the publisher's clock reads far AHEAD of this taker's
+    val holder = LaneLock.acquire(spark, dir, ttlMs = 300L, renew = false)
+    backdateTip(dir, ageMs = -60000L)
+    val refusalsBefore = LaneLock.skewRefusals.get()
+    val entered = new AtomicInteger(0)
+    val taker = new Thread(() => {
+      val l = LaneLock.acquire(spark, dir, ttlMs = 200L, renew = false)
+      entered.set(1); l.release()
+    })
+    taker.start()
+    taker.join(1500)
+    // on the taker's clock the holder's 300 ms lease elapsed long ago —
+    // but the lease math runs on the PUBLISHER's stamp, and the explicit
+    // guard surfaces the skew instead of leaving a silent long wait
+    assert(taker.isAlive && entered.get() == 0,
+      "future-stamped held tip is never usurped")
+    assert(LaneLock.skewRefusals.get() > refusalsBefore,
+      "the refusal is attributed to clock skew (observable, not silent)")
+    holder.release() // nonce unchanged by the forward-date: release works
+    taker.join(10000)
+    assert(entered.get() == 1, "taker entered once the holder released")
+  }
 }
