@@ -16,6 +16,53 @@ object MediaQueries {
   private def media(s: org.apache.spark.sql.SparkSession, d: String) =
     MediaOps.mediaFromDocuments(DocPipeline.documents(s, d))
 
+  /** `media_ann_audit`'s stratified candidate build — (probes, feature
+    * vectors, candidate pairs) — extracted so the recall/cost scale gate
+    * (MediaAnnAuditSpec) measures the EXACT candidate set the query
+    * re-ranks, not a re-derivation that could drift. Strata: aHash band
+    * mates ∪ feature-LSH band mates (2 bands × 8 centered-sign bits) ∪
+    * the fixed 512-item hash-ordered sample (see the query's doc). */
+  private[graft] def auditCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame) = {
+    val m = media(s, d)
+    val feats = MediaOps.featureVector(m)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val probes = feats.filter(graft.queries.Panels.mediaAudit(col("vec_id")))
+    val bands = MediaOps.phashBands(m)
+    val probeBands = bands
+      .join(probes.select(col("vec_id").as("media_id")), "media_id")
+      .select(col("media_id").as("query_id"), col("band"), col("bval"))
+    val bandMates = bands.join(probeBands, Seq("band", "bval"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"))
+    val emean = (1 to 16).map(j =>
+      element_at(col("embedding"), j).cast("double")).reduce(_ + _) / 16.0
+    val fbandStructs = array((0 until 2).map { b =>
+      struct(lit(b).as("fband"),
+        (0 until 8).map(j =>
+          when(element_at(col("embedding"), b * 8 + j + 1).cast("double")
+            > emean, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+          .as("fbval"))
+    }: _*)
+    val featBands = feats.select(col("vec_id"), explode(fbandStructs).as("fb"))
+      .select(col("vec_id"), col("fb.fband").as("fband"),
+        col("fb.fbval").as("fbval"))
+    val probeFeatBands = featBands
+      .join(probes.select(col("vec_id").as("pid")), col("vec_id") === col("pid"))
+      .select(col("pid").as("query_id"), col("fband"), col("fbval"))
+    val featMates = featBands.join(probeFeatBands, Seq("fband", "fbval"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val sample = m.select(col("media_id").as("neighbor_id"))
+      .orderBy(sha2(col("media_id").cast("string"), 256), col("media_id"))
+      .limit(512)
+    val samplePairs = probes.select(col("vec_id").as("query_id"))
+      .crossJoin(sample)
+    val pairs = bandMates.unionByName(featMates).unionByName(samplePairs)
+      .distinct()
+    (probes, feats, pairs)
+  }
+
   val queries: Map[String, QFn] = Map(
     "media_meta_extract" -> ((s, d) => MediaOps.metaExtract(media(s, d))
       .orderBy("media_id")),
@@ -93,40 +140,7 @@ object MediaQueries {
     // WHERE THE SAMPLE DOES NOT COVER THE CORPUS, and that the banded
     // strata contribute beyond the fixed sample.
     "media_ann_audit" -> ((s, d) => {
-      val m = media(s, d)
-      val feats = MediaOps.featureVector(m)
-        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
-      val probes = feats.filter(graft.queries.Panels.mediaAudit(col("vec_id")))
-      val bands = MediaOps.phashBands(m)
-      val probeBands = bands
-        .join(probes.select(col("vec_id").as("media_id")), "media_id")
-        .select(col("media_id").as("query_id"), col("band"), col("bval"))
-      val bandMates = bands.join(probeBands, Seq("band", "bval"))
-        .select(col("query_id"), col("media_id").as("neighbor_id"))
-      val emean = (1 to 16).map(j =>
-        element_at(col("embedding"), j).cast("double")).reduce(_ + _) / 16.0
-      val fbandStructs = array((0 until 2).map { b =>
-        struct(lit(b).as("fband"),
-          (0 until 8).map(j =>
-            when(element_at(col("embedding"), b * 8 + j + 1).cast("double")
-              > emean, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
-            .as("fbval"))
-      }: _*)
-      val featBands = feats.select(col("vec_id"), explode(fbandStructs).as("fb"))
-        .select(col("vec_id"), col("fb.fband").as("fband"),
-          col("fb.fbval").as("fbval"))
-      val probeFeatBands = featBands
-        .join(probes.select(col("vec_id").as("pid")), col("vec_id") === col("pid"))
-        .select(col("pid").as("query_id"), col("fband"), col("fbval"))
-      val featMates = featBands.join(probeFeatBands, Seq("fband", "fbval"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      val sample = m.select(col("media_id").as("neighbor_id"))
-        .orderBy(sha2(col("media_id").cast("string"), 256), col("media_id"))
-        .limit(512)
-      val samplePairs = probes.select(col("vec_id").as("query_id"))
-        .crossJoin(sample)
-      val pairs = bandMates.unionByName(featMates).unionByName(samplePairs)
-        .distinct()
+      val (probes, feats, pairs) = auditCandidates(s, d)
       graft.docs.EmbeddingOps.candidateTopK(probes, feats, pairs, 3)
         .orderBy("query_id", "rank")
     }),

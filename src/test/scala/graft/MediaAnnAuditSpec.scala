@@ -94,4 +94,32 @@ class MediaAnnAuditSpec extends SparkSpec {
     assert(truth.select("query_id").distinct().count() ==
       audit.select("query_id").distinct().count())
   }
+
+  test("scale gate: recall@3 and candidates/probe at x20 — 100k docs, " +
+      "the fixed sample is 0.5% of the corpus (VERDICT r16 #3)") {
+    // gated on the x20 fixture dir (tools/scale_gen.py 20 /tmp/sfscale/x20)
+    // so the per-round suite stays cheap; run it whenever the recall/cost
+    // dial is touched, and record the numbers in SCALING.md
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sfscale/x20")
+    assume(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"x20 fixtures absent at $dir")
+    val truth = MediaQueries.queries("media_ann")(spark, dir)
+      .select("query_id", "neighbor_id").cache()
+    val audit = MediaQueries.queries("media_ann_audit")(spark, dir)
+    val truthN = truth.count()
+    assert(truthN > 0)
+    val hits = truth.join(audit.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / truthN
+    val (probes, feats, pairs) = MediaQueries.auditCandidates(spark, dir)
+    val nProbes = probes.count()
+    val corpus = feats.count()
+    val cpp = pairs.count().toDouble / nProbes
+    info(f"x20: recall@3=$recall%.3f candidates/probe=$cpp%.1f " +
+      f"(${cpp / corpus * 100}%.2f%% of $corpus-item corpus, $nProbes probes)")
+    assert(recall >= 0.8,
+      f"recall@3 at x20 ($recall%.3f) under the 0.8 floor — raise the " +
+        "centered-sign bit count (the LSH recall/cost dial)")
+    truth.unpersist(): Unit
+  }
 }
