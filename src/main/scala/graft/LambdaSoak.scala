@@ -92,7 +92,19 @@ object LambdaSoak {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val whDir = java.nio.file.Files.createTempDirectory("graft_lambda_soak").toString
+    // SPARK_GRAFT_SOAK_STORE="<scheme>:<FileSystem class>" runs the WHOLE
+    // soak through that filesystem — e.g. the simulated hostile object
+    // store (Test/runMain with mockput:graft.MockObjectStoreFileSystem),
+    // so the dual-lane crash protocol is endurance-proven on the
+    // conditional-PUT publish path, not just the local link(2) one
+    val localDir = java.nio.file.Files.createTempDirectory("graft_lambda_soak").toString
+    val whDir = sys.env.get("SPARK_GRAFT_SOAK_STORE") match {
+      case Some(spec) =>
+        val Array(scheme, impl) = spec.split(":", 2)
+        spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl", impl)
+        s"$scheme://$localDir"
+      case None => localDir
+    }
     val wh = Lambda.SharedWarehouse(spark, whDir)
     val owns = col("ingest_date") === lit("1993-02-01").cast("date")
 
