@@ -92,9 +92,16 @@ object Ingest {
 
   /** Commit one sink's share of a batch exactly once. Skip if the marker
     * exists; else stage (full overwrite of the batch-scoped staging dir —
-    * replay-safe), publish via deterministic renames, then write the
-    * marker by temp+rename so a half-created marker can never be read as
-    * committed. Every crash point replays into the same final state.
+    * replay-safe), publish via deterministic renames, then publish the
+    * marker through [[graft.ops.AtomicPublish]] — the same per-store
+    * publish-no-overwrite strategy the snapshot manifests ride, so the
+    * COMMIT POINT of this protocol is portable to conditional-PUT object
+    * stores (a half-created marker can never be read as committed on any
+    * supported store class; a replay losing the marker race is benign —
+    * the winner published the identical batch). Every crash point replays
+    * into the same final state: the data-file publishes use DETERMINISTIC
+    * names, so even a store whose rename silently replaces converges (a
+    * replay replaces its own earlier files with identical content).
     * `batchId < 0` (direct batch use, tests) bypasses the protocol and
     * appends in place. */
   private def oncePerBatch(spark: SparkSession, dir: String, batchId: Long)
@@ -107,9 +114,9 @@ object Ingest {
     writeTo(staging.toString, SaveMode.Overwrite)
     publishStaged(fs, staging, new org.apache.hadoop.fs.Path(dir), batchId)
     fs.mkdirs(m.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(m.getParent, s".batch-$batchId.tmp")
-    fs.create(tmp, true).close()
-    fs.rename(tmp, m) // rename is atomic; a losing racer's rename just fails
+    graft.ops.AtomicPublish.publishContent(fs,
+      spark.sparkContext.hadoopConfiguration, m.getParent, m,
+      s"batch-$batchId"): Unit
   }
 
   /** Per-batch 3-way fan-out used by the streaming query (and directly

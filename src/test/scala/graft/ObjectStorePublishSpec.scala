@@ -200,4 +200,26 @@ class ObjectStorePublishSpec extends SparkSpec {
       // unbind so the loud-failure cases above stay valid for other suites
       AtomicPublish.unregister("mocknone")
   }
+
+  test("ingest batch commit protocol converges on the object store: " +
+      "replay is a no-op, the marker commit point rides the conditional PUT") {
+    import org.apache.spark.sql.functions._
+    val base = storeDir("ospub_ingest")
+    conf: Unit
+    val dirs = graft.stream.Ingest.LakeDirs(raw = s"$base/raw",
+      curated = s"$base/curated", dlq = s"$base/dlq", checkpoint = s"$base/chk")
+    val batch = graft.model.EventsModel.envelopes(spark, sf()).select("json")
+      .limit(200)
+      .withColumn("arrival_ts",
+        get_json_object(col("json"), "$.producer_ts").cast("timestamp_ntz"))
+    graft.stream.Ingest.writeBatch(batch, dirs, batchId = 3L)
+    val raw1 = spark.read.text(dirs.raw).count()
+    assert(raw1 == 200L, "every record landed through the store")
+    // replay of the same batch: the conditional-PUT marker skips all sinks
+    graft.stream.Ingest.writeBatch(batch, dirs, batchId = 3L)
+    assert(spark.read.text(dirs.raw).count() == raw1, "no double-landing")
+    val fs = fsOf(base)
+    assert(fs.exists(new Path(s"${dirs.raw}/_graft_commits/batch-3")),
+      "marker present — published via the store's conditional PUT")
+  }
 }
