@@ -466,6 +466,13 @@ class LambdaSpec extends SparkSpec {
       "the BI view tracks the live star transitively (views over views)")
     // SQL == API parity holds on the MOVED tip too
     assert(n("lambda_vw_fact_trip_bi") == Lambda.biView(wh).count())
+    // physical shape parity: the SQL view's six dim resolves BROADCAST
+    // (the plan the API frame gets; at 100 TB a shuffled dim join here
+    // would be the regression the count parity can't see)
+    val plan = spark.sql("SELECT * FROM lambda_vw_fact_trip_bi")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 6,
+      s"all six dim joins broadcast in the SQL view plan:\n$plan")
   }
 
   test("a usurped runHour SELF-RETRIES: the locked section re-runs to " +
