@@ -61,10 +61,15 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   * are never rewritten on append; overwrite/delete rewrite only what they
   * logically replace; the partitioned read plans one parquet relation per
   * live commit dir (bounded by distinct merges still owning a partition —
-  * compaction folds them back to one). This is deliberately the minimal
-  * subset of a table format (single table, no schema evolution, file-level
-  * granularity) — the call sites swap to Delta/Iceberg without semantic
-  * change.
+  * compaction folds them back to one). Schema drift is ADDITIVE-ONLY and
+  * metadata-only ([[evolveSchema]] / superset writes — the reference
+  * staging DDL's per-column `ADD IF NOT EXISTS`,
+  * sql/batchELT/staging/stg_trip.sql:38-111): adding a nullable column is
+  * one manifest commit, never a data rewrite; old commit dirs resolve the
+  * column to NULL at read. This is deliberately the minimal subset of a
+  * table format (single table, file-level granularity, no type changes or
+  * drops in place) — the call sites swap to Delta/Iceberg without
+  * semantic change.
   */
 final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructType,
                                partitionCols: Seq[String] = Nil)
@@ -78,6 +83,102 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   private val dataDir = new Path(dir, "data")
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%08d.json")
+
+  // ------------------------------------------------------------------
+  // Schema evolution (VERDICT r17 #1): the schema in effect is COMMITTED
+  // state, not just the constructor argument. Each evolution CAS-publishes
+  // an immutable `_schemas/s%08d.json` (StructType JSON) and the manifest
+  // records its id; manifests without one (pre-evolution tables) fall back
+  // to the declared schema. Schema files are tiny, immutable and
+  // referenced by retained manifests, so [[vacuum]] never touches them.
+  // ------------------------------------------------------------------
+
+  private val schemaDir = new Path(dir, "_schemas")
+  private def schemaFilePath(id: Long) = new Path(schemaDir, f"s$id%08d.json")
+
+  private def schemaIds: Seq[Long] =
+    if (!fs.exists(schemaDir)) Seq.empty
+    else fs.listStatus(schemaDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("s\\d{8}\\.json") =>
+        n.stripPrefix("s").stripSuffix(".json").toLong }
+      .sorted
+
+  // schema files are immutable once published — cache decoded forever
+  private val schemaFileCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, StructType]()
+
+  private def schemaFromFile(id: Long): StructType =
+    schemaFileCache.computeIfAbsent(id, { _ =>
+      val in = fs.open(schemaFilePath(id))
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(txt).asInstanceOf[StructType]
+    })
+
+  private def schemaIdAt(v: Long): Option[Long] =
+    SnapshotTable.schemaIdRe.findFirstMatchIn(manifestText(v))
+      .map(_.group(1).toLong)
+
+  /** Schema in effect at version `v`: the manifest-recorded evolved
+    * schema, or the declared constructor schema for pre-evolution
+    * manifests. Monotone along the chain — evolution only ever ADDS
+    * nullable columns ([[SchemaEvolution.additiveTarget]]). */
+  def schemaAt(v: Long): StructType =
+    schemaIdAt(v).map(schemaFromFile).getOrElse(schema)
+
+  /** Schema in effect at the current tip (the declared schema before the
+    * first commit). Reads resolve against this, not the declared schema,
+    * so a client opening an evolved table with a pre-evolution declared
+    * schema still sees every committed column. */
+  def currentSchema: StructType = latestVersion.map(schemaAt).getOrElse(schema)
+
+  private def schemaInEffect(base: Option[Long]): StructType =
+    base.map(schemaAt).getOrElse(schema)
+
+  /** CAS-publish `target` as the next immutable schema file. Ids are
+    * unique, not content-addressed: two racers evolving identically get
+    * two ids and the manifest commit decides which becomes live (the
+    * loser's file is a few hundred orphan bytes). */
+  private def publishSchemaFile(target: StructType): Long = {
+    fs.mkdirs(schemaDir)
+    var id = schemaIds.lastOption.getOrElse(0L) + 1
+    while (!AtomicPublish.publishContent(fs,
+        spark.sparkContext.hadoopConfiguration, schemaDir,
+        schemaFilePath(id), target.json))
+      id += 1
+    id
+  }
+
+  /** Project `df` onto `target`: matching columns pass through by name,
+    * columns `df` lacks NULL-pad — they must be nullable (an old-shape
+    * producer writing after an additive evolution misses exactly the
+    * added nullable columns; a missing NON-nullable column is a refused
+    * write, never a silent NULL). Extra `df` columns were already folded
+    * into `target` by [[SchemaEvolution.additiveTarget]]. */
+  private def conform(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else {
+        require(f.nullable, s"$dir: cannot NULL-pad non-nullable column " +
+          s"'${f.name}' missing from the written DataFrame")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Resolve the write schema for an incoming DataFrame shape against the
+    * schema in effect `cur`: no new columns → `(cur, None)`; an additive
+    * superset → publish a schema file for the widened target (the
+    * reference's ADD IF NOT EXISTS drift tolerance, stg_trip.sql:38-111).
+    * Type changes refuse loudly inside [[SchemaEvolution.additiveTarget]]. */
+  private def resolveWriteSchema(cur: StructType, dfSchema: StructType)
+      : (StructType, Option[Long]) = {
+    val target = SchemaEvolution.additiveTarget(cur, dfSchema)
+    if (target == cur) (cur, None)
+    else (target, Some(publishSchemaFile(target)))
+  }
 
   def exists: Boolean = latestVersion.isDefined
 
@@ -124,8 +225,10 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     }.toMap
   }
 
-  private def emptyDf: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private def emptyDf: DataFrame = emptyDfWith(schema)
+
+  private def emptyDfWith(st: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
 
   def read: DataFrame = latestVersion.map(readVersion).getOrElse(emptyDf)
 
@@ -135,29 +238,36 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * [[overwritePartitionsCas]]. */
   def readAt(v: Option[Long]): DataFrame = v.map(readVersion).getOrElse(emptyDf)
 
-  def readVersion(v: Long): DataFrame =
+  def readVersion(v: Long): DataFrame = {
+    // resolve against the schema in effect AT v: commit dirs written
+    // before an evolution lack the added columns and surface NULL for
+    // them (explicit-schema parquet resolution); a pre-evolution version
+    // reads its own narrower shape — time travel crosses the boundary
+    val sv = schemaAt(v)
     if (partitionCols.isEmpty) {
       val dirs = snapshotDirs(v)
-      if (dirs.isEmpty) emptyDf
-      else spark.read.schema(schema).parquet(dirs.map(d => s"$dir/$d"): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+      if (dirs.isEmpty) emptyDfWith(sv)
+      else spark.read.schema(sv).parquet(dirs.map(d => s"$dir/$d"): _*)
+        .select(sv.fieldNames.map(col).toSeq: _*)
     } else {
       val parts = snapshotParts(v)
-      if (parts.isEmpty) emptyDf else partitionedRead(parts)
+      if (parts.isEmpty) emptyDfWith(sv) else partitionedRead(parts, sv)
     }
+  }
 
   // one parquet relation per commit dir (its basePath recovers the
   // partition columns from the dir names); paths = only the partitions
   // live FROM that commit — superseded files in the same dir are never
   // listed, let alone read
-  private def partitionedRead(parts: Map[String, Seq[String]]): DataFrame = {
+  private def partitionedRead(parts: Map[String, Seq[String]],
+                              sv: StructType): DataFrame = {
     val byDir = parts.toSeq
       .flatMap { case (k, ds) => ds.map(d => d -> k) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
     byDir.map { case (cdir, keys) =>
-      spark.read.option("basePath", s"$dir/$cdir").schema(schema)
+      spark.read.option("basePath", s"$dir/$cdir").schema(sv)
         .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+        .select(sv.fieldNames.map(col).toSeq: _*)
     }.reduce(_ unionByName _)
   }
 
@@ -183,7 +293,8 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     require(partitionCols.nonEmpty, s"$dir is not partitioned")
     at.map { v =>
       val parts = snapshotParts(v).filter { case (k, _) => keep(k) }
-      if (parts.isEmpty) emptyDf else partitionedRead(parts)
+      if (parts.isEmpty) emptyDfWith(schemaAt(v))
+      else partitionedRead(parts, schemaAt(v))
     }.getOrElse(emptyDf)
   }
 
@@ -199,12 +310,12 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     readPartitionsAt(at,
       k => keep(HivePaths.decodeFirstValue(k, partitionCols.head)))
 
-  /** Write `df` as a fresh immutable commit dir; returns its relative
+  /** Write `df` as a fresh immutable commit dir, conformed to `target`
+    * (the schema in effect, possibly just widened); returns its relative
     * path. Nothing is visible until a manifest referencing it lands. */
-  private def writeDataDir(df: DataFrame): String = {
+  private def writeDataDir(df: DataFrame, target: StructType): String = {
     val rel = s"data/c-${UUID.randomUUID()}"
-    val w = df.select(schema.fieldNames.map(col).toSeq: _*)
-      .write.mode(SaveMode.ErrorIfExists)
+    val w = conform(df, target).write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/$rel")
     rel
@@ -234,8 +345,9 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   /** Commit the manifest body `next` derives from the base version: temp
     * write + atomic publish, CAS retry on a lost race. `op` and a wall
     * timestamp are recorded in the manifest for [[history]] (audit
-    * metadata only — never part of any query result). Returns the
-    * committed version. */
+    * metadata only — never part of any query result). The schemaId in
+    * effect at the base is carried forward. Returns the committed
+    * version. */
   private def commit(op: String)(next: Option[Long] => String): Long =
     commitIfChanged(op)(base => Some(next(base)))
 
@@ -256,9 +368,69 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         case Some(t) => t
         case None => return base.getOrElse(0L)
       }
-      if (publishManifest(v, op, bodyTail)) committed = v
+      if (publishManifest(v, op, base.flatMap(schemaIdAt), bodyTail))
+        committed = v
     }
     committed
+  }
+
+  /** Manifest schemaId for a commit attempt landing on `base`, given the
+    * write was resolved before the CAS loop (schema in effect `cur0`,
+    * write target `target`, freshly published id `sidNew` when evolving):
+    *
+    *  - non-evolving write → carry the base's id forward (a tip that
+    *    evolved mid-commit stays authoritative; our narrower files read
+    *    NULL for its added columns);
+    *  - evolving write, schema unmoved → pin `sidNew`;
+    *  - evolving write, a racer committed the IDENTICAL evolution → adopt
+    *    the racer's id (ours becomes an orphan schema file);
+    *  - evolving write, a DIFFERENT evolution interleaved → `None`: the
+    *    files written under `target` must not be committed beneath a
+    *    schemaId that doesn't know their added columns (silent data
+    *    loss), so the caller reaps the dir and redoes the operation.
+    */
+  private def sidForCommit(base: Option[Long], cur0: StructType,
+      target: StructType, sidNew: Option[Long]): Option[Option[Long]] =
+    if (sidNew.isEmpty) Some(base.flatMap(schemaIdAt))
+    else {
+      val eff = schemaInEffect(base)
+      if (eff == cur0) Some(sidNew)
+      else if (eff == target) Some(base.flatMap(schemaIdAt))
+      else None
+    }
+
+  /** Interleaved-evolution marker: the written commit dir was reaped and
+    * the whole operation must re-derive from the new tip schema. */
+  private final class SchemaMoved extends RuntimeException
+
+  private def retrySchemaMoved[T](body: => T): T = {
+    while (true) {
+      try return body
+      catch { case _: SchemaMoved => () }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** CAS commit loop with schema resolution: per attempt the body AND the
+    * schemaId re-derive against the tip; a [[sidForCommit]] `None`
+    * (interleaved different evolution) reaps `rel` and throws
+    * [[SchemaMoved]] for the outer operation retry. */
+  private def commitResolved(op: String, cur0: StructType, target: StructType,
+      sidNew: Option[Long], rel: Option[String])(
+      next: Option[Long] => String): Long = {
+    fs.mkdirs(manifestDir)
+    while (true) {
+      val base = versions.lastOption
+      sidForCommit(base, cur0, target, sidNew) match {
+        case None =>
+          rel.foreach(r => fs.delete(new Path(s"$dir/$r"), true))
+          throw new SchemaMoved
+        case Some(sid) =>
+          val v = base.getOrElse(0L) + 1
+          if (publishManifest(v, op, sid, next(base))) return v
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write the manifest body for version `v` to a temp name and
@@ -267,9 +439,11 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * re-derives against the new tip — see [[AtomicPublish]] for why
     * check-then-rename would be unsound.
     * @return true = this committer won the version slot */
-  private def publishManifest(v: Long, op: String, bodyTail: String): Boolean = {
+  private def publishManifest(v: Long, op: String, schemaId: Option[Long],
+                              bodyTail: String): Boolean = {
+    val sidPart = schemaId.map(id => s""""schemaId": $id, """).getOrElse("")
     val body =
-      s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, $bodyTail}"""
+      s"""{"version": $v, "op": "$op", "ts": ${System.currentTimeMillis()}, $sidPart$bodyTail}"""
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // [[versions]] retires anything shorter than MinManifestLen as a
     // vacuum tombstone — a real manifest serializing under it would be
@@ -296,14 +470,24 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
 
   /** Append: new snapshot = old snapshot + one new commit dir (on a
     * partitioned table, touched partitions gain the dir; others are
-    * untouched). O(new data); no existing file is touched. */
-  def append(df: DataFrame): Long = {
-    val rel = writeDataDir(df)
+    * untouched). O(new data); no existing file is touched.
+    *
+    * Drift-tolerant (VERDICT r17 #1, the reference staging layer's
+    * ADD IF NOT EXISTS contract): a `df` carrying NEW columns triggers an
+    * additive evolution in the SAME commit (new columns nullable; rows in
+    * older commit dirs read NULL for them); a `df` MISSING added nullable
+    * columns NULL-pads them. Type changes and non-nullable gaps refuse
+    * loudly ([[SchemaEvolution.additiveTarget]] / `conform`). */
+  def append(df: DataFrame): Long = retrySchemaMoved {
+    val cur0 = schemaInEffect(versions.lastOption)
+    val (target, sidNew) = resolveWriteSchema(cur0, df.schema)
+    val rel = writeDataDir(df, target)
     if (partitionCols.isEmpty)
-      commit("append")(base => filesBody(base.map(snapshotDirs).getOrElse(Nil) :+ rel))
+      commitResolved("append", cur0, target, sidNew, Some(rel))(base =>
+        filesBody(base.map(snapshotDirs).getOrElse(Nil) :+ rel))
     else {
       val touched = leafPartDirs(rel)
-      commit("append") { base =>
+      commitResolved("append", cur0, target, sidNew, Some(rel)) { base =>
         val old = baseParts(base)
         partsBody(old ++ touched.map(k => k -> (old.getOrElse(k, Nil) :+ rel)))
       }
@@ -311,11 +495,49 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
   }
 
   /** Full replace: new snapshot = exactly one new commit dir. Old files
-    * stay on disk (readable via [[readVersion]]) until [[vacuum]]. */
-  def overwrite(df: DataFrame): Long = {
-    val rel = writeDataDir(df)
-    if (partitionCols.isEmpty) commit("overwrite")(_ => filesBody(Seq(rel)))
-    else commit("overwrite")(_ => partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
+    * stay on disk (readable via [[readVersion]]) until [[vacuum]].
+    * Additive drift evolves like [[append]]; narrowing still refuses —
+    * a full logical replace does not license silently dropping a column
+    * every OTHER version of the table carries. */
+  def overwrite(df: DataFrame): Long = retrySchemaMoved {
+    val cur0 = schemaInEffect(versions.lastOption)
+    val (target, sidNew) = resolveWriteSchema(cur0, df.schema)
+    val rel = writeDataDir(df, target)
+    if (partitionCols.isEmpty)
+      commitResolved("overwrite", cur0, target, sidNew, Some(rel))(_ =>
+        filesBody(Seq(rel)))
+    else
+      commitResolved("overwrite", cur0, target, sidNew, Some(rel))(_ =>
+        partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap))
+  }
+
+  /** Explicit additive schema evolution — a METADATA-ONLY commit (op
+    * `evolve_schema`): the snapshot's data dirs are carried unchanged,
+    * only the recorded schema widens. The engine analog of the reference
+    * staging DDL's per-column `ALTER TABLE ADD IF NOT EXISTS`
+    * (stg_trip.sql:38-111) — at 100 TB this is the difference between an
+    * ALTER and a week-long rewrite. `newSchema` must contain every
+    * current column unchanged (drops and type changes REFUSE loudly);
+    * added columns are forced nullable. Returns the committed version
+    * (the current tip when `newSchema` adds nothing). */
+  def evolveSchema(newSchema: StructType): Long = retrySchemaMoved {
+    val tip0 = versions.lastOption
+    val cur = schemaInEffect(tip0)
+    val missing = cur.fieldNames.filterNot(newSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$dir: schema evolution refused — dropping column(s) " +
+        s"${missing.mkString(", ")} needs a full rewrite (only ADDING " +
+        "nullable columns evolves in place)")
+    val target = SchemaEvolution.additiveTarget(cur, newSchema)
+    if (target == cur) tip0.getOrElse(0L)
+    else {
+      val sidNew = Some(publishSchemaFile(target))
+      commitResolved("evolve_schema", cur, target, sidNew, None) { base =>
+        if (partitionCols.isEmpty)
+          filesBody(base.map(snapshotDirs).getOrElse(Nil))
+        else partsBody(baseParts(base))
+      }
+    }
   }
 
   /** [[overwrite]] with whole-table optimistic conflict detection — the
@@ -327,7 +549,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * serialize instead of the loser silently erasing the winner's
     * appended NKs. */
   def overwriteCas(df: DataFrame, expectedBase: Option[Long]): Option[Long] = {
-    val rel = writeDataDir(df)
+    // schema resolves against the EXPECTED base (what the caller derived
+    // df from); any schema movement since then bumped the tip version, so
+    // the whole-table CAS below already returns the conflict for it
+    val cur0 = schemaInEffect(expectedBase)
+    val (target, sidNew) = resolveWriteSchema(cur0, df.schema)
+    val sid = sidNew.orElse(expectedBase.flatMap(schemaIdAt))
+    val rel = writeDataDir(df, target)
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val base = versions.lastOption
@@ -339,7 +567,7 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         val bodyTail =
           if (partitionCols.isEmpty) filesBody(Seq(rel))
           else partsBody(leafPartDirs(rel).map(_ -> Seq(rel)).toMap)
-        if (publishManifest(v, "overwrite", bodyTail)) result = Some(Some(v))
+        if (publishManifest(v, "overwrite", sid, bodyTail)) result = Some(Some(v))
         // else: lost the version slot — loop re-reads the tip (which has
         // necessarily moved, so the next pass returns the conflict)
       }
@@ -354,14 +582,17 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * atomicity of usp_upsert_trip_clean_from_slice_streaming.sql:11-57).
     * Safe even when `df`'s plan reads THIS table: the scan addresses
     * immutable old-version files that the commit never deletes. */
-  def overwritePartitions(df: DataFrame): Long = {
+  def overwritePartitions(df: DataFrame): Long = retrySchemaMoved {
     require(partitionCols.nonEmpty, s"$dir is not partitioned")
-    val rel = writeDataDir(df)
+    val cur0 = schemaInEffect(versions.lastOption)
+    val (target, sidNew) = resolveWriteSchema(cur0, df.schema)
+    val rel = writeDataDir(df, target)
     val touched = leafPartDirs(rel)
     if (touched.isEmpty) { // empty frame: dynamic overwrite is a no-op
       fs.delete(new Path(s"$dir/$rel"), true)
       latestVersion.getOrElse(0L)
-    } else commit("overwrite_partitions") { base =>
+    } else commitResolved("overwrite_partitions", cur0, target, sidNew,
+      Some(rel)) { base =>
       partsBody(baseParts(base) ++ touched.map(_ -> Seq(rel)))
     }
   }
@@ -406,7 +637,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
       dropWhere: Option[String] => Boolean = _ => false): Option[Long] = {
     require(partitionCols.nonEmpty, s"$dir is not partitioned")
     val expParts = expectedBase.map(snapshotParts).getOrElse(Map.empty)
-    val rel = writeDataDir(df)
+    // schema resolves against the EXPECTED base; an evolution interleaving
+    // after it is a schema conflict handled like a data conflict (None)
+    // below — an evolve_schema commit alone does NOT move partition file
+    // sets, so the schema check is explicit, not implied by the data CAS
+    val cur0 = schemaInEffect(expectedBase)
+    val (target, sidNew) = resolveWriteSchema(cur0, df.schema)
+    val rel = writeDataDir(df, target)
     val touched = leafPartDirs(rel)
     // emptied-at-base keys to drop atomically; a key that received fresh
     // files is by definition not empty (callers keep the sets disjoint —
@@ -420,16 +657,21 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     while (result.isEmpty) {
       val base = versions.lastOption
       val cur = baseParts(base)
+      // schema conflict = a DIFFERENT evolution landed since the expected
+      // base (sidForCommit None) — same contract as a data conflict: reap,
+      // return None, the caller re-derives from the new tip
+      val sid = sidForCommit(base, cur0, target, sidNew)
       // conflict = a touched or dropped partition's owner set moved since
       // the base read (file-set equality; order is stable — partsBody
       // sorts and appends deterministically; an unmoved tip trivially
       // passes — cur IS expParts then)
-      if ((touched ++ dropSel).exists(k => cur.get(k) != expParts.get(k))) {
+      if (sid.isEmpty ||
+          (touched ++ dropSel).exists(k => cur.get(k) != expParts.get(k))) {
         fs.delete(new Path(s"$dir/$rel"), true) // orphaned rewrite: reap now
         result = Some(None)
       } else {
         val v = base.getOrElse(0L) + 1
-        if (publishManifest(v, "overwrite_partitions",
+        if (publishManifest(v, "overwrite_partitions", sid.get,
             partsBody(cur ++ touched.map(_ -> Seq(rel)) -- dropSel)))
           result = Some(Some(v))
         // else: lost the version slot — loop re-derives AND re-checks
@@ -582,10 +824,16 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
         val src = snapshotDirs(baseV)
         if (src.lengthCompare(1) <= 0) baseV
         else {
+          // rewrite under the schema in effect AT the base snapshot: every
+          // dir live at baseV was written under a schema ≤ it (evolution
+          // is monotone additive along the chain), so nothing is dropped;
+          // a WIDER tip at commit time reads the fold's files as
+          // NULL-padded exactly like the sources it replaced
+          val sBase = schemaAt(baseV)
           val n = rewriteTasks(src.map(d => pathBytes(s"$dir/$d")).sum)
           val rel = writeDataDir(
-            spark.read.schema(schema).parquet(src.map(d => s"$dir/$d"): _*)
-              .repartition(n))
+            spark.read.schema(sBase).parquet(src.map(d => s"$dir/$d"): _*)
+              .repartition(n), sBase)
           beforeCommit()
           commitIfChanged("compact") { base =>
             val cur = base.map(snapshotDirs).getOrElse(Nil)
@@ -604,12 +852,13 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
           // read ONLY the multi-dir partitions, one relation per commit
           // dir (basePath recovers the partition columns), rewrite
           // hive-partitioned under one fresh commit dir
+          val sBase = schemaAt(baseV) // see the unpartitioned branch's note
           val byDir = multi.toSeq.flatMap { case (k, ds) => ds.map(d => d -> k) }
             .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
           val df = byDir.map { case (cdir, keys) =>
-            spark.read.option("basePath", s"$dir/$cdir").schema(schema)
+            spark.read.option("basePath", s"$dir/$cdir").schema(sBase)
               .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
-              .select(schema.fieldNames.map(col).toSeq: _*)
+              .select(sBase.fieldNames.map(col).toSeq: _*)
           }.reduce(_ unionByName _)
           val srcBytes = multi.toSeq
             .flatMap { case (k, ds) => ds.map(d => pathBytes(s"$dir/$d/$k")) }.sum
@@ -619,9 +868,9 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
           // serializing into one writer (the salt never reaches the
           // output — repartitioning keys are not columns)
           val slices = math.max(1, n / math.max(1, multi.size))
-          val salt = pmod(hash(schema.fieldNames.map(col).toSeq: _*), lit(slices))
+          val salt = pmod(hash(sBase.fieldNames.map(col).toSeq: _*), lit(slices))
           val rel = writeDataDir(
-            df.repartition(n, partitionCols.map(col) :+ salt: _*))
+            df.repartition(n, partitionCols.map(col) :+ salt: _*), sBase)
           beforeCommit()
           commitIfChanged("compact") { base =>
             val cur = baseParts(base)
@@ -709,6 +958,7 @@ object SnapshotTable {
 
   private val opRe = """"op"\s*:\s*"([^"]+)"""".r
   private val tsRe = """"ts"\s*:\s*(\d+)""".r
+  private val schemaIdRe = """"schemaId"\s*:\s*(\d+)""".r
 
   /** Latest snapshot's data dirs (absolute), without needing the schema —
     * the catalog-registration seam ([[graft.batch.Maintenance
@@ -732,19 +982,29 @@ object SnapshotTable {
     val t = SnapshotTable(spark, dir, StructType(Nil))
     val vs = t.versions
     version.orElse(vs.lastOption).filter(vs.contains).map { v =>
+      // a manifest-recorded evolved schema overrides footer inference:
+      // post-evolution snapshots mix commit dirs of different widths, and
+      // the recorded schema is what resolves the narrow ones to NULL
+      // (footer inference alone would fail the union on the width gap)
+      val sv = t.schemaIdAt(v).map(t.schemaFromFile)
+      def withSchema(r: org.apache.spark.sql.DataFrameReader) =
+        sv.fold(r)(r.schema)
       val parts = t.snapshotParts(v)
-      if (parts.nonEmpty) {
-        val byDir = parts.toSeq
-          .flatMap { case (k, ds) => ds.map(d => d -> k) }
-          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
-        byDir.map { case (cdir, keys) =>
-          spark.read.option("basePath", s"$dir/$cdir")
-            .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
-        }.reduce(_ unionByName _)
-      } else {
-        val dirs = t.snapshotDirs(v)
-        spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
-      }
+      val df =
+        if (parts.nonEmpty) {
+          val byDir = parts.toSeq
+            .flatMap { case (k, ds) => ds.map(d => d -> k) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+          byDir.map { case (cdir, keys) =>
+            withSchema(spark.read.option("basePath", s"$dir/$cdir"))
+              .parquet(keys.map(k => s"$dir/$cdir/$k"): _*)
+          }.reduce(_ unionByName _)
+        } else {
+          val dirs = t.snapshotDirs(v)
+          withSchema(spark.read).parquet(dirs.map(d => s"$dir/$d"): _*)
+        }
+      sv.fold(df)(s => df.select(s.fieldNames.map(org.apache.spark.sql
+        .functions.col).toSeq: _*))
     }
   }
 }

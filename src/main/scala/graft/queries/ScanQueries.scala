@@ -477,6 +477,37 @@ object ScanQueries {
         .orderBy("ship_month")
     }),
 
+    // Additive schema evolution through the transactional layer (VERDICT
+    // r17 #1; the reference staging DDL's per-column ADD IF NOT EXISTS —
+    // sql/batchELT/staging/stg_trip.sql:38-111): the first commit is the
+    // narrow shape, the second load carries a NEW nullable column and
+    // auto-evolves the table in the same manifest commit — a metadata-only
+    // ALTER, no data rewrite. The aggregate groups by the added column, so
+    // a hash match proves old rows surface NULL and new rows carry values
+    // THROUGH the shared read path; v1_cols pins time travel across the
+    // boundary (version 1 still reads its own narrower shape).
+    "snapshot_schema_evolve" -> ((s, d) => {
+      val docs = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val dir = scratch("snap_evolve")
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(dir), true) // clean evolution history per run
+      val t = graft.ops.SnapshotTable(s, dir, docs.schema)
+      // corpus-fraction (x2): the two loads are data splits
+      t.append(docs.filter(col("doc_id") % 2 === 0))
+      // corpus-fraction: the drifted load, a data split + derived column
+      t.append(docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("lang_hint",
+          when(col("n_chars") % 3 === 0, "en").otherwise("xx")))
+      val v1cols = t.readVersion(1).columns.length
+      t.read
+        .groupBy(coalesce(col("lang_hint"), lit("<none>")).as("lang_hint"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+        .withColumn("v1_cols", lit(v1cols))
+        .orderBy("lang_hint")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -549,6 +580,21 @@ object ScanQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "snapshot_schema_evolve" ->
+      """WITH olds AS (
+        |  -- corpus-fraction: load 1, a data split (pre-evolution shape)
+        |  SELECT doc_id, n_chars, NULL AS lang_hint
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), news AS (
+        |  -- corpus-fraction: load 2, the drifted data split
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars % 3 = 0 THEN 'en' ELSE 'xx' END AS lang_hint
+        |  FROM documents WHERE doc_id % 2 <> 0
+        |), u AS (SELECT * FROM olds UNION ALL SELECT * FROM news)
+        |SELECT coalesce(lang_hint, '<none>') AS lang_hint, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum, 2 AS v1_cols
+        |FROM u GROUP BY 1 ORDER BY lang_hint""".stripMargin,
 
     "snapshot_compact" -> taxi(
       """SELECT substr(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), 1, 7) AS ship_month,

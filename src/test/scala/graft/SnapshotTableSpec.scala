@@ -351,4 +351,135 @@ class SnapshotTableSpec extends SparkSpec {
       Seq("append", "append", "compact", "overwrite_partitions", "drop_partitions"))
     assert(h.forall(_.ts > 0L))
   }
+
+  // ---------------- additive schema evolution (VERDICT r17 #1) ----------
+
+  private def dfWide(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "part", "tag")
+  }
+
+  test("superset append auto-evolves: old commit dirs read NULL for the added column") {
+    val t = table()
+    t.append(df(1L -> "a", 2L -> "b"))              // v1: narrow shape
+    t.append(dfWide((3L, "a", "x"), (4L, "b", "y"))) // v2: +tag → evolves
+    val rows = t.read.select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> None, 2L -> None, 3L -> Some("x"), 4L -> Some("y")),
+      "pre-evolution rows surface NULL; post-evolution rows carry values")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("k", "part", "tag"))
+    assert(t.currentSchema("tag").nullable, "added columns are forced nullable")
+    // time travel ACROSS the boundary: v1 reads its own narrower shape
+    assert(t.readVersion(1).columns.toSeq == Seq("k", "part"))
+    assert(t.readVersion(2).columns.toSeq == Seq("k", "part", "tag"))
+  }
+
+  test("evolveSchema is a metadata-only commit: content unchanged, later old-shape appends NULL-pad") {
+    val t = table()
+    t.append(df(1L -> "a"))
+    val dirsBefore = t.liveCommitDirs
+    val v = t.evolveSchema(StructType(schema.fields :+
+      StructField("tag", StringType)))
+    assert(v == 2L && t.liveCommitDirs == dirsBefore,
+      "evolution rewrote no data dir")
+    assert(t.history.last.op == "evolve_schema")
+    // an old-shape producer keeps working: the added nullable column pads
+    t.append(df(2L -> "b"))
+    val rows = t.read.select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> None, 2L -> None))
+    assert(t.read.columns.toSeq == Seq("k", "part", "tag"))
+    // idempotent: re-evolving to the same shape burns no version
+    assert(t.evolveSchema(t.currentSchema) == t.latestVersion.get)
+  }
+
+  test("evolution refuses loudly: type change, dropped column, non-nullable gap") {
+    val t = table()
+    t.append(df(1L -> "a"))
+    val typed = intercept[IllegalArgumentException] {
+      t.append(spark.range(1).select(col("id").cast("string").as("k"),
+        lit("a").as("part")))
+    }
+    assert(typed.getMessage.contains("change type"))
+    val dropped = intercept[IllegalArgumentException] {
+      t.evolveSchema(StructType(Seq(StructField("k", LongType))))
+    }
+    assert(dropped.getMessage.contains("dropping column"))
+    // an added column declared non-nullable is silently forced nullable
+    // (rows predating it MUST read NULL) rather than refused
+    val v = t.evolveSchema(StructType(schema.fields :+
+      StructField("tag", StringType, nullable = false)))
+    assert(t.schemaAt(v)("tag").nullable)
+    // the write-path refusal: a DECLARED non-nullable column can never be
+    // NULL-padded for an old-shape producer
+    val strict = SnapshotTable(spark, tmpDir("snap_nn"), StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("part", StringType))))
+    val gap = intercept[IllegalArgumentException] {
+      strict.append(spark.range(1).select(lit("a").as("part")))
+    }
+    assert(gap.getMessage.contains("non-nullable"))
+    assert(t.latestVersion.contains(2L),
+      "the refusals left the table at the evolveSchema commit, nothing else")
+  }
+
+  test("partitioned evolution: overwritePartitionsCas accepts a superset, conflicts on an interleaved different evolution") {
+    val t = partedTable()
+    t.append(df(1L -> "a", 2L -> "b"))
+    val base = t.latestVersion
+    // superset merge commits and evolves in one CAS publish
+    val got = t.overwritePartitionsCas(dfWide((9L, "a", "x")), base)
+    assert(got.isDefined)
+    val rows = t.read.select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(2L -> None, 9L -> Some("x")))
+    // a DIFFERENT evolution interleaving after the base read = conflict:
+    // returns None (the written dir is reaped), caller re-derives
+    val base2 = t.latestVersion
+    t.evolveSchema(StructType(t.currentSchema.fields :+
+      StructField("other", LongType)))
+    val s2 = spark
+    import s2.implicits._
+    val conflicted = t.overwritePartitionsCas(
+      Seq((7L, "a", "y", "z")).toDF("k", "part", "tag", "extra"), base2)
+    assert(conflicted.isEmpty,
+      "an interleaved different evolution must not be silently narrowed away")
+    // non-evolving merges ride through a schema-only tip move: the data
+    // CAS checks partition file sets, which evolve_schema never touches
+    val base3 = t.latestVersion
+    t.evolveSchema(StructType(t.currentSchema.fields :+
+      StructField("later", StringType)))
+    assert(t.overwritePartitionsCas(df(5L -> "b"), base3).isDefined,
+      "a metadata-only evolution does not invalidate a plain data merge")
+    assert(t.read.columns.toSeq ==
+      Seq("k", "part", "tag", "other", "later"))
+  }
+
+  test("compact across an evolution boundary preserves added-column values") {
+    val t = partedTable()
+    t.append(df(1L -> "a"))
+    t.append(dfWide((2L, "a", "x")))   // evolves; partition 'a' is 2-dir
+    t.compact()
+    assert(t.read.inputFiles.length >= 1)
+    val rows = t.read.select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> None, 2L -> Some("x")),
+      "the fold reads under the evolved schema — added values survive")
+  }
+
+  test("an evolved table reopened with the old declared schema still reads every committed column") {
+    val dir = tmpDir("snap_reopen")
+    val t = SnapshotTable(spark, dir, schema)
+    t.append(dfWide((1L, "a", "x")))   // declared narrow, first write wide
+    val reopened = SnapshotTable(spark, dir, schema) // pre-evolution declared shape
+    assert(reopened.read.columns.toSeq == Seq("k", "part", "tag"),
+      "the committed schema is authoritative, not the constructor argument")
+    assert(reopened.currentSchema("tag").nullable)
+    // and the schema-less SQL/catalog entry resolves the mix too
+    t.append(df(2L -> "b"))            // old-shape dir joins the snapshot
+    val inferred = SnapshotTable.readVersionInferred(spark, dir, None).get
+    assert(inferred.columns.toSeq == Seq("k", "part", "tag"))
+    assert(inferred.count() == 2L)
+  }
 }
