@@ -100,7 +100,11 @@ object LambdaSoak {
     val localDir = java.nio.file.Files.createTempDirectory("graft_lambda_soak").toString
     val whDir = sys.env.get("SPARK_GRAFT_SOAK_STORE") match {
       case Some(spec) =>
-        val Array(scheme, impl) = spec.split(":", 2)
+        val (scheme, impl) = spec.split(":", 2) match {
+          case Array(s, i) if s.nonEmpty && i.nonEmpty => (s, i)
+          case _ => sys.error(s"bad SPARK_GRAFT_SOAK_STORE '$spec': " +
+            "expected <scheme>:<FileSystem class>")
+        }
         spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl", impl)
         s"$scheme://$localDir"
       case None => localDir

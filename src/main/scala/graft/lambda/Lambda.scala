@@ -527,9 +527,14 @@ object Lambda {
     * after the first load, which is also when views become useful. */
   def registerViews(wh: SharedWarehouse): Unit = {
     val s = wh.spark
-    def reg(name: String, t: SnapshotTable): Unit =
+    def reg(name: String, t: SnapshotTable): Unit = {
+      // SQL-escape the warehouse path (it lands inside a single-quoted
+      // literal): a quote in the dir must not break — or inject into —
+      // the view text
+      val dir = t.dir.replace("'", "''")
       s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
-        s"SELECT * FROM ${graft.sql.SnapshotTableFunction.name}('${t.dir}')"): Unit
+        s"SELECT * FROM ${graft.sql.SnapshotTableFunction.name}('$dir')"): Unit
+    }
     reg("lambda_core_trip_clean", wh.core)
     reg("lambda_fact_trip", wh.fact)
     reg("lambda_dim_vendor", wh.dimVendor)

@@ -76,8 +76,34 @@ object AtomicPublish {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean
   }
 
+  /** The ADJACENT in-place-replace contract, declared EXPLICITLY per
+    * strategy rather than inferred from publish support (the inference
+    * would be unsound: a scheme registered with a publish-only strategy
+    * says nothing about whether its overwrite-create keeps the entry
+    * alive — a delete-then-create store would transiently vanish a
+    * retired manifest slot and re-open it to the publish CAS mid-vacuum).
+    * Contract: `target` transitions old-content → new-content without
+    * EVER reading as absent; a transiently truncated read is acceptable
+    * (see [[AtomicPublish.replaceInPlace]]). A [[Strategy]] that does not
+    * also extend this trait makes [[AtomicPublish.replaceInPlace]] THROW
+    * for its scheme — register a replace-capable strategy or route the
+    * store through a [[ConditionalPut]] adapter. */
+  trait InPlaceReplace {
+    def replace(fs: FileSystem, target: Path, content: Array[Byte]): Unit
+  }
+
+  /** Overwrite-create replace: sound exactly where open(CREATE|TRUNC)
+    * keeps the inode/entry alive throughout — POSIX and HDFS-class
+    * filesystems, the two built-in rename/link strategies below. */
+  private[ops] trait OverwriteCreateReplace extends InPlaceReplace {
+    def replace(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
+      val out = fs.create(target, true)
+      try out.write(content) finally out.close()
+    }
+  }
+
   /** POSIX `link(2)` — local filesystems. */
-  object PosixLink extends Strategy {
+  object PosixLink extends Strategy with OverwriteCreateReplace {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean =
       try {
         java.nio.file.Files.createLink(
@@ -91,7 +117,7 @@ object AtomicPublish {
   }
 
   /** Server-side atomic no-overwrite rename — HDFS-class filesystems. */
-  object RenameNoOverwrite extends Strategy {
+  object RenameNoOverwrite extends Strategy with OverwriteCreateReplace {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean =
       try {
         FileContext.getFileContext(fs.getUri, conf)
@@ -102,9 +128,21 @@ object AtomicPublish {
       }
   }
 
-  /** Conditional PUT — object stores ([[ConditionalPut]] adapters). The
-    * temp file is local staging only; the store never sees it. */
-  object ConditionalPutStrategy extends Strategy {
+  /** Conditional PUT — object stores ([[ConditionalPut]] adapters).
+    *
+    * Sized for SMALL CONTROL FILES (snapshot manifests, lock tips, ingest
+    * commit markers — hundreds of bytes): the content is buffered in
+    * memory for the PUT, which is exactly right for that class and wrong
+    * for bulk data (bulk data never goes through a publish CAS — parquet
+    * commit dirs are plain writes made visible BY a manifest publish).
+    *
+    * This generic `publish(tmp, …)` leg re-reads a temp the caller
+    * already staged — and the caller usually staged it through the SAME
+    * FileSystem, i.e. on a real object store the temp costs an extra
+    * PUT+GET round trip. [[AtomicPublish.publishBytes]] is the direct
+    * entry every in-repo publish path uses: content goes straight to
+    * [[ConditionalPut.putIfAbsent]], no staging object at all. */
+  object ConditionalPutStrategy extends Strategy with InPlaceReplace {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean = {
       val in = fs.open(tmp)
       val content = try in.readAllBytes() finally in.close()
@@ -112,6 +150,8 @@ object AtomicPublish {
       if (won) fs.delete(tmp, false)
       won
     }
+    def replace(fs: FileSystem, target: Path, content: Array[Byte]): Unit =
+      fs.asInstanceOf[ConditionalPut].put(target, content)
   }
 
   /** Schemes with HDFS-semantics rename (atomic `Rename.NONE`). Kept
@@ -160,35 +200,58 @@ object AtomicPublish {
   def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean =
     strategyFor(fs).publish(fs, conf, tmp, target)
 
-  /** Write `content` to a fresh temp name under `dir` and [[publish]] it
-    * as `target`; the losing temp is cleaned up here. */
+  /** Publish in-memory `content` as `target` (publish-no-overwrite CAS).
+    * On a [[ConditionalPut]]-routed store the bytes go STRAIGHT to the
+    * conditional PUT — no staging object, so a manifest/lock-tip publish
+    * costs exactly one conditional PUT, never a staging PUT+GET. Rename/
+    * link-class stores stage a temp under `dir` as before (their atomic
+    * primitive consumes a source name). Content is small-control-file
+    * sized by contract — every in-repo caller publishes manifests, lock
+    * tips or commit markers (bulk data is made visible BY these, never
+    * published THROUGH them). */
+  def publishBytes(fs: FileSystem, conf: Configuration, dir: Path,
+                   target: Path, content: Array[Byte]): Boolean =
+    strategyFor(fs) match {
+      case ConditionalPutStrategy =>
+        fs.asInstanceOf[ConditionalPut].putIfAbsent(target, content)
+      case strat =>
+        val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(content) finally out.close()
+        val won = strat.publish(fs, conf, tmp, target)
+        if (!won) fs.delete(tmp, false)
+        won
+    }
+
+  /** [[publishBytes]] for string content. */
   def publishContent(fs: FileSystem, conf: Configuration, dir: Path,
-                     target: Path, content: String): Boolean = {
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val won = publish(fs, conf, tmp, target)
-    if (!won) fs.delete(tmp, false)
-    won
-  }
+                     target: Path, content: String): Boolean =
+    publishBytes(fs, conf, dir, target,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** In-place replace of an EXISTING decided slot (vacuum tombstones):
     * the file must never read as ABSENT mid-replace — a vanished slot
     * would re-open it to the publish CAS — but a transiently TRUNCATED
     * read is acceptable (readers already treat sub-[[SnapshotTable
-    * .MinManifestLen]] content as retired-not-missing). Contract by leg:
-    * [[ConditionalPut]] stores replace via an atomic unconditional PUT;
-    * local/HDFS use overwrite-create, whose open(CREATE|TRUNC) keeps the
-    * inode/entry alive throughout — a FileSystem whose overwrite-create
-    * is delete-then-create must NOT take this path (route it through a
-    * [[ConditionalPut]] adapter instead). */
+    * .MinManifestLen]] content as retired-not-missing). The replace
+    * contract is DECLARED per strategy ([[InPlaceReplace]]), never
+    * inferred from publish support: the built-ins carry it (POSIX/HDFS
+    * overwrite-create keeps the inode/entry alive; ConditionalPut stores
+    * replace via an atomic unconditional PUT), while a [[register]]-ed
+    * publish-only strategy THROWS here until its scheme also declares how
+    * it replaces — a delete-then-create store silently taking the
+    * overwrite-create leg is exactly the corruption this refuses. */
   def replaceInPlace(fs: FileSystem, target: Path, content: Array[Byte]): Unit =
-    fs match {
-      case cp: ConditionalPut => cp.put(target, content)
-      case _ =>
-        requireSupported(fs) // same store classes the publish legs vetted
-        val out = fs.create(target, true)
-        try out.write(content) finally out.close()
+    strategyFor(fs) match {
+      case r: InPlaceReplace => r.replace(fs, target, content)
+      case s =>
+        throw new UnsupportedOperationException(
+          s"strategy ${s.getClass.getName} for filesystem scheme " +
+            s"'${Option(fs.getUri.getScheme).getOrElse("file")}' declares no " +
+            "in-place replace contract (AtomicPublish.InPlaceReplace): a " +
+            "retired slot must never read as absent mid-replace, and " +
+            "overwrite-create safety cannot be inferred from publish " +
+            "support. Extend the registered strategy with InPlaceReplace " +
+            "or route the store through a ConditionalPut adapter.")
     }
 }

@@ -451,13 +451,11 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     require(bytes.length >= SnapshotTable.MinManifestLen,
       s"manifest body (${bytes.length} B) under the tombstone cut " +
         s"${SnapshotTable.MinManifestLen} — manifest format drift")
-    val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
-    val out = fs.create(tmp, false)
-    try out.write(bytes)
-    finally out.close()
-    val won = casPublish(tmp, manifestPath(v))
-    if (!won) fs.delete(tmp, false)
-    won
+    // publishBytes sends the body STRAIGHT to a ConditionalPut store's
+    // conditional PUT (one RPC per commit, no staging object); rename/
+    // link stores stage a temp under _manifests as before
+    AtomicPublish.publishBytes(fs, spark.sparkContext.hadoopConfiguration,
+      manifestDir, manifestPath(v), bytes)
   }
 
   /** Atomically publish `tmp` as `target` iff `target` does not exist.

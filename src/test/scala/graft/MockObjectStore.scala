@@ -78,3 +78,13 @@ class MockNoAtomicFileSystem extends RawLocalFileSystem {
     } else super.rename(src, dst)
   }
 }
+
+/** A SECOND capability-less scheme, dedicated to the `register()` seam
+  * tests: mutating the global strategy registry for `mocknone` would let
+  * a concurrently-running suite's loud-rejection assertions race the
+  * registered window — a dedicated scheme keeps the two test families
+  * independent of suite scheduling. */
+class MockRegisterSeamFileSystem extends MockNoAtomicFileSystem {
+  override def getScheme: String = "mockreg"
+  override def getUri: URI = URI.create("mockreg:///")
+}

@@ -25,6 +25,7 @@ class ObjectStorePublishSpec extends SparkSpec {
     val c = spark.sparkContext.hadoopConfiguration
     c.set("fs.mockput.impl", classOf[MockObjectStoreFileSystem].getName)
     c.set("fs.mocknone.impl", classOf[MockNoAtomicFileSystem].getName)
+    c.set("fs.mockreg.impl", classOf[MockRegisterSeamFileSystem].getName)
     c
   }
 
@@ -184,11 +185,14 @@ class ObjectStorePublishSpec extends SparkSpec {
 
   test("an explicit register() binds a scheme that would otherwise be " +
       "refused — the deployment seam for real SDK adapters") {
-    val dir = storeDir("ospub_register", "mocknone")
+    // 'mockreg' is DEDICATED to registration tests: registering over
+    // 'mocknone' would let the loud-rejection cases race the registered
+    // window if suites ever run concurrently in one JVM
+    val dir = storeDir("ospub_register", "mockreg")
     val fs = fsOf(dir)
     // a deployment adapter could route to its SDK's conditional write;
     // binding the sound local strategy here proves the seam is honored
-    AtomicPublish.register("mocknone", AtomicPublish.PosixLink)
+    AtomicPublish.register("mockreg", AtomicPublish.PosixLink)
     try {
       assert(AtomicPublish.strategyFor(fs) eq AtomicPublish.PosixLink)
       val t = SnapshotTable(spark, s"$dir/t",
@@ -197,8 +201,80 @@ class ObjectStorePublishSpec extends SparkSpec {
       t.append(Seq(1).toDF("k")): Unit
       assert(t.read.count() == 1)
     } finally
-      // unbind so the loud-failure cases above stay valid for other suites
-      AtomicPublish.unregister("mocknone")
+      // unbind so a later registration test starts from the refused state
+      AtomicPublish.unregister("mockreg")
+  }
+
+  test("replaceInPlace is a DECLARED contract: a registered publish-only " +
+      "strategy throws (never infers overwrite-create safety); declaring " +
+      "InPlaceReplace routes the same scheme") {
+    val dir = storeDir("ospub_replace_seam", "mockreg")
+    val fs = fsOf(dir)
+    val slot = new Path(dir, "slot")
+    // publish-only: the deployment registered how to PUBLISH but said
+    // nothing about replace — vacuum must refuse, not assume
+    object PublishOnly extends AtomicPublish.Strategy {
+      def publish(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                  tmp: Path, target: Path): Boolean =
+        AtomicPublish.PosixLink.publish(fs, conf, tmp, target)
+    }
+    AtomicPublish.register("mockreg", PublishOnly)
+    try {
+      assert(AtomicPublish.publishContent(fs,
+        spark.sparkContext.hadoopConfiguration, new Path(dir), slot, "decided"))
+      val e = intercept[UnsupportedOperationException] {
+        AtomicPublish.replaceInPlace(fs, slot, "tomb".getBytes("UTF-8"))
+      }
+      assert(e.getMessage.contains("InPlaceReplace"))
+      assert(readBytes(fs, slot) == "decided", "the refusal touched nothing")
+      // the same scheme with the replace contract DECLARED routes cleanly
+      object WithReplace extends AtomicPublish.Strategy
+          with AtomicPublish.InPlaceReplace {
+        def publish(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                    tmp: Path, target: Path): Boolean =
+          AtomicPublish.PosixLink.publish(fs, conf, tmp, target)
+        def replace(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
+          val out = fs.create(target, true)
+          try out.write(content) finally out.close()
+        }
+      }
+      AtomicPublish.register("mockreg", WithReplace)
+      AtomicPublish.replaceInPlace(fs, slot, "tomb".getBytes("UTF-8"))
+      assert(readBytes(fs, slot) == "tomb")
+    } finally AtomicPublish.unregister("mockreg")
+  }
+
+  test("a decided slot never reverts to winnable mid-replace: raced " +
+      "tombstone replaces vs late publishers, on BOTH store classes") {
+    val cases = Seq(
+      "conditional-PUT store" -> storeDir("ospub_replace_race"),
+      "POSIX link store" -> tmpDir("ospub_replace_race_local"))
+    cases.foreach { case (label, dir) =>
+      val fs = fsOf(dir)
+      val slot = new Path(dir, "slot")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      assert(AtomicPublish.publishContent(fs, hconf, new Path(dir), slot,
+        "decided"), s"$label: seeding the decided slot")
+      val lateWins = new java.util.concurrent.atomic.AtomicLong(0)
+      // 1 replacer folding the slot to tombstones 100x; 3 late publishers
+      // hammering the publish CAS throughout — the replace contract says
+      // the slot NEVER reads absent, so no publish may ever win it
+      racing(4) { i =>
+        if (i == 0)
+          (1 to 100).foreach(n => AtomicPublish.replaceInPlace(fs, slot,
+            s"tomb-$n".getBytes("UTF-8")))
+        else
+          (1 to 100).foreach { n =>
+            if (AtomicPublish.publishContent(fs, hconf, new Path(dir), slot,
+                s"late-$i-$n"))
+              lateWins.incrementAndGet(): Unit
+          }
+      }: Unit
+      assert(lateWins.get() == 0L,
+        s"$label: a late publisher won a decided slot mid-replace")
+      assert(readBytes(fs, slot) == "tomb-100",
+        s"$label: the final replace content survives")
+    }
   }
 
   test("ingest batch commit protocol converges on the object store: " +
