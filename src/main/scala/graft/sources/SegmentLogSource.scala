@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,7 +53,21 @@ class SegmentLogProvider extends TableProvider {
                         properties: java.util.Map[String, String]): Table = {
     val dir = properties.get("path")
     require(dir != null && dir.nonEmpty, "segment-log source requires option 'path'")
-    new SegmentLogTable(dir)
+    // admission control (option `maxSegmentsPerTrigger`): the analog of
+    // Kafka's maxOffsetsPerTrigger / the file source's maxFilesPerTrigger.
+    // Without it a restart over a deep backlog (a month of downtime at
+    // 100 TB) plans EVERY unconsumed segment into one giant micro-batch —
+    // one OOM-prone stage and an hours-long commit interval; with it the
+    // backlog drains in bounded, checkpointed steps.
+    val cap = Option(properties.get("maxSegmentsPerTrigger")).map { raw =>
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"bad maxSegmentsPerTrigger '$raw': expected a positive integer")
+      }
+      require(n > 0, s"bad maxSegmentsPerTrigger '$raw': must be positive")
+      n
+    }
+    new SegmentLogTable(dir, cap)
   }
 }
 
@@ -79,7 +93,8 @@ object SegmentLog {
   }
 }
 
-final class SegmentLogTable(dir: String) extends Table with SupportsRead {
+final class SegmentLogTable(dir: String, maxSegmentsPerTrigger: Option[Int] = None)
+  extends Table with SupportsRead {
   override def name(): String = s"segment-log:$dir"
   override def schema(): StructType = SegmentLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -89,7 +104,7 @@ final class SegmentLogTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SegmentLog.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SegmentLogStream(dir)
+          new SegmentLogStream(dir, maxSegmentsPerTrigger)
       }
     }
 }
@@ -133,15 +148,60 @@ object SegmentLogOffset {
 final case class SegmentLogPartition(path: String, segment: String)
   extends InputPartition
 
-final class SegmentLogStream(dir: String) extends MicroBatchStream {
+final class SegmentLogStream(dir: String, maxSegmentsPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = SegmentLogOffset(0L)
 
+  /** Trigger.AvailableNow contract: pin the end of THIS run at prepare
+    * time, then drain to it in admission-controlled batches. Without the
+    * declaration Spark 4 falls back to a SINGLE uncapped batch for
+    * AvailableNow — exactly the giant-batch restart the cap exists to
+    * prevent. The listing is append-only, so positions at or below the
+    * pinned count stay stable however far producers run ahead. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(SegmentLog.segments(dir).size.toLong)
+
+  /** Uncapped tip — kept for direct callers; with
+    * [[SupportsAdmissionControl]] the engine plans batches through
+    * [[latestOffset(Offset, ReadLimit)]] instead. */
   override def latestOffset(): Offset = {
     val segs = SegmentLog.segments(dir)
     SegmentLogOffset(segs.size.toLong,
       segs.lastOption.map(_.getFileName.toString))
   }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: the planned end offset advances at most
+    * `maxFiles` segments past `start`, so a deep backlog drains in
+    * ⌈backlog/k⌉ checkpointed batches instead of one giant one. The
+    * capped offset carries its own high-water segment name, so the
+    * naming-contract check guards every intermediate batch exactly as it
+    * guards a full one. Exactly-once is untouched — offsets remain
+    * positions in the sorted listing, whatever the batch size. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val segs = SegmentLog.segments(dir)
+    val startN = start.asInstanceOf[SegmentLogOffset].segments
+    val visible = // an AvailableNow run drains to its prepare-time pin
+      math.min(segs.size.toLong, availableNowEnd.getOrElse(Long.MaxValue))
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(visible, startN + mf.maxFiles().toLong)
+      case _ => visible
+    }
+    SegmentLogOffset(end,
+      if (end <= 0 || segs.size < end) None
+      else Some(segs((end - 1).toInt).getFileName.toString))
+  }
+
+  /** The TRUE tip regardless of the cap — the engine reports backlog
+    * (latest vs planned) through this in streaming progress. */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     SegmentLogOffset.fromJson(json)

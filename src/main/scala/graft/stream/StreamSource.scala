@@ -96,12 +96,18 @@ object KafkaJsonSource {
   * behind the same seam — the in-repo implementation of the message-bus
   * contract (monotonic offsets, reproducible batch planning, exactly-once
   * resume from the checkpoint), so [[Ingest.start]] runs against real
-  * offset semantics without a broker. */
-final case class SegmentLogStreamSource(dir: String) extends StreamSource {
+  * offset semantics without a broker. `maxSegmentsPerTrigger` is the
+  * admission-control knob ([[KafkaStreamSource.readerOptions]]'s
+  * `maxOffsetsPerTrigger` analog): a restart over a deep backlog drains
+  * in bounded batches instead of planning one giant one. */
+final case class SegmentLogStreamSource(dir: String,
+    maxSegmentsPerTrigger: Option[Int] = None) extends StreamSource {
   override def load(spark: SparkSession): DataFrame =
-    spark.readStream
-      .format(classOf[graft.sources.SegmentLogProvider].getName)
-      .option("path", dir).load()
+    maxSegmentsPerTrigger.foldLeft(
+      spark.readStream
+        .format(classOf[graft.sources.SegmentLogProvider].getName)
+        .option("path", dir))((r, n) =>
+      r.option("maxSegmentsPerTrigger", n.toString)).load()
       .withColumnRenamed("value", "json")
       .withColumn("arrival_ts",
         coalesce(

@@ -42,7 +42,11 @@ class LambdaComposedE2ESpec extends SparkSpec {
   }
 
   private def runIngest(logDir: String, dirs: Ingest.LakeDirs): Unit = {
-    val q = Ingest.start(spark, SegmentLogStreamSource(logDir), dirs,
+    // admission control ON (maxSegmentsPerTrigger=1): every drain in the
+    // composed topology slices per segment — the exactly-once counts below
+    // hold with the production backlog cap in the path, not just uncapped
+    val q = Ingest.start(spark,
+      SegmentLogStreamSource(logDir, maxSegmentsPerTrigger = Some(1)), dirs,
       Trigger.AvailableNow())
     assert(q.awaitTermination(180000), "ingest leg finished in time")
     assert(q.exception.isEmpty, s"ingest leg clean: ${q.exception}")

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.{SegmentLog, SegmentLogOffset, SegmentLogProvider}
+import graft.sources.{SegmentLog, SegmentLogOffset, SegmentLogProvider, SegmentLogStream}
 import graft.stream.SegmentLogStreamSource
 
 /** The DataSource V2 segment-log source: message-bus offset semantics
@@ -254,5 +254,106 @@ class SegmentLogSourceSpec extends SparkSpec {
     awaitDone(q)
     assert(spark.table("seglog_wire").count() == 50,
       "all wire envelopes parse through the dual-key path")
+  }
+
+  // ------- admission control: maxSegmentsPerTrigger (VERDICT r17 #2) ----
+
+  test("admission control plans ⌈N/k⌉ capped offset steps, each guarded by its own high-water name") {
+    val dir = tmpDir("seglog_cap_plan")
+    (1 to 10).foreach(i => writeSegment(dir, f"$i%04d.seg", Seq(s"r$i")))
+    val stream = new SegmentLogStream(dir, Some(3))
+    val limit = stream.getDefaultReadLimit
+    // walk the planned chain exactly as the engine would
+    var cur = stream.initialOffset()
+    var steps = Seq.empty[(Long, Int)]
+    var done = false
+    while (!done) {
+      val next = stream.latestOffset(cur, limit)
+        .asInstanceOf[SegmentLogOffset]
+      if (next.segments == cur.asInstanceOf[SegmentLogOffset].segments) done = true
+      else {
+        val planned = stream.planInputPartitions(cur, next)
+        steps = steps :+ ((next.segments, planned.length))
+        cur = next
+      }
+    }
+    assert(steps == Seq((3L, 3), (6L, 3), (9L, 3), (10L, 1)),
+      "a 10-segment backlog drains in ceil(10/3)=4 bounded batches")
+    // the capped intermediate offsets carry their own high-water names
+    val mid = stream.latestOffset(stream.initialOffset(), limit)
+      .asInstanceOf[SegmentLogOffset]
+    assert(mid.highWater.contains("0003.seg"))
+    // the true tip is still reported for backlog telemetry
+    assert(stream.reportLatestOffset()
+      .asInstanceOf[SegmentLogOffset].segments == 10L)
+  }
+
+  test("maxSegmentsPerTrigger drains a backlog through the real engine in bounded batches, exactly once") {
+    val dir = tmpDir("seglog_cap_run")
+    val out = tmpDir("seglog_cap_out")
+    (1 to 10).foreach(i =>
+      writeSegment(dir, f"$i%04d.seg", Seq(s"a$i", s"b$i")))
+
+    val q = spark.readStream.format(classOf[SegmentLogProvider].getName)
+      .option("path", dir).option("maxSegmentsPerTrigger", "3").load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+
+    // ceil(10/3) = 4 committed batches — the checkpoint's commit log is
+    // the engine's own record of how the drain was sliced
+    val batchIds = {
+      val s = Files.list(Paths.get(s"$out/ckpt/commits"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.forall(_.isDigit)).toSeq.sorted
+      finally s.close()
+    }
+    assert(batchIds == Seq("0", "1", "2", "3"),
+      s"backlog drained in 4 bounded batches, got $batchIds")
+    val got = spark.read.parquet(s"$out/data")
+      .select("value").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == (1 to 10).flatMap(i => Seq(s"a$i", s"b$i")).sorted,
+      "every record delivered exactly once across the capped batches")
+  }
+
+  test("a mid-drain kill/restart under the cap stays exactly-once") {
+    val dir = tmpDir("seglog_cap_kill")
+    val out = tmpDir("seglog_cap_kill_out")
+    // 24 segments at cap 2 = 12 bounded batches: draining takes long
+    // enough that a stop issued after the first committed rows reliably
+    // lands MID-drain, not after it
+    (1 to 24).foreach(i => writeSegment(dir, f"$i%04d.seg", Seq(f"v$i%02d")))
+
+    def reader() = spark.readStream.format(classOf[SegmentLogProvider].getName)
+      .option("path", dir).option("maxSegmentsPerTrigger", "2").load()
+
+    def landed(): Long =
+      try spark.read.schema("value STRING, segment STRING, offset BIGINT")
+        .parquet(s"$out/data").count()
+      catch { case _: Exception => 0L } // sink dir not initialized yet
+
+    // phase 1: continuous trigger; stop as soon as SOME bounded batches
+    // committed but before the backlog drained — a mid-drain 'crash'
+    val q1 = reader().writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.ProcessingTime(25L)).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (landed() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    val partial = spark.read.parquet(s"$out/data").count()
+    assert(partial >= 2 && partial < 24, s"stopped mid-drain (rows=$partial)")
+
+    // phase 2: restart from the same checkpoint, drain whatever remains
+    val q2 = reader().writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q2)
+    val all = spark.read.parquet(s"$out/data")
+      .select("value").collect().map(_.getString(0)).sorted.toSeq
+    assert(all == (1 to 24).map(i => f"v$i%02d").sorted.toSeq,
+      "each record exactly once across the mid-drain kill/restart")
   }
 }
