@@ -265,11 +265,19 @@ object LambdaProcSoak {
       .filter(col("run_id").startsWith("proc-")).count()
     val vacuumed = wh.core.vacuum(keepVersions = 1, minAgeMs = 0L)
     val orphanReaped = vacuumed.exists(_.contains("c-orphan"))
+    // lock telemetry is CROSS-PROCESS state (VERDICT r17 #5): the lane
+    // that usurped the SIGKILLed victim ran in a different JVM, and its
+    // takeover must still be queryable from this one
+    val lockEvents = graft.lambda.LaneLock.events(spark, whDir)
+      .groupBy(col("event")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val takeoverRows = lockEvents.getOrElse("takeover", 0L)
     val wallSec = (System.nanoTime() - t0) / 1e9
     val conserved = batchFinal == BatchN.toLong &&
       streamFinal == cycles.toLong * StreamN && streamKeys == streamFinal
     val ok = errs.isEmpty && bOk && sOk && conserved && tornReads.get() == 0 &&
-      orphanVisible == 0L && auditRows == cycles.toLong && orphanReaped
+      orphanVisible == 0L && auditRows == cycles.toLong && orphanReaped &&
+      takeoverRows >= 1L
     val line =
       s"""{"metric":"lambda_proc_soak","ok":$ok,"cycles_per_lane":$cycles,""" +
         s""""processes":4,"batch_rows_final":$batchFinal,""" +
@@ -278,6 +286,9 @@ object LambdaProcSoak {
         s""""torn_reads":${tornReads.get()},"victim_ttl_ms":$TtlMs,""" +
         s""""takeover_window_ms":$takeoverMs,""" +
         s""""stream_cycles_before_kill":$streamKilledAtCycles,""" +
+        s""""lock_takeover_rows":$takeoverRows,""" +
+        s""""lock_events":{${lockEvents.toSeq.sorted.map { case (k, n) =>
+          s""""$k":$n""" }.mkString(",")}},""" +
         s""""orphan_rows_visible":$orphanVisible,"orphan_reaped":$orphanReaped,""" +
         s""""wall_sec":$wallSec,"errors":[${errs.toArray.map(e =>
           "\"" + e.toString.replace("\\", "\\\\").replace("\"", "\\\"")

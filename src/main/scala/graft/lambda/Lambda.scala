@@ -175,19 +175,31 @@ object Lambda {
     * re-submitting the batch. Bounded: persistent usurpation (a mis-
     * configured TTL shorter than the section) must surface, not spin. */
   private[graft] def retryUsurped[T](maxAttempts: Int = 5,
-                                     backoffMs: Long = 200L)(body: => T): T = {
+                                     backoffMs: Long = 200L,
+                                     onRetry: (LockLostException, Int) => Unit =
+                                       (_, _) => ())(body: => T): T = {
     var attempt = 1
     while (true) {
       try return body
       catch {
         case e: LockLostException =>
           if (attempt >= maxAttempts) throw e
+          onRetry(e, attempt)
           attempt += 1
           Thread.sleep(backoffMs)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The production sections' retry hook: each usurpation re-run leaves a
+    * durable `usurped_retry` telemetry row next to the victim's
+    * `fenced_abort` and the usurper's `takeover` ([[LaneLock.events]]) —
+    * retry counts live in the warehouse, not a JVM. */
+  private def logRetry(wh: SharedWarehouse,
+                       section: String): (LockLostException, Int) => Unit =
+    (_, attempt) => LaneLock.logWarehouseEvent(wh.spark, wh.dir,
+      "usurped_retry", nonce = section, detail = s"attempt=$attempt")
 
   private def pickupMonth(ts: Column): Column =
     (year(ts) * 100 + month(ts)).cast("int")
@@ -314,7 +326,8 @@ object Lambda {
       // last-writer-win over the usurper's commit — and the bounded
       // retryUsurped re-runs the section (idempotent: the replace is
       // keyed on the run's ingest_dates, the dim upserts on NKs).
-      retryUsurped() { withLaneLock(wh, ttlMs) { lock =>
+      retryUsurped(onRetry = logRetry(wh, "runDaily")) {
+        withLaneLock(wh, ttlMs) { lock =>
         upsertDims(wh, deduped, () => lock.assertHeld())
 
         // core rows: batch trip_id is NULL (ref
@@ -421,7 +434,8 @@ object Lambda {
     // safe because the core/fact merges are idempotent on trip_id, the
     // dim upserts on NK, and the audit appends are keyed on
     // (run_id, p_date, p_hour)
-    val res = retryUsurped() { withLaneLock(wh, ttlMs) { lock =>
+    val res = retryUsurped(onRetry = logRetry(wh, "runHour")) {
+      withLaneLock(wh, ttlMs) { lock =>
       val fence = () => lock.assertHeld()
       val (inserted, updated) =
         HourLoad.scopedMerge(wh.core, cleanedSlice, "pickup_month", fence)

@@ -98,13 +98,18 @@ final class LaneLock private (fs: FileSystem, conf: Configuration,
     }
 
   /** Fencing check: the tip still carries this holder's nonce. Called
-    * before every publish inside the locked section. */
+    * before every publish inside the locked section. A failed fence is a
+    * durable `fenced_abort` telemetry event — the victim's own record of
+    * the usurpation, queryable across processes ([[LaneLock.events]]). */
   def assertHeld(): Unit = {
     val tip = LaneLock.readTip(fs, lockDir)
-    if (!tip.exists(t => t.held && t.nonce == nonce))
+    if (!tip.exists(t => t.held && t.nonce == nonce)) {
+      LaneLock.logEvent(fs, lockDir, "fenced_abort", nonce,
+        s"tip=${tip.map(t => s"v${t.version} ${t.nonce}").getOrElse("none")}")
       throw new LockLostException(
         s"lane lock usurped (tip=${tip.map(t => s"v${t.version} ${t.nonce}")
           .getOrElse("none")}, holder=$nonce): aborting before publish")
+    }
   }
 
   /** Release-only-if-owner: publish `released` while the tip is still
@@ -255,13 +260,72 @@ object LaneLock {
     * FUTURE is judged clock skew (holder's clock ahead). The lease math
     * (`now - ts > ttl`) can never fire on a future ts anyway — this guard
     * makes the refusal EXPLICIT and observable instead of reading as a
-    * mysteriously long wait: the taker logs once and counts
-    * [[skewRefusals]], so a mis-synced fleet surfaces in ops telemetry
-    * rather than as takeover latency. */
+    * mysteriously long wait: the taker logs once, counts
+    * [[skewRefusals]], and writes a durable `skew_refusal` event
+    * ([[events]]), so a mis-synced fleet surfaces in CROSS-PROCESS ops
+    * telemetry rather than as takeover latency. */
   private[graft] val SkewMarginMs = 5000L
 
-  /** Takeover refusals attributed to publisher-clock-ahead skew. */
+  /** Takeover refusals attributed to publisher-clock-ahead skew —
+    * in-process counter (test observability); the durable record every
+    * process can query is the `skew_refusal` event file. */
   private[graft] val skewRefusals = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Lock telemetry schema: one tiny JSON file per EVENT under
+    * `<warehouse>/_lock_events/` (VERDICT r17 #5). Events are written
+    * through the lock's own FileSystem — durable and visible to every
+    * process sharing the warehouse, unlike a JVM counter — and they are
+    * deliberately NOT Spark writes: the lock guards Spark commits, so its
+    * own failure telemetry must not depend on launching a Spark job
+    * mid-abort. Files are staged dot-prefixed then renamed in (unique
+    * names — no CAS needed); all writes are best-effort (telemetry must
+    * never break the protocol). Kinds: `takeover` (a taker usurped a
+    * stale held tip; detail carries the victim nonce), `fenced_abort`
+    * (a usurped holder's fence fired before a publish), `skew_refusal`
+    * (takeover refused on a future-stamped tip), `usurped_retry`
+    * (a production locked section re-running after a usurpation). */
+  private[graft] val EventsDirName = "_lock_events"
+
+  private[graft] def logEvent(fs: FileSystem, lockDir: Path, event: String,
+                              nonce: String, detail: String): Unit =
+    try {
+      val dir = new Path(lockDir.getParent, EventsDirName)
+      fs.mkdirs(dir)
+      val name = s"${System.currentTimeMillis()}-$event-" +
+        s"${UUID.randomUUID().toString.take(8)}.json"
+      val body = s"""{"event":"$event","nonce":"$nonce",""" +
+        s""""detail":"$detail","ts":${System.currentTimeMillis()},""" +
+        s""""pid":${ProcessHandle.current().pid()}}"""
+      val tmp = new Path(dir, s".$name")
+      val out = fs.create(tmp, false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, new Path(dir, name)): Unit
+    } catch { case _: Exception => () }
+
+  /** [[logEvent]] addressed by warehouse dir — the entry production
+    * sections use for `usurped_retry` (they hold no lock handle while
+    * retrying). */
+  private[graft] def logWarehouseEvent(spark: SparkSession, whDir: String,
+      event: String, nonce: String, detail: String): Unit = {
+    val lockDir = new Path(s"$whDir/_lane_lock.d")
+    logEvent(lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      lockDir, event, nonce, detail)
+  }
+
+  /** The queryable lock-telemetry surface: every event any process wrote
+    * against this warehouse, as a DataFrame. Empty (correct schema) when
+    * nothing has ever been recorded. */
+  def events(spark: SparkSession, whDir: String): org.apache.spark.sql.DataFrame = {
+    val dir = new Path(s"$whDir/${EventsDirName}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event STRING, nonce STRING, detail STRING, ts BIGINT, pid BIGINT")
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(dir.toString)
+  }
 
   /** Block until this process owns the lock. `renew = false` disables the
     * heartbeat (tests use it to simulate a wholly paused holder). */
@@ -290,6 +354,8 @@ object LaneLock {
       if (skewed && !skewLogged) {
         skewLogged = true
         skewRefusals.incrementAndGet()
+        logEvent(fs, lockDir, "skew_refusal", nonce,
+          s"tip_nonce=${tip.get.nonce} tip_ts_ahead_ms=${tip.get.ts - now}")
         System.err.println(s"[LaneLock] refusing takeover at $lockDir: held " +
           s"tip ts is ${tip.get.ts - now} ms in this taker's future " +
           "(publisher clock ahead?) — waiting, not usurping")
@@ -297,6 +363,11 @@ object LaneLock {
       val free = !skewed && tip.forall(t => !t.held || now - t.ts > t.ttlMs)
       if (free) {
         if (tryAcquireFrom(fs, conf, lockDir, tip, nonce, ttlMs)) {
+          // acquiring OVER a stale held tip is a takeover — the taker's
+          // durable record of the usurpation, paired with the victim's
+          // fenced_abort when it was merely paused rather than dead
+          tip.filter(_.held).foreach(t => logEvent(fs, lockDir, "takeover",
+            nonce, s"victim=${t.nonce} stale_ms=${now - t.ts} ttl_ms=${t.ttlMs}"))
           sweepBelow(fs, lockDir, tip.map(_.version).getOrElse(0L) + 1)
           return new LaneLock(fs, conf, lockDir, nonce, ttlMs, renew)
         }

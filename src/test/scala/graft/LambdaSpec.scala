@@ -464,8 +464,22 @@ class LambdaSpec extends SparkSpec {
     assert(n("lambda_dim_vendor") == v0 + 1)
     assert(n("lambda_vw_fact_trip_bi") == b0 + 5,
       "the BI view tracks the live star transitively (views over views)")
-    // SQL == API parity holds on the MOVED tip too
-    assert(n("lambda_vw_fact_trip_bi") == Lambda.biView(wh).count())
+    // SQL == API parity holds on the MOVED tip too — at FULL-ROW level
+    // (VERDICT r17 "what's wrong" #1): the view exists twice (DataFrame
+    // API + SQL text), so the guard must be row identity over the whole
+    // projection, not just measures. Canonical form: every column cast
+    // to string (NULL → sentinel), rows sorted — a drifted column, value
+    // or row multiset fails here
+    val api = Lambda.biView(wh)
+    val sqlV = spark.table("lambda_vw_fact_trip_bi")
+    assert(sqlV.columns.toSeq == api.columns.toSeq,
+      "SQL and API views project the same columns in the same order")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(concat_ws("\u0001", df.columns.toSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(canon(sqlV) == canon(api),
+      "full-row identity between the SQL-text and API BI views")
     // physical shape parity: the SQL view's six dim resolves BROADCAST
     // (the plan the API frame gets; at 100 TB a shuffled dim join here
     // would be the regression the count parity can't see)
@@ -518,5 +532,14 @@ class LambdaSpec extends SparkSpec {
       "the keyed audit row logged once across the retry")
     assert(wh.fileAudit.read.filter(col("run_id") === runId).count() == r.files,
       "file-audit rows logged once across the retry")
+    // the whole recovery is QUERYABLE telemetry (VERDICT r17 #5): the
+    // victim's fence abort and the production section's retry each left
+    // a durable row in the warehouse's lock-event surface
+    val ev = graft.lambda.LaneLock.events(spark, wh.dir)
+    assert(ev.filter(col("event") === "fenced_abort").count() >= 1L,
+      "the usurped holder's fence left a row")
+    assert(ev.filter(col("event") === "usurped_retry" &&
+      col("nonce") === "runHour").count() >= 1L,
+      "the section's self-retry left a row")
   }
 }

@@ -37,6 +37,18 @@ class LaneLockSpec extends SparkSpec {
     // ABORT, not last-writer-win
     intercept[LockLostException] { slow.assertHeld() }
 
+    // the usurpation left QUERYABLE telemetry (VERDICT r17 #5): the
+    // taker's takeover row names the victim, the victim's fence left its
+    // own abort row — both durable in the warehouse, not a JVM counter
+    val ev = LaneLock.events(spark, dir)
+      .select("event", "nonce", "detail").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(ev.exists(e => e._1 == "takeover" && e._2 == usurper.nonce &&
+      e._3.contains(s"victim=${slow.nonce}")),
+      s"takeover row names the victim: ${ev.toSeq}")
+    assert(ev.exists(e => e._1 == "fenced_abort" && e._2 == slow.nonce),
+      s"victim's fence left a durable abort row: ${ev.toSeq}")
+
     // the old holder's release must NOT free the usurper's lock (the
     // round-15 marker's unconditional delete did): a third party still
     // cannot enter
@@ -333,6 +345,10 @@ class LaneLockSpec extends SparkSpec {
       "future-stamped held tip is never usurped")
     assert(LaneLock.skewRefusals.get() > refusalsBefore,
       "the refusal is attributed to clock skew (observable, not silent)")
+    // the refusal is also a DURABLE row any process can query — the
+    // mis-synced-fleet signal lives in the warehouse, not this JVM
+    assert(LaneLock.events(spark, dir).filter(col("event") === "skew_refusal")
+      .count() >= 1L, "skew refusal left a queryable telemetry row")
     holder.release() // nonce unchanged by the forward-date: release works
     taker.join(10000)
     assert(entered.get() == 1, "taker entered once the holder released")
