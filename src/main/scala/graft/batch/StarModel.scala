@@ -63,7 +63,12 @@ object StarModel {
       .orderBy(nkName)
     val mx = existing.agg(coalesce(max(col(skName)), lit(0)).cast("int"))
       .first().getInt(0)
-    existing.unionByName(numbered(newNks, skName, base = mx))
+    // allowMissingColumns: an SCD1-refreshed dim may carry attribute
+    // columns beyond (nk, sk) — a fresh member starts with NULL
+    // attributes until the next refresh names it, exactly like a row
+    // predating the column under additive schema evolution
+    existing.unionByName(numbered(newNks, skName, base = mx),
+      allowMissingColumns = true)
   }
 
   /** Fact load (ref: 40_fact_trip.load.sql:70-107): SHA-256 degenerate

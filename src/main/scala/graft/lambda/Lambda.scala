@@ -279,6 +279,62 @@ object Lambda {
     }
   }
 
+  /** SCD1 attribute refresh on a shared dim (VERDICT r17 #8): overwrite
+    * changed ATTRIBUTE values in place while the SK space — every
+    * (nk, sk) pair — stays immovable, so fact rows from either lane keep
+    * resolving forever. The reference analog: an UPDATE on a dim's
+    * display columns under the warehouse's locking, the one dim write
+    * its insert-missing-NK upsert (`10_dim_vendor.upsert.sql`) cannot
+    * express.
+    *
+    * `updates` carries the natural key plus any attribute columns; rows
+    * are matched by NK (updates for unknown NKs are ignored — inserts go
+    * through the upsert path), matched attributes overwrite, unmatched
+    * members keep their values. An attribute column the dim has never
+    * seen ADDS via the snapshot layer's additive evolution (members not
+    * in `updates` read NULL until a refresh names them). Concurrency is
+    * the dim upsert's own discipline: a whole-table CAS loop
+    * ([[SnapshotTable.overwriteCas]]) — a lane appending a novel NK
+    * mid-refresh costs this refresh a re-derive, never an erased member
+    * (the FK-integrity property the spec races). Duplicate update NKs
+    * refuse loudly: they would fan out the dim and corrupt every fact
+    * join. */
+  def refreshDimScd1(table: SnapshotTable, updates: DataFrame,
+                     nk: String): Long =
+    refreshDimScd1Hook(table, updates, nk, () => ())
+
+  private[graft] def refreshDimScd1Hook(table: SnapshotTable,
+      updates: DataFrame, nk: String, beforeCommit: () => Unit): Long = {
+    val attrs = updates.columns.filterNot(_ == nk).toSeq
+    require(attrs.nonEmpty, s"dim refresh needs at least one attribute column besides $nk")
+    val u = updates.persist()
+    try {
+      val (total, distinct) = {
+        val r = u.agg(count(lit(1)), countDistinct(col(nk))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(total == distinct,
+        s"dim refresh refused: duplicate $nk values in updates ($total rows, " +
+          s"$distinct distinct) would fan out the dim and corrupt fact joins")
+      var committed = Option.empty[Long]
+      while (committed.isEmpty) {
+        val base = table.latestVersion
+        val cur = table.readAt(base)
+        val curAttrs = cur.columns.filterNot(_ == nk).toSeq
+        val refreshed = cur.as("c")
+          .join(broadcast(u.as("u")), col(s"c.$nk") === col(s"u.$nk"), "left")
+          .select(col(s"c.$nk").as(nk) +:
+            (curAttrs.map { c =>
+              if (attrs.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c)
+              else col(s"c.$c").as(c)
+            } ++ attrs.filterNot(curAttrs.contains).map(c => col(s"u.$c").as(c))): _*)
+        beforeCommit()
+        committed = table.overwriteCas(refreshed, base)
+      }
+      committed.get
+    } finally { u.unpersist(): Unit }
+  }
+
   private def upsertDims(wh: SharedWarehouse, cleaned: DataFrame,
                          fence: () => Unit): Unit = {
     upsertDimCas(wh.dimVendor, cleaned, "vendor_code", "vendor_nk", "vendor_sk", fence)

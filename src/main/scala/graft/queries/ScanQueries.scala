@@ -508,6 +508,42 @@ object ScanQueries {
         .orderBy("lang_hint")
     }),
 
+    // SCD1 dim attribute refresh through the shared-star discipline
+    // (VERDICT r17 #8; the dim UPDATE the reference's insert-missing-NK
+    // upsert procs can't express, run under the same whole-table CAS):
+    // a deterministic nation dim is seeded (SKs = dense numbering over
+    // sorted NKs, the IDENTITY analog), then two refreshes land display
+    // names — the first ADDS the attribute column (additive evolution),
+    // the second names a different member set. The oracle recomputes the
+    // SK space and both refresh waves from the raw table, so a hash match
+    // proves attributes updated in place while every (nk, sk) pair stayed
+    // immovable.
+    "dim_refresh_scd1" -> ((s, d) => {
+      val nat = graft.Tables(s, d, "nation")
+        .select(col("n_name").cast("string").as("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+      val dir = scratch("dim_scd1")
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(dir), true) // clean refresh history per run
+      val t = graft.ops.SnapshotTable(s, dir,
+        StructType.fromDDL("nation_nk STRING, nation_sk INT"))
+      t.overwrite(graft.batch.StarModel.upsertDim(
+        t.read, nat, "n_name", "nation_nk", "nation_sk")): Unit
+      graft.lambda.Lambda.refreshDimScd1(t,
+        nat.filter(col("n_regionkey") === 0)
+          .select(col("n_name").as("nation_nk"),
+            concat(lit("Nation of "), col("n_name")).as("display_name")),
+        "nation_nk"): Unit
+      graft.lambda.Lambda.refreshDimScd1(t,
+        nat.filter(col("n_regionkey") === 1)
+          .select(col("n_name").as("nation_nk"),
+            lower(col("n_name")).as("display_name")),
+        "nation_nk"): Unit
+      t.read.select(col("nation_nk"), col("nation_sk"),
+          coalesce(col("display_name"), lit("<none>")).as("display_name"))
+        .orderBy("nation_nk")
+    }),
+
     // Fast-load append table (HEAP semantics, stg_trip.sql:36): two
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
@@ -580,6 +616,14 @@ object ScanQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "dim_refresh_scd1" ->
+      """SELECT n_name AS nation_nk,
+        |  CAST(row_number() OVER (ORDER BY n_name) AS INT) AS nation_sk,
+        |  CASE WHEN n_regionkey = 0 THEN 'Nation of ' || n_name
+        |       WHEN n_regionkey = 1 THEN lower(n_name)
+        |       ELSE '<none>' END AS display_name
+        |FROM nation ORDER BY nation_nk""".stripMargin,
 
     "snapshot_schema_evolve" ->
       """WITH olds AS (
