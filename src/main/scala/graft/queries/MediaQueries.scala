@@ -20,14 +20,22 @@ object MediaQueries {
     * vectors, candidate pairs) — extracted so the recall/cost scale gate
     * (MediaAnnAuditSpec) measures the EXACT candidate set the query
     * re-ranks, not a re-derivation that could drift. Strata: aHash band
-    * mates ∪ feature-LSH band mates (2 bands × 8 centered-sign bits) ∪
-    * the fixed 512-item hash-ordered sample (see the query's doc). */
+    * mates ∪ feature-LSH band mates (`fbands` bands × 8 centered-sign
+    * bits over a `chunks`-dim feature vector; the query's production
+    * setting is the 2 × 8 / 16-dim default) ∪ the fixed 512-item
+    * hash-ordered sample (see the query's doc). `fbands`/`chunks` are
+    * the standard LSH recall/cost dial, parameterized so the scale gate
+    * can MEASURE a dial step (e.g. 3×8 over 24 dims) without touching
+    * the gated query. */
   private[graft] def auditCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame,
-                   org.apache.spark.sql.DataFrame,
-                   org.apache.spark.sql.DataFrame) = {
+      d: String, fbands: Int = 2, chunks: Int = 16)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    require(fbands * 8 <= chunks,
+      s"$fbands bands x 8 bits need >= ${fbands * 8} feature dims, got $chunks")
     val m = media(s, d)
-    val feats = MediaOps.featureVector(m)
+    val feats = MediaOps.featureVector(m, chunks)
       .select(col("media_id").as("vec_id"), col("features").as("embedding"))
     val probes = feats.filter(graft.queries.Panels.mediaAudit(col("vec_id")))
     val bands = MediaOps.phashBands(m)
@@ -36,9 +44,9 @@ object MediaQueries {
       .select(col("media_id").as("query_id"), col("band"), col("bval"))
     val bandMates = bands.join(probeBands, Seq("band", "bval"))
       .select(col("query_id"), col("media_id").as("neighbor_id"))
-    val emean = (1 to 16).map(j =>
-      element_at(col("embedding"), j).cast("double")).reduce(_ + _) / 16.0
-    val fbandStructs = array((0 until 2).map { b =>
+    val emean = (1 to chunks).map(j =>
+      element_at(col("embedding"), j).cast("double")).reduce(_ + _) / chunks.toDouble
+    val fbandStructs = array((0 until fbands).map { b =>
       struct(lit(b).as("fband"),
         (0 until 8).map(j =>
           when(element_at(col("embedding"), b * 8 + j + 1).cast("double")

@@ -120,6 +120,46 @@ class MediaAnnAuditSpec extends SparkSpec {
     assert(recall >= 0.8,
       f"recall@3 at x20 ($recall%.3f) under the 0.8 floor — raise the " +
         "centered-sign bit count (the LSH recall/cost dial)")
+
+    // ---- DE-SIBLINGED recall (VERDICT r17 #3) ----
+    // x20 fixtures are key-shifted replicas: copy c's doc k sits at
+    // id k + c*span, and cross-copy SIBLINGS (same k, different c) are
+    // feature-near by construction — they dominate the exact top-3 and
+    // band-match trivially, flattering the aggregate recall. The honest
+    // number excludes sibling truth pairs: the remaining pairs are the
+    // GENUINE in-copy neighbors a real (replica-free) corpus would pose.
+    val span = (feats.agg(max(col("vec_id"))).first().getLong(0) + 1) / 20L
+    assert(span > 0)
+    val nonSib = truth.filter(
+      pmod(col("query_id"), lit(span)) =!= pmod(col("neighbor_id"), lit(span)))
+    val nsN = nonSib.count()
+    assert(nsN > 0, "some exact-tier neighbors are non-siblings")
+    val nsHits = nonSib.join(audit.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recallNS = nsHits.toDouble / nsN
+    info(f"x20 de-siblinged: recall@3=$recallNS%.3f over $nsN non-sibling " +
+      f"truth pairs (${nsN * 100.0 / truthN}%.1f%% of the truth set)")
+    assert(recallNS >= 0.8,
+      f"de-siblinged recall@3 at x20 ($recallNS%.3f) under the 0.8 floor — " +
+        "exercise the fbands/chunks dial (measured below)")
+
+    // the LSH recall/cost dial, exercised at 3x8 bits over a 24-dim
+    // feature vector: candidate GENERATION widens, the re-rank stays on
+    // the production 16-dim features so recall is measured against the
+    // same exact tier. Recorded in SCALING.md §S3 (r18).
+    val (_, _, pairs3) = MediaQueries.auditCandidates(spark, dir,
+      fbands = 3, chunks = 24)
+    val audit3 = graft.docs.EmbeddingOps.candidateTopK(probes, feats, pairs3, 3)
+    val nsHits3 = nonSib.join(audit3.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recallNS3 = nsHits3.toDouble / nsN
+    val cpp3 = pairs3.count().toDouble / nProbes
+    info(f"x20 de-siblinged at the 3x8/24-dim dial: recall@3=$recallNS3%.3f " +
+      f"candidates/probe=$cpp3%.1f (${cpp3 / corpus * 100}%.2f%% of corpus)")
+    // no superset assertion: the 24-dim build re-centers every band's
+    // sign bits on a different per-vector mean, so the two candidate
+    // sets are not nested — the dial's EFFECT is the recorded delta
+    assert(recallNS3 > 0.0, "the dialed candidate set still recalls")
     truth.unpersist(): Unit
   }
 }
