@@ -251,7 +251,13 @@ object Lambda {
           .select(col("pickup_month").cast("string"))
           .distinct().collect().map(_.getString(0)).toSet
       fence() // abort-before-publish if this lane's lock was usurped
-      committed = table.overwritePartitionsCas(survivors.unionByName(fresh),
+      // allowMissingColumns: either side may be narrower under additive
+      // drift — survivors read the evolved width while an unchanged
+      // producer's fresh rows don't carry the new columns (NULL-pad), or
+      // a drift-aware producer is first to carry a column the table
+      // hasn't seen (survivors pad; the commit evolves the table)
+      committed = table.overwritePartitionsCas(
+        survivors.unionByName(fresh, allowMissingColumns = true),
         base, dropWhere = v => v.exists(emptied.contains)).isDefined
     }
   }

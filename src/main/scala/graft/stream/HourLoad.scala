@@ -264,10 +264,27 @@ object HourLoad {
       // (LockLostException), and a leaked cache entry per aborted merge
       // would accumulate for the life of a long-running session
       try {
+        // project against the schema in effect AT the pinned base (never
+        // the constructor schema — on an evolved table that would silently
+        // DROP evolved columns from every merged partition), widened by
+        // any additive drift the staged frame carries (the commit then
+        // evolves the table in the same CAS publish). Either side may be
+        // narrower: an old-shape producer's rows NULL-pad the columns it
+        // doesn't know — reference UPDATE-all-columns semantics over a
+        // drift-tolerant staging table (stg_trip.sql:38-111)
+        val eff = base.map(table.schemaAt).getOrElse(table.schema)
+        val proj = graft.ops.SchemaEvolution.additiveTarget(eff, staged.schema)
+        val stagedCols = staged.columns.toSet
+        val effCols = eff.fieldNames.toSet
         val merged = joined.select(
           coalesce(col("s.trip_id"), col("t.trip_id")).as("trip_id") +:
-            table.schema.fieldNames.filterNot(_ == "trip_id").map(c =>
-              when(sEx, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)).toSeq: _*)
+            proj.fields.toSeq.filterNot(_.name == "trip_id").map { f =>
+              val sSide = if (stagedCols(f.name)) col(s"s.${f.name}")
+                          else lit(null).cast(f.dataType)
+              val tSide = if (effCols(f.name)) col(s"t.${f.name}")
+                          else lit(null).cast(f.dataType)
+              when(sEx, sSide).otherwise(tSide).as(f.name)
+            }: _*)
         val actions = joined.select(
           when(sEx && tEx, "updated").when(sEx, "inserted").otherwise("unchanged").as("a"))
           .groupBy("a").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -489,6 +489,52 @@ class LambdaSpec extends SparkSpec {
       s"all six dim joins broadcast in the SQL view plan:\n$plan")
   }
 
+  test("additive drift through the SHARED star: a lineage column added to " +
+      "the live fact_trip is an ALTER, not a rewrite — old rows read NULL, " +
+      "both lanes keep loading (VERDICT r17 #1)") {
+    import spark.implicits._
+    val (base, dirs) = buildCuratedLake()
+    val wh = Lambda.SharedWarehouse(spark, s"$base/wh")
+    val (bCore, bFact) = Lambda.runDaily(wh, sf(), "drift-batch")
+    assert(bFact == bCore && bFact > 0)
+    val dirsBefore = wh.fact.liveCommitDirs
+
+    // the verdict's motivating user: add ONE lineage column to fact_trip.
+    // evolveSchema is a metadata-only manifest commit on the LIVE table —
+    // at 100 TB the difference between an ALTER and a week-long migration
+    val widened = org.apache.spark.sql.types.StructType(
+      Lambda.factSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "_sourceSystem", org.apache.spark.sql.types.StringType))
+    wh.fact.evolveSchema(widened): Unit
+    assert(wh.fact.liveCommitDirs == dirsBefore,
+      "the ALTER rewrote no data dir")
+    assert(wh.fact.read.filter(col("_sourceSystem").isNotNull).count() == 0,
+      "every pre-drift row reads NULL for the new lineage column")
+
+    // an UNCHANGED producer — the stream lane knows nothing of the new
+    // column — keeps loading through the evolved table (old-shape rows
+    // NULL-pad), exactly the reference staging layer's drift tolerance
+    val (d1, h1) = curatedHours(dirs).head
+    val r1 = Lambda.runHour(wh, dirs.curated, d1, h1, s"drift-$d1-$h1")
+    assert(r1.inserted > 0)
+    assert(wh.fact.read.count() == bFact + r1.inserted)
+    assert(wh.fact.read.filter(col("_sourceSystem").isNotNull).count() == 0)
+
+    // a DRIFT-AWARE producer carries the column; only its rows have it
+    val tagged = wh.fact.read.limit(3)
+      .withColumn("trip_id", concat(lit("tagged-"), col("trip_id")))
+      .withColumn("_sourceSystem", lit("backfill-v2"))
+    HourLoad.scopedMerge(wh.fact, tagged, "pickup_month"): Unit
+    val got = wh.fact.read
+    assert(got.filter(col("_sourceSystem") === "backfill-v2").count() == 3)
+    assert(got.count() == bFact + r1.inserted + 3)
+    // the BI surface is total over the mixed-shape snapshot
+    assert(Lambda.biView(wh).count() == got.count())
+    // time travel still crosses the boundary: the pre-drift version
+    // reads its own narrower shape
+    assert(!wh.fact.readVersion(1).columns.contains("_sourceSystem"))
+  }
+
   test("SCD1 dim refresh: attributes update in place, the SK space is " +
       "immovable, FK integrity survives a concurrent lane upsert (VERDICT r17 #8)") {
     import spark.implicits._
