@@ -194,6 +194,19 @@ object LambdaProcSoak {
     logDir.mkdirs(): Unit
     def logFile(n: String) = new java.io.File(logDir, s"$n.log")
 
+    // a month-old telemetry backlog (the churned-fleet state VERDICT r18
+    // #2 describes): the mid-soak retention sweep must reap EXACTLY this
+    // while the live events the end-gate reads keep flowing around it
+    val backlogN = 200
+    val evDir = new java.io.File(whDir, "_lock_events"); evDir.mkdirs(): Unit
+    val oldTs = System.currentTimeMillis() - 30L * 86400000L
+    (0 until backlogN).foreach { i =>
+      java.nio.file.Files.writeString(new java.io.File(evDir,
+        s"${oldTs + i}-takeover-bklg$i.json").toPath,
+        s"""{"event":"takeover","nonce":"bklg$i","detail":"backlog",""" +
+          s""""ts":${oldTs + i},"pid":0}"""): Unit
+    }
+
     // 1. victim: real heartbeat, real SIGKILL while holding
     val vLog = logFile("victim")
     val v = spawn("victim", whDir, vLog, orphanBase.toString)
@@ -234,6 +247,19 @@ object LambdaProcSoak {
     })
     reader.start()
 
+    // retention sweeper, concurrent with the live lanes and the reader:
+    // one-hour watermark — reaps the planted backlog, never a live row
+    val sweptTotal = new java.util.concurrent.atomic.AtomicLong(0)
+    val sweeper = new Thread(() => {
+      while (running) {
+        try sweptTotal.addAndGet(graft.batch.Maintenance.sweepLockEvents(
+          spark, whDir, System.currentTimeMillis() - 3600000L).swept): Unit
+        catch { case t: Throwable => errs.add(s"sweeper: $t"): Unit }
+        Thread.sleep(500)
+      }
+    })
+    sweeper.start()
+
     // 3. mid-soak: SIGKILL the stream lane at a random-ish moment (after
     // its 3rd completed cycle), then restart it — recovery via the audit
     val midKill = await(sLog, "CYCLE 2", 600000)
@@ -253,7 +279,7 @@ object LambdaProcSoak {
     val sOk = s.waitFor() == 0 ||
       { errs.add(s"stream exit ${s.exitValue()} [${logTail(sLog2)}]"); false }
     val takeoverMs = System.currentTimeMillis() - killT0
-    running = false; reader.join(15000)
+    running = false; reader.join(15000); sweeper.join(15000)
 
     // ---- conservation + takeover evidence ----
     val batchFinal = wh.core.read.filter(col("trip_id").isNull).count()
@@ -277,7 +303,7 @@ object LambdaProcSoak {
       streamFinal == cycles.toLong * StreamN && streamKeys == streamFinal
     val ok = errs.isEmpty && bOk && sOk && conserved && tornReads.get() == 0 &&
       orphanVisible == 0L && auditRows == cycles.toLong && orphanReaped &&
-      takeoverRows >= 1L
+      takeoverRows >= 1L && sweptTotal.get() == backlogN.toLong
     val line =
       s"""{"metric":"lambda_proc_soak","ok":$ok,"cycles_per_lane":$cycles,""" +
         s""""processes":4,"batch_rows_final":$batchFinal,""" +
@@ -287,6 +313,8 @@ object LambdaProcSoak {
         s""""takeover_window_ms":$takeoverMs,""" +
         s""""stream_cycles_before_kill":$streamKilledAtCycles,""" +
         s""""lock_takeover_rows":$takeoverRows,""" +
+        s""""lock_events_backlog_planted":$backlogN,""" +
+        s""""lock_events_swept":${sweptTotal.get()},""" +
         s""""lock_events":{${lockEvents.toSeq.sorted.map { case (k, n) =>
           s""""$k":$n""" }.mkString(",")}},""" +
         s""""orphan_rows_visible":$orphanVisible,"orphan_reaped":$orphanReaped,""" +

@@ -251,6 +251,38 @@ object Maintenance {
     MarkerSweepResult(keep.sorted, sweep.sorted)
   }
 
+  final case class LockEventSweepResult(kept: Long, swept: Long)
+
+  /** Retention sweep for the durable lock telemetry (VERDICT r18 #2) —
+    * the [[sweepCommitMarkers]] problem rebuilt one directory over:
+    * `<warehouse>/_lock_events/` grows one tiny JSON file per
+    * takeover/fenced_abort/skew_refusal/usurped_retry forever, and
+    * `LaneLock.events` lists the whole dir unboundedly — a month of a
+    * churning fleet is pure listing drag. Event files carry their
+    * epoch-millis in the NAME (`<ts>-<kind>-<id>.json`), so the sweep is
+    * listing + delete — no file reads, no Spark job (the same
+    * no-Spark-mid-abort rule the telemetry writes obey). Sweeps events
+    * with ts < `keepBelowTs` (caller passes now minus the fleet's
+    * forensic retention window); dot-prefixed staging orphans (a writer
+    * killed between create and rename) older than the watermark are
+    * reaped too. Idempotent and crash-safe: names are unique, a
+    * half-swept dir just sweeps again, and a concurrent logEvent's
+    * fresh file sorts above any honest watermark. */
+  def sweepLockEvents(spark: SparkSession, whDir: String,
+                      keepBelowTs: Long): LockEventSweepResult = {
+    val dir = new Path(s"$whDir/${graft.lambda.LaneLock.EventsDirName}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return LockEventSweepResult(0L, 0L)
+    val entries = fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      scala.util.Try(n.stripPrefix(".").takeWhile(_.isDigit).toLong)
+        .toOption.map(ts => (st.getPath, ts))
+    }
+    val (sweep, keep) = entries.partition(_._2 < keepBelowTs)
+    sweep.foreach { case (p, _) => fs.delete(p, false) }
+    LockEventSweepResult(keep.size.toLong, sweep.size.toLong)
+  }
+
   /** One file's lifecycle decision: tier it would move to and whether
     * this run deleted it. */
   final case class LifecycleAction(path: String, ageDays: Long, tier: String)

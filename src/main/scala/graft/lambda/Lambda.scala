@@ -304,7 +304,16 @@ object Lambda {
     * mid-refresh costs this refresh a re-derive, never an erased member
     * (the FK-integrity property the spec races). Duplicate update NKs
     * refuse loudly: they would fan out the dim and corrupt every fact
-    * join. */
+    * join.
+    *
+    * NULL update values KEEP the current attribute (ADVICE r18 — this is
+    * a contract, not an accident): merge is `coalesce(update, current)`
+    * per attribute, so a sparse updates frame — say, a feed that only
+    * knows `zone_name` for some members — never erases the attributes it
+    * doesn't carry. The corollary: this refresh cannot SET an attribute
+    * to NULL. To blank an attribute, write an explicit sentinel ('' /
+    * 'UNKNOWN', the reference's own convention for retired zone names)
+    * or rebuild the dim through [[SnapshotTable.overwriteCas]] directly. */
   def refreshDimScd1(table: SnapshotTable, updates: DataFrame,
                      nk: String): Long =
     refreshDimScd1Hook(table, updates, nk, () => ())

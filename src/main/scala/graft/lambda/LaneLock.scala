@@ -286,6 +286,18 @@ object LaneLock {
     * (a production locked section re-running after a usurpation). */
   private[graft] val EventsDirName = "_lock_events"
 
+  /** Minimal JSON string escape (ADVICE r18): a quote/backslash/control
+    * char in a nonce or detail must not corrupt the row — the proc
+    * soak's ok-gate parses these best-effort files, and a silently
+    * nulled row is a lost takeover record. */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private[graft] def logEvent(fs: FileSystem, lockDir: Path, event: String,
                               nonce: String, detail: String): Unit =
     try {
@@ -293,8 +305,8 @@ object LaneLock {
       fs.mkdirs(dir)
       val name = s"${System.currentTimeMillis()}-$event-" +
         s"${UUID.randomUUID().toString.take(8)}.json"
-      val body = s"""{"event":"$event","nonce":"$nonce",""" +
-        s""""detail":"$detail","ts":${System.currentTimeMillis()},""" +
+      val body = s"""{"event":"${jstr(event)}","nonce":"${jstr(nonce)}",""" +
+        s""""detail":"${jstr(detail)}","ts":${System.currentTimeMillis()},""" +
         s""""pid":${ProcessHandle.current().pid()}}"""
       val tmp = new Path(dir, s".$name")
       val out = fs.create(tmp, false)

@@ -76,6 +76,18 @@ object AtomicPublish {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean
   }
 
+  /** Capability: publish in-memory bytes in ONE store call, no staging
+    * object. [[publishBytes]] dispatches on THIS capability — not on
+    * strategy identity (ADVICE r18: the old `case ConditionalPutStrategy`
+    * match silently dropped a deployment's own register()-ed
+    * conditional-put strategy to the staged-temp leg, an extra PUT+GET
+    * per commit against the documented one-PUT contract). A custom
+    * object-store strategy keeps the contract by extending this. */
+  trait DirectBytesPublish {
+    /** @return true = this publisher won the target slot */
+    def publishDirect(fs: FileSystem, target: Path, content: Array[Byte]): Boolean
+  }
+
   /** The ADJACENT in-place-replace contract, declared EXPLICITLY per
     * strategy rather than inferred from publish support (the inference
     * would be unsound: a scheme registered with a publish-only strategy
@@ -137,19 +149,26 @@ object AtomicPublish {
     * commit dirs are plain writes made visible BY a manifest publish).
     *
     * This generic `publish(tmp, …)` leg re-reads a temp the caller
-    * already staged — and the caller usually staged it through the SAME
-    * FileSystem, i.e. on a real object store the temp costs an extra
-    * PUT+GET round trip. [[AtomicPublish.publishBytes]] is the direct
-    * entry every in-repo publish path uses: content goes straight to
+    * already staged. The temp resolves through ITS OWN FileSystem
+    * (VERDICT r18 #6), so an external caller should stage it on the
+    * LOCAL filesystem (`file:/...`) and pay the store exactly one
+    * conditional PUT — staging on the store itself still works but costs
+    * the extra staging PUT+GET that path always implied.
+    * [[AtomicPublish.publishBytes]] is the direct entry every in-repo
+    * publish path uses: content goes straight to
     * [[ConditionalPut.putIfAbsent]], no staging object at all. */
-  object ConditionalPutStrategy extends Strategy with InPlaceReplace {
+  object ConditionalPutStrategy extends Strategy with InPlaceReplace
+      with DirectBytesPublish {
     def publish(fs: FileSystem, conf: Configuration, tmp: Path, target: Path): Boolean = {
-      val in = fs.open(tmp)
+      val tfs = tmp.getFileSystem(conf) // local temp => local read/delete
+      val in = tfs.open(tmp)
       val content = try in.readAllBytes() finally in.close()
-      val won = fs.asInstanceOf[ConditionalPut].putIfAbsent(target, content)
-      if (won) fs.delete(tmp, false)
+      val won = publishDirect(fs, target, content)
+      if (won) tfs.delete(tmp, false)
       won
     }
+    def publishDirect(fs: FileSystem, target: Path, content: Array[Byte]): Boolean =
+      fs.asInstanceOf[ConditionalPut].putIfAbsent(target, content)
     def replace(fs: FileSystem, target: Path, content: Array[Byte]): Unit =
       fs.asInstanceOf[ConditionalPut].put(target, content)
   }
@@ -212,8 +231,7 @@ object AtomicPublish {
   def publishBytes(fs: FileSystem, conf: Configuration, dir: Path,
                    target: Path, content: Array[Byte]): Boolean =
     strategyFor(fs) match {
-      case ConditionalPutStrategy =>
-        fs.asInstanceOf[ConditionalPut].putIfAbsent(target, content)
+      case d: DirectBytesPublish => d.publishDirect(fs, target, content)
       case strat =>
         val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, false)

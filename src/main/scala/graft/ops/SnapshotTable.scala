@@ -356,7 +356,9 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * overwrite): `None` aborts the commit — no manifest is written, no
     * version is burned — and the tip version at derivation time is
     * returned. A `None` is final: the closure already re-derived against
-    * the tip, so retrying could only re-observe the same emptiness. */
+    * the tip, so retrying could only re-observe the same emptiness.
+    * On a never-written table that tip is the sentinel `0` — a version
+    * that never exists on disk; callers must not read it. */
   private def commitIfChanged(op: String)(
       next: Option[Long] => Option[String]): Long = {
     fs.mkdirs(manifestDir)
@@ -516,8 +518,12 @@ final case class SnapshotTable(spark: SparkSession, dir: String, schema: StructT
     * (stg_trip.sql:38-111) — at 100 TB this is the difference between an
     * ALTER and a week-long rewrite. `newSchema` must contain every
     * current column unchanged (drops and type changes REFUSE loudly);
-    * added columns are forced nullable. Returns the committed version
-    * (the current tip when `newSchema` adds nothing). */
+    * added columns are forced nullable. Returns the committed version;
+    * when `newSchema` adds nothing the current tip is returned unchanged,
+    * which on a never-written table is the [[commitIfChanged]] `0`
+    * sentinel — "no commit exists", NOT a readable version (ADVICE r18:
+    * do not feed it to [[readVersion]]/[[schemaAt]]; check
+    * [[latestVersion]] first when the table may be empty). */
   def evolveSchema(newSchema: StructType): Long = retrySchemaMoved {
     val tip0 = versions.lastOption
     val cur = schemaInEffect(tip0)

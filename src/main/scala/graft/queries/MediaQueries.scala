@@ -44,16 +44,28 @@ object MediaQueries {
       .select(col("media_id").as("query_id"), col("band"), col("bval"))
     val bandMates = bands.join(probeBands, Seq("band", "bval"))
       .select(col("query_id"), col("media_id").as("neighbor_id"))
-    val emean = (1 to chunks).map(j =>
-      element_at(col("embedding"), j).cast("double")).reduce(_ + _) / chunks.toDouble
+    // Loop-form band bits (VERDICT r18 #1): the former unrolled build —
+    // 8 `when`s per band, EACH embedding the full chunks-term mean sum —
+    // generated O(fbands·8·chunks) expression nodes inside one
+    // generate_doConsume; at the 3×8/24-dim dial that blew janino's 64KB
+    // method limit and silently degraded the x20 audit to interpreted
+    // mode. `aggregate` HOFs emit a constant-size codegen loop, so the
+    // generated code no longer grows with the dial. Semantics are
+    // bit-identical: both are the same left-fold over array order on
+    // exact binary-fraction values.
+    val emean = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double")) / chunks.toDouble
     val fbandStructs = array((0 until fbands).map { b =>
       struct(lit(b).as("fband"),
-        (0 until 8).map(j =>
-          when(element_at(col("embedding"), b * 8 + j + 1).cast("double")
-            > emean, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+        aggregate(sequence(lit(0), lit(7)), lit(0), (acc, j) =>
+          acc + when(
+            element_at(col("embedding"), lit(b * 8 + 1) + j).cast("double")
+              > col("_emean"), call_function("shiftleft", lit(1), j))
+            .otherwise(lit(0)))
           .as("fbval"))
     }: _*)
-    val featBands = feats.select(col("vec_id"), explode(fbandStructs).as("fb"))
+    val featBands = feats.withColumn("_emean", emean)
+      .select(col("vec_id"), explode(fbandStructs).as("fb"))
       .select(col("vec_id"), col("fb.fband").as("fband"),
         col("fb.fbval").as("fbval"))
     val probeFeatBands = featBands

@@ -190,6 +190,16 @@ final class SegmentLogStream(dir: String, maxSegmentsPerTrigger: Option[Int] = N
     val startN = start.asInstanceOf[SegmentLogOffset].segments
     val visible = // an AvailableNow run drains to its prepare-time pin
       math.min(segs.size.toLong, availableNowEnd.getOrElse(Long.MaxValue))
+    // ADVICE r18: a listing that shrank below the checkpointed position
+    // (retention/manual cleanup under a live checkpoint) must fail
+    // loudly, not hand the engine a BACKWARD offset — the log's contract
+    // is append-only, and silently re-reading renumbered positions would
+    // break exactly-once
+    if (visible < startN) sys.error(
+      s"segment log at $dir shrank below the checkpointed position: " +
+        s"$visible segment(s) visible but the checkpoint is at $startN — " +
+        "segments were retired under a live checkpoint; restore them or " +
+        "start a fresh checkpoint")
     val end = limit match {
       case mf: ReadMaxFiles => math.min(visible, startN + mf.maxFiles().toLong)
       case _ => visible

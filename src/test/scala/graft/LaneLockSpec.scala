@@ -353,4 +353,20 @@ class LaneLockSpec extends SparkSpec {
     taker.join(10000)
     assert(entered.get() == 1, "taker entered once the holder released")
   }
+
+  test("telemetry JSON survives hostile nonce/detail content (ADVICE r18)") {
+    // a quote, backslash, or control char in a detail string used to
+    // corrupt the hand-built JSON row, and events() silently nulls a
+    // corrupt row — the proc soak's ok-gate depends on these parsing
+    val dir = tmpDir("lockev_escape")
+    val detail = "victim=\"weird\\nonce\"\twith\ncontrol"
+    LaneLock.logWarehouseEvent(spark, dir, "takeover", "a\"b\\c", detail)
+    val rows = LaneLock.events(spark, dir)
+      .select("event", "nonce", "detail", "pid").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "takeover")
+    assert(rows(0).getString(1) == "a\"b\\c", s"nonce round-trips: ${rows(0)}")
+    assert(rows(0).getString(2) == detail, s"detail round-trips: ${rows(0)}")
+    assert(!rows(0).isNullAt(3), "row parsed fully (no corrupt-record null)")
+  }
 }

@@ -138,6 +138,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(none.kept.isEmpty && none.removed.isEmpty)
   }
 
+  test("sweepLockEvents: age-bounded telemetry retention — old events and " +
+    "staging orphans reaped, fresh rows still queryable (VERDICT r18 #2)") {
+    val wh = tmpDir("graft_lockev")
+    // real events through the production writer (the sweep keys on the
+    // epoch-millis filename prefix that writer stamps)
+    graft.lambda.LaneLock.logWarehouseEvent(spark, wh, "takeover", "n1", "old")
+    graft.lambda.LaneLock.logWarehouseEvent(spark, wh, "fenced_abort", "n2", "old")
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.lambda.LaneLock.logWarehouseEvent(spark, wh, "takeover", "n3", "new")
+    // a crashed writer's staging orphan: created, never renamed in
+    val evDir = new org.apache.hadoop.fs.Path(s"$wh/_lock_events")
+    val fs = evDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(evDir,
+      s".${cut - 60000}-takeover-deadbeef.json"), true).close()
+
+    val r = Maintenance.sweepLockEvents(spark, wh, keepBelowTs = cut)
+    assert(r.swept == 3 && r.kept == 1, s"got $r")
+    val left = graft.lambda.LaneLock.events(spark, wh)
+      .select("event", "nonce", "detail").collect()
+      .map(row => (row.getString(0), row.getString(1), row.getString(2)))
+    assert(left.toSeq == Seq(("takeover", "n3", "new")),
+      s"post-sweep telemetry is exactly the retained window: ${left.toSeq}")
+
+    // idempotent; a warehouse that never logged is a clean no-op
+    assert(Maintenance.sweepLockEvents(spark, wh, cut) ==
+      Maintenance.LockEventSweepResult(1L, 0L))
+    assert(Maintenance.sweepLockEvents(spark, tmpDir("graft_noev"), cut) ==
+      Maintenance.LockEventSweepResult(0L, 0L))
+  }
+
   test("lifecycleTier: prefix-scoped age classes — hot kept, cool reported, old deleted") {
     val root = tmpDir("lifecycle")
     def mk(rel: String, ageDays: Int): java.io.File = {

@@ -26,6 +26,15 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem with ConditionalPut {
   override def getScheme: String = "mockput"
   override def getUri: URI = URI.create("mockput:///")
 
+  /** Store-API call metering (VERDICT r18 #6): conformance cases assert
+    * the publish legs' COST shape — e.g. a locally-staged publish pays
+    * the store exactly one conditional PUT and zero GETs — by delta. */
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    MockObjectStoreFileSystem.gets.incrementAndGet(): Unit
+    super.open(f, bufferSize)
+  }
+
   /** Object-store rename: last-writer-wins replace of files — never an
     * atomic no-overwrite. Directory renames delegate (task-commit moves
     * in Spark writers need them; the hostility under test is file-level). */
@@ -41,6 +50,7 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem with ConditionalPut {
   }
 
   override def putIfAbsent(target: Path, content: Array[Byte]): Boolean = {
+    MockObjectStoreFileSystem.condPuts.incrementAndGet(): Unit
     val d = pathToFile(target).toPath
     Files.createDirectories(d.getParent)
     val tmp = Files.createTempFile(d.getParent, ".put-", ".tmp")
@@ -59,6 +69,11 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem with ConditionalPut {
     Files.move(tmp, d, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE): Unit
   }
+}
+
+object MockObjectStoreFileSystem {
+  val gets = new java.util.concurrent.atomic.AtomicLong(0)
+  val condPuts = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** The same hostile store WITHOUT the conditional-PUT capability — a

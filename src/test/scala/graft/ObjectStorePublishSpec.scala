@@ -205,6 +205,78 @@ class ObjectStorePublishSpec extends SparkSpec {
       AtomicPublish.unregister("mockreg")
   }
 
+  test("generic publish leg with a LOCAL-FS temp: the hostile store pays " +
+      "exactly one conditional PUT and zero GETs (VERDICT r18 #6)") {
+    // external callers of publish(tmp, …) used to stage the temp on the
+    // store itself — PUT+GET+buffer per commit; the leg now resolves the
+    // temp through ITS OWN FileSystem, so local staging costs the store
+    // only the one conditional PUT the contract promises
+    val dir = storeDir("ospub_localtmp")
+    val fs = fsOf(dir)
+    val localTmp = new Path(s"file:${tmpDir("ospub_stage")}/stage.json")
+    val lfs = localTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = lfs.create(localTmp, false)
+    out.write("content-v1".getBytes("UTF-8")); out.close()
+    val target = new Path(dir, "slot")
+    val (g0, p0) = (MockObjectStoreFileSystem.gets.get(),
+      MockObjectStoreFileSystem.condPuts.get())
+    assert(AtomicPublish.publish(fs, spark.sparkContext.hadoopConfiguration,
+      localTmp, target), "locally-staged publish wins the empty slot")
+    assert(MockObjectStoreFileSystem.condPuts.get() - p0 == 1L &&
+      MockObjectStoreFileSystem.gets.get() - g0 == 0L,
+      "one conditional PUT, zero store GETs")
+    assert(readBytes(fs, target) == "content-v1")
+    assert(!lfs.exists(localTmp), "the local temp is consumed on a win")
+    // a LOSS leaves the local temp for the caller (contract unchanged)
+    val out2 = lfs.create(localTmp, false)
+    out2.write("late".getBytes("UTF-8")); out2.close()
+    assert(!AtomicPublish.publish(fs, spark.sparkContext.hadoopConfiguration,
+      localTmp, target))
+    assert(lfs.exists(localTmp) && readBytes(fs, target) == "content-v1")
+    lfs.delete(localTmp, false): Unit
+  }
+
+  test("publishBytes dispatches on the DirectBytesPublish capability, not " +
+      "strategy identity: a register()-ed conditional-put strategy keeps " +
+      "the one-PUT contract (ADVICE r18)") {
+    val dir = storeDir("ospub_capability", "mockreg")
+    val fs = fsOf(dir)
+    val stagedPublishes = new java.util.concurrent.atomic.AtomicLong(0)
+    val directPublishes = new java.util.concurrent.atomic.AtomicLong(0)
+    // a deployment's own strategy (an SDK adapter, not the built-in
+    // singleton) that CAN publish bytes directly — the old identity
+    // match silently sent it through the staged-temp leg
+    object SdkAdapter extends AtomicPublish.Strategy
+        with AtomicPublish.DirectBytesPublish {
+      def publish(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                  tmp: Path, target: Path): Boolean = {
+        stagedPublishes.incrementAndGet(): Unit
+        AtomicPublish.PosixLink.publish(fs, conf, tmp, target)
+      }
+      def publishDirect(fs: FileSystem, target: Path,
+                        content: Array[Byte]): Boolean = {
+        directPublishes.incrementAndGet(): Unit
+        AtomicPublish.PosixLink.publish(fs,
+          spark.sparkContext.hadoopConfiguration, {
+            val tmp = new Path(target.getParent,
+              s".direct-${java.util.UUID.randomUUID()}")
+            val o = fs.create(tmp, false)
+            try o.write(content) finally o.close()
+            tmp
+          }, target)
+      }
+    }
+    AtomicPublish.register("mockreg", SdkAdapter)
+    try {
+      val won = AtomicPublish.publishContent(fs,
+        spark.sparkContext.hadoopConfiguration, new Path(dir),
+        new Path(dir, "slot"), "direct-body")
+      assert(won && readBytes(fs, new Path(dir, "slot")) == "direct-body")
+      assert(directPublishes.get() == 1L && stagedPublishes.get() == 0L,
+        "capability dispatch routed the registered strategy's direct leg")
+    } finally AtomicPublish.unregister("mockreg")
+  }
+
   test("replaceInPlace is a DECLARED contract: a registered publish-only " +
       "strategy throws (never infers overwrite-create safety); declaring " +
       "InPlaceReplace routes the same scheme") {

@@ -85,6 +85,23 @@ class SegmentLogSourceSpec extends SparkSpec {
     assert(SegmentLog.segments(dir).map(_.getFileName.toString) == Seq("0001.seg"))
   }
 
+  test("a listing that shrank below the checkpointed position fails loudly " +
+    "— never a backward offset (ADVICE r18)") {
+    val dir = tmpDir("seglog_shrunk")
+    writeSegment(dir, "0001.seg", Seq("a"))
+    writeSegment(dir, "0002.seg", Seq("b"))
+    val stream = new graft.sources.SegmentLogStream(dir, Some(1))
+    // retention/manual cleanup deletes a segment under a live checkpoint
+    // that already committed past it
+    Files.delete(Paths.get(dir, "0002.seg"))
+    val e = intercept[RuntimeException] {
+      stream.latestOffset(SegmentLogOffset(2L, Some("0002.seg")),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(1))
+    }
+    assert(e.getMessage.contains("shrank below the checkpointed position"),
+      e.getMessage)
+  }
+
   test("offsets are monotone counts + high-water names and round-trip their json form") {
     val dir = tmpDir("seglog_off")
     val stream = new graft.sources.SegmentLogStream(dir)
