@@ -469,7 +469,14 @@ object Lambda {
     // loaded_at = _ingestedAt (SYSUTCDATETIME() at slice build would make
     // every re-run a spurious column change).
     val slice = wh.slice.read.filter(col("_runId") === runId)
-    val cleanedSlice = slice.select(
+    // wire-drift passthrough (VERDICT r18 #4): x_<key> columns the
+    // staging expansion surfaced ride the fixed cleaned projection into
+    // the shared core, which evolves additively in the merge commit —
+    // the fact's declared measures stay fixed (drift is lineage, not a
+    // measure)
+    val driftCols = slice.columns.filter(_.startsWith("x_")).sorted
+      .map(col).toSeq
+    val cleanedSlice = slice.select(Seq(
       col("trip_id"),
       col("vendor_id").as("vendor_code"),
       col("pickup_ts").as("pickup_ts_utc"),
@@ -489,7 +496,7 @@ object Lambda {
       coalesce(basename(col("_blobPath")), lit("streaming")).as("source_file_name"),
       col("_ingestedAt").as("loaded_at"),
       col("_runId"), col("_blobPath"), col("_ingestedAt"),
-      pickupMonth(col("pickup_ts")).as("pickup_month"))
+      pickupMonth(col("pickup_ts")).as("pickup_month")) ++ driftCols: _*)
 
     // usp_upsert_trip_clean_from_slice_streaming: MERGE ON trip_id —
     // batch rows (NULL trip_id) never match, so they are carried forward

@@ -73,10 +73,23 @@ object HourLoad {
     date_format(col("producer_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("c_producer"),
     col("p_date"), col("p_hour"))
 
+  /** The curated files' schema. `c_extras` (trailing) is the wire-drift
+    * column (VERDICT r18 #4): a JSON object of the unknown keys the
+    * ingest parse captured, NULL for drift-free rows — and trailing so
+    * PRE-drift files (11 columns) keep reading under this 12-column
+    * schema with NULL extras (CSV pads missing trailing fields); the
+    * curated lake needs no rewrite when drift capture lands. */
   val curatedReadSchema: StructType = StructType.fromDDL(
     "c_event_id STRING, c_vendor_id STRING, c_pickup STRING, c_dropoff STRING, " +
       "c_passengers STRING, c_distance STRING, c_fare STRING, c_tip STRING, " +
-      "c_total STRING, c_payment STRING, c_producer STRING")
+      "c_total STRING, c_payment STRING, c_producer STRING, c_extras STRING")
+
+  /** [[curatedCsvColumns]] + the trailing `c_extras` drift column — the
+    * layout [[graft.stream.Ingest]] actually writes (expects the
+    * `_extras` column [[StreamTransforms.parseWithExtras]] adds). */
+  val curatedCsvColumnsWire: Seq[Column] =
+    curatedCsvColumns.dropRight(2) ++
+      Seq(col("_extras").as("c_extras"), col("p_date"), col("p_hour"))
 
   /** Staging schema. `p_date`/`p_hour` (the curated lake's hour coordinates)
     * are ALSO the table's partition keys: the per-blob idempotent reload of
@@ -183,9 +196,30 @@ object HourLoad {
       lit(runId).as("_runId"),
       col("_blobPath"),
       current_timestamp().cast("timestamp_ntz").as("_ingestedAt"),
-      lit(date).as("p_date"), lit(hour).as("p_hour"))
+      lit(date).as("p_date"), lit(hour).as("p_hour"),
+      col("c_extras"))
+    // wire-drift expansion (VERDICT r18 #4): the hour's unknown wire keys
+    // (the c_extras JSON the ingest captured) become x_<key> STRING
+    // columns on the staged frame, and staging/slice/core then evolve
+    // ADDITIVELY through the snapshot layer's superset-write machinery —
+    // a new key mid-stream is an ALTER, no operator step, and pre-drift
+    // rows read NULL. The key set is one tiny per-hour aggregate (bounded
+    // by the wire's drift vocabulary, never by rows); a key that cannot
+    // be a column name refuses loudly rather than silently dropping data.
+    val extrasMap = from_json(col("c_extras"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val driftKeys = typed.select(explode(map_keys(extrasMap)).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val unsafe = driftKeys.filterNot(_.matches("[A-Za-z][A-Za-z0-9_]*"))
+    require(unsafe.isEmpty,
+      s"wire drift keys not expressible as staging columns: $unsafe")
+    val expanded = driftKeys.foldLeft(typed)((df, k) =>
+      df.withColumn(s"x_$k", element_at(extrasMap, k))).drop("c_extras")
+    val typedF = expanded
     // one job yields the blob list AND the per-blob counts (lineage_inject)
-    val perBlob = typed.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
+    val perBlob = typedF.groupBy("_blobPath").agg(count(lit(1)).as("rows"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val blobs = perBlob.map(_._1)
     // Per-blob idempotent reload, partition-scoped (ref 0005_delete.sql):
@@ -194,7 +228,11 @@ object HourLoad {
     val hourKey = s"p_date=$date/p_hour=$hour"
     val survivors = stg.readPartitions(_ == hourKey)
       .filter(!col("_blobPath").isin(blobs: _*))
-    stg.overwritePartitions(survivors.unionByName(typed))
+    // allowMissingColumns both ways: drift widens the fresh copy past the
+    // survivors (they NULL-pad), and a later drift-free hour is narrower
+    // than an already-evolved staging table
+    stg.overwritePartitions(
+      survivors.unionByName(typedF, allowMissingColumns = true))
 
     // usp_build_trip_clean_slice_streaming: run-scoped slice, hash id,
     // dedupe. The manifest-pruned read plans this hour's dirs only.

@@ -124,7 +124,7 @@ object Ingest {
   def writeBatch(batch: DataFrame, dirs: LakeDirs, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val routed = StreamTransforms.route(StreamTransforms.enrich(
-      StreamTransforms.parse(batch)))
+      StreamTransforms.parseWithExtras(batch)))
       .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
       .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
       .repartition(col("p_date"), col("p_hour")) // 1 file per sink per hour dir
@@ -138,7 +138,7 @@ object Ingest {
       // curated (CSV, positional, headerless — ds_curated_csv.json shape)
       oncePerBatch(spark, dirs.curated, batchId) { (out, mode) =>
         routed.filter(col("sink") === "curated")
-          .select(HourLoad.curatedCsvColumns: _*)
+          .select(HourLoad.curatedCsvColumnsWire: _*)
           .write.mode(mode).option("header", "false")
           .partitionBy("p_date", "p_hour").csv(out)
       }

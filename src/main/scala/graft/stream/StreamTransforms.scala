@@ -49,6 +49,30 @@ object StreamTransforms {
       col("json")) // raw wire line carried for the passthrough/DLQ sinks
   }
 
+  /** Unknown-key capture for wire drift (VERDICT r18 #4): the JSON
+    * object of every key the declared [[wireSchema]] does NOT know, as a
+    * string column (NULL when the envelope carries nothing unknown) —
+    * values stringified, because an unplanned wire key has no declared
+    * type and STRING is the only honest landing. One extra generic parse
+    * per row, so this rides the INGEST lane only ([[parseWithExtras]]);
+    * the batch-declared queries keep [[parse]]'s single-parse shape. */
+  def extrasOf(json: Column): Column = {
+    val known = org.apache.spark.sql.types.StructType.fromDDL(wireSchema)
+      .fieldNames.toSeq
+    val m = from_json(json, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType))
+    val unknown = map_filter(m, (k, _) => !k.isInCollection(known))
+    when(unknown.isNotNull && size(map_keys(unknown)) > 0, to_json(unknown))
+  }
+
+  /** [[parse]] + the `_extras` wire-drift column — the ingest hot path's
+    * parse, so a NEW key appearing mid-stream flows into the curated lake
+    * (and from there additively into staging and the star) with no
+    * operator step. */
+  def parseWithExtras(envelopes: DataFrame): DataFrame =
+    parse(envelopes).withColumn("_extras", extrasOf(col("json")))
+
   /** `stream_dq_flags` + `f_duration_min` (ref: asa-wire.sh:199-211):
     * per-event enrichment — duration in minutes (T-SQL boundary-crossing
     * semantics) and the three DQ flags. */
