@@ -370,17 +370,9 @@ object EmbeddingOps {
     require(cents.nonEmpty, "codebook requires at least one cell")
     val dim = cents.head._2.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
-    val best = (0 until m).map { i =>
-      val scored = array(cents.map { case (cell, ce) =>
-        struct(
-          graft.functions.VecDistSq.distSq(
-            slice(col("embedding"), i * sub + 1, sub),
-            typedLit(ce.slice(i * sub, (i + 1) * sub))).as("cdist"),
-          lit(cell).as("cell"))
-      }.toSeq: _*)
-      element_at(array_sort(scored), 1)
-    }
+    // loop-form argmin per subspace (see [[pqBest]] — same codegen-health
+    // rule, same tie semantics as the former array_sort)
+    val best = (0 until m).map(i => pqBest(cents, m, i))
     vecs.select(col("vec_id") +:
       best.zipWithIndex.map { case (b, i) => b.getField("cell").as(s"code_$i") } :+
       best.map(_.getField("cdist")).reduce(_ + _).as("recon_err"): _*)
@@ -473,25 +465,53 @@ object EmbeddingOps {
       slice(col("embedding"), i * sub + 1, sub),
       typedLit(ce.slice(i * sub, (i + 1) * sub)))
 
-  /** corpus → m codes: nearest seed per subspace, ties by (dist, cell). */
-  private def pqCodeCols(cb: Array[(Any, Seq[Double])], m: Int): Seq[Column] = {
+  /** The codebook's cells and per-subspace centroid slices as ARRAY
+    * literals — the loop-form building blocks below index into these
+    * instead of unrolling one expression per cell. */
+  private def pqCellLits(cb: Array[(Any, Seq[Double])], m: Int, i: Int)
+      : (Column, Column) = {
     val sub = cb.head._2.length / m
-    (0 until m).map { i =>
-      val scored = array(cb.map { case (cell, ce) =>
-        struct(pqSubDist(sub)(i, ce).as("cdist"), lit(cell).as("cell"))
-      }.toSeq: _*)
-      element_at(array_sort(scored), 1).getField("cell").as(s"code_$i")
-    }
+    (array(cb.map { case (cell, _) => lit(cell) }.toSeq: _*),
+      array(cb.map { case (_, ce) =>
+        typedLit(ce.slice(i * sub, (i + 1) * sub)) }.toSeq: _*))
   }
 
+  /** Nearest codebook entry for subspace `i` as `(cdist, cell)` — a
+    * constant-size codegen FOLD over the codebook arrays (the round-19
+    * codegen-health rule: the former array_sort over |cb| unrolled
+    * VecDistSq structs generated O(|cb|·sub) code per subspace — >8KB
+    * methods past the JIT compile threshold at the fixture's codebook,
+    * headed for janino's 64KB at a trained 256-cell book). Tie semantics
+    * are array_sort's exactly: struct `<` is lexicographic (cdist, cell),
+    * independent of codebook order. */
+  private def pqBest(cb: Array[(Any, Seq[Double])], m: Int, i: Int): Column = {
+    val sub = cb.head._2.length / m
+    val (cells, subCents) = pqCellLits(cb, m, i)
+    def cand(j: Column): Column = struct(
+      graft.functions.VecDistSq.distSq(
+        slice(col("embedding"), i * sub + 1, sub),
+        element_at(subCents, j + 1)).as("cdist"),
+      element_at(cells, j + 1).as("cell"))
+    if (cb.length == 1) cand(lit(0))
+    else aggregate(sequence(lit(1), lit(cb.length - 1)), cand(lit(0)),
+      (acc, j) => when(cand(j) < acc, cand(j)).otherwise(acc))
+  }
+
+  /** corpus → m codes: nearest seed per subspace, ties by (dist, cell). */
+  private def pqCodeCols(cb: Array[(Any, Seq[Double])], m: Int): Seq[Column] =
+    (0 until m).map(i => pqBest(cb, m, i).getField("cell").as(s"code_$i"))
+
   /** query → m distance tables: cell → d²(query subvector, codebook
-    * entry). */
+    * entry) — loop-form like [[pqBest]]. */
   private def pqQueryTabs(cb: Array[(Any, Seq[Double])], m: Int): Seq[Column] = {
     val sub = cb.head._2.length / m
     (0 until m).map { i =>
-      map_from_entries(array(cb.map { case (cell, ce) =>
-        struct(lit(cell), pqSubDist(sub)(i, ce))
-      }.toSeq: _*)).as(s"dtab_$i")
+      val (cells, subCents) = pqCellLits(cb, m, i)
+      map_from_entries(transform(sequence(lit(0), lit(cb.length - 1)), j =>
+        struct(element_at(cells, j + 1),
+          graft.functions.VecDistSq.distSq(
+            slice(col("embedding"), i * sub + 1, sub),
+            element_at(subCents, j + 1))))).as(s"dtab_$i")
     }
   }
 

@@ -162,4 +162,45 @@ class MediaAnnAuditSpec extends SparkSpec {
     assert(recallNS3 > 0.0, "the dialed candidate set still recalls")
     truth.unpersist(): Unit
   }
+
+  test("planted-panel recall at x20: O(hundreds) LABELED genuine near-dup " +
+      "pairs — perturbed copies, not key-shifted replicas (VERDICT r18 #5)") {
+    // gated on the planted fixture dir:
+    //   python3 tools/scale_gen.py 20 /tmp/sfscale/x20p /root/testdata/sf0.1 \
+    //     documents --plant-media-pairs=3
+    // 375 labeled pairs: per probe, two tail-perturbed copies (identical
+    // feature head, cosine exactly 1 — they pin the exact tier's top-2,
+    // so the panel can't be starved by near-1 Caesar siblings) and one
+    // head-perturbed copy (one feature chunk moved, cosine ~0.999 — the
+    // harder class, in the top-3 only when genuinely nearer than the
+    // best sibling) — the genuine-near-dup panel the 23-pair
+    // de-siblinged truth set was too small to be (r18's caveat)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PLANT_DIR", "/tmp/sfscale/x20p")
+    assume(new java.io.File(s"$dir/planted_pairs.parquet").exists(),
+      s"planted x20 fixtures absent at $dir")
+    val planted = spark.read.parquet(s"$dir/planted_pairs.parquet")
+      .select(col("probe_id").as("query_id"),
+        col("planted_id").as("neighbor_id"))
+    val plantedN = planted.count()
+    assert(plantedN >= 300, s"an O(hundreds) panel was planted: $plantedN")
+    val truth = MediaQueries.queries("media_ann")(spark, dir)
+      .select("query_id", "neighbor_id")
+    // sanity of the plant itself: the perturbed copies really are the
+    // probes' nearest media — they make the exact tier's top-3
+    val inTruth = truth.join(planted, Seq("query_id", "neighbor_id"),
+      "left_semi").cache()
+    val n = inTruth.count()
+    assert(n >= 200,
+      s"planted pairs land in the exact tier's top-3: $n of $plantedN")
+    val audit = MediaQueries.queries("media_ann_audit")(spark, dir)
+    val hits = inTruth.join(audit.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / n
+    info(f"planted-panel recall@3: $recall%.3f over $n exact-tier planted " +
+      f"pairs ($plantedN planted)")
+    assert(recall >= 0.8,
+      f"audit recall on the labeled genuine panel ($recall%.3f) under the " +
+        "0.8 floor — a candidate stratum regressed")
+    inTruth.unpersist(): Unit
+  }
 }

@@ -56,14 +56,31 @@ import sys
 
 import duckdb
 
-K = int(sys.argv[1])
-OUT = sys.argv[2]
-SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+# --plant-media-pairs=N (VERDICT r18 #5): plant N perturbed copies of
+# every media-audit probe doc (doc_id % 40 = 0, doc_id < 5000) as fresh
+# docs above the replica id range, and write the (probe_id, planted_id)
+# labels to planted_pairs.parquet. These are GENUINE near-dups (byte
+# perturbations of copy-0 text: j=0 one tail char -- identical feature
+# head, cosine exactly 1; j>=1 one head char at a per-j position -- one
+# feature chunk moves, cosine ~0.999), NOT key-shifted replicas, so the
+# audit recall floor measured on them has a panel of O(hundreds) honest
+# pairs instead of the 23 the de-siblinged x20 truth set leaves.
+PLANT = 0
+_argv = []
+for _a in sys.argv[1:]:
+    if _a.startswith("--plant-media-pairs="):
+        PLANT = int(_a.split("=", 1)[1])
+    else:
+        _argv.append(_a)
+
+K = int(_argv[0])
+OUT = _argv[1]
+SRC = _argv[2] if len(_argv) > 2 else "/root/testdata/sf0.1"
 # Optional 4th arg: comma-separated table subset to SCALE; every other
 # table is copied through at x1 (ops-focused sweeps -- an x100 point for
 # two document/embedding operators does not need a 60M-row lineitem, and
 # the x1 passthrough keeps warmup lanes runnable at x1 cost).
-ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+ONLY = set(_argv[3].split(",")) if len(_argv) > 3 else None
 
 def scaled(name):
     return ONLY is None or name in ONLY
@@ -141,8 +158,43 @@ def scale_documents():
             f"translate(text, '{src_map}', '{dst_map}') AS text, "
             f"lang, source, n_chars "
             f"FROM '{SRC}/documents.parquet'")
+    base = K * int(did)  # planted ids live above every replica id
+    probes = (f"SELECT doc_id, text, lang, source, n_chars "
+              f"FROM '{SRC}/documents.parquet' "
+              f"WHERE doc_id % 40 = 0 AND doc_id < 5000")
+    for j in range(PLANT):
+        if j % 2 == 0:
+            # one TAIL char (past the 64-byte feature head): feature
+            # vector identical (cosine exactly 1 -- guaranteed exact-tier
+            # rank), aHash hamming <= 1. Two tail copies (j=0,2) pin the
+            # top-2 slots so the panel is never starved by near-1 Caesar
+            # siblings.
+            pos = 70 + 5 * j
+            perturb = (f"CASE WHEN length(text) >= {pos + 1} THEN "
+                       f"substr(text, 1, {pos - 1}) || 'q' || "
+                       f"substr(text, {pos + 1}) ELSE text END")
+        else:
+            # one HEAD char at a per-j position: exactly one feature
+            # chunk moves (cosine ~0.999), at most one LSH band bit flips
+            # -- the HARDER class; it competes with the nearest sibling
+            # for the remaining exact-tier slot and wins only when
+            # genuinely nearer
+            pos = 4 + 7 * j
+            perturb = (f"CASE WHEN length(text) >= {pos} THEN "
+                       f"substr(text, 1, {pos - 1}) || 'q' || "
+                       f"substr(text, {pos + 1}) ELSE text END")
+        parts.append(
+            f"SELECT doc_id * 10 + {base + j} AS doc_id, "
+            f"{perturb} AS text, lang, source, n_chars FROM ({probes}) p{j}")
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{OUT}/documents.parquet' (FORMAT PARQUET)")
+    if PLANT:
+        labels = " UNION ALL ".join(
+            f"SELECT doc_id AS probe_id, doc_id * 10 + {base + j} AS "
+            f"planted_id, {j} AS j FROM ({probes}) l{j}"
+            for j in range(PLANT))
+        con.execute(f"COPY ({labels}) TO '{OUT}/planted_pairs.parquet' "
+                    f"(FORMAT PARQUET)")
 
 def sign_pattern(c, dims):
     """Deterministic per-copy +-1 pattern (LCG bits). Copies < dims use
