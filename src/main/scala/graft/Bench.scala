@@ -78,21 +78,32 @@ object Bench {
     // probe is then not comparable) or on a non-default SF dir.
     val probeSet = Seq("merge_upsert_key", "graph_pagerank", "join_star_view",
       "join_fact_dims", "agg_sum_reconcile")
-    // Anchor provenance (r17 re-anchor attempt, SCALING §S4 addendum):
-    // no clean local[32] window materialized in round 17 (best read
-    // elevation ~2.0; local[8] same tree same hour read 1.12, so the
-    // elevation is oversubscription-amplified HOST noise, not tree
-    // cost). Re-anchoring on an elevated window would silently redefine
-    // "clean", so the r15 clean-window sum stays the denominator; the
-    // round's best captures are committed as BENCH_STEADY_r17*.json for
-    // the next clean window to compare against.
-    val probeAnchorSf01 = 3.92549897 // sum of the 5 in BENCH_STEADY_r15
+    // Anchor policy (VERDICT r18 #3 — the host-luck dependency retired):
+    // local[8] is the CANONICAL steady configuration. Two rounds of
+    // interleaved same-tree captures showed local[32] amplifies host
+    // noise ~1.8x (32 executor threads oversubscribe a 32-vCPU guest
+    // whose host window carries invisible load: r17/r18 local[32] probes
+    // read elevation 2.0-2.3 while local[8] read 1.04-1.37 in the same
+    // hours), so waiting for a quiet local[32] window is waiting on host
+    // luck. The canonical anchor is the committed 232-query local[8]
+    // capture BENCH_STEADY_r18_local8.json (elevation 1.04 vs the old
+    // r15 anchor — a certified-clean window); local[32] runs remain
+    // INFORMATIONAL and keep the r15 5-query sum as their denominator.
+    // The r15 anchor's cross-SURFACE comparison (177 queries then vs 232
+    // now) is retired with it: steady totals compare local[8]-to-
+    // local[8] on the full declared surface from r18 forward.
+    val probeAnchorSf01 =
+      if (cpus == "8") 4.087736218 // 5-query sum, BENCH_STEADY_r18_local8
+      else 3.92549897 // legacy local[32] anchor (BENCH_STEADY_r15)
+    val anchorName =
+      if (cpus == "8") "BENCH_STEADY_r18_local8 (canonical)"
+      else "BENCH_STEADY_r15 (informational local[32])"
     val probeVals = probeSet.flatMap(results.get)
     val elevation =
       if (probeVals.length == probeSet.length && sfDir.endsWith("sf0.1"))
         (probeVals.sum / probeAnchorSf01).toString
       else "null"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"warmup":${json(warm)},"warmup_wall":$warmWall,"reps":$reps,"elevation_ratio":$elevation,"probe_anchor":"BENCH_STEADY_r15 5-query sum $probeAnchorSf01 s","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"warmup":${json(warm)},"warmup_wall":$warmWall,"reps":$reps,"cpus":$cpus,"elevation_ratio":$elevation,"probe_anchor":"$anchorName 5-query sum $probeAnchorSf01 s","sf":"$sfDir"}"""
     println(line)
     // The stdout line alone is fragile — a capture that truncates the
     // tail loses per-query numbers (round-5's BENCH artifact kept only

@@ -482,19 +482,20 @@ object EmbeddingOps {
     * VecDistSq structs generated O(|cb|·sub) code per subspace — >8KB
     * methods past the JIT compile threshold at the fixture's codebook,
     * headed for janino's 64KB at a trained 256-cell book). Tie semantics
-    * are array_sort's exactly: struct `<` is lexicographic (cdist, cell),
-    * independent of codebook order. */
+    * are array_sort's exactly: struct ordering is lexicographic
+    * (cdist, cell), independent of codebook order. `array_min` over the
+    * transform-built candidate array computes each distance ONCE (a
+    * when-based fold would evaluate the candidate twice per step — the
+    * +65% ann_ivfpq regression the r19 local[8] capture caught). */
   private def pqBest(cb: Array[(Any, Seq[Double])], m: Int, i: Int): Column = {
     val sub = cb.head._2.length / m
     val (cells, subCents) = pqCellLits(cb, m, i)
-    def cand(j: Column): Column = struct(
-      graft.functions.VecDistSq.distSq(
-        slice(col("embedding"), i * sub + 1, sub),
-        element_at(subCents, j + 1)).as("cdist"),
-      element_at(cells, j + 1).as("cell"))
-    if (cb.length == 1) cand(lit(0))
-    else aggregate(sequence(lit(1), lit(cb.length - 1)), cand(lit(0)),
-      (acc, j) => when(cand(j) < acc, cand(j)).otherwise(acc))
+    array_min(transform(sequence(lit(0), lit(cb.length - 1)), j =>
+      struct(
+        graft.functions.VecDistSq.distSq(
+          slice(col("embedding"), i * sub + 1, sub),
+          element_at(subCents, j + 1)).as("cdist"),
+        element_at(cells, j + 1).as("cell"))))
   }
 
   /** corpus → m codes: nearest seed per subspace, ties by (dist, cell). */
