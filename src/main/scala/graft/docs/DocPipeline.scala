@@ -540,18 +540,28 @@ object DocPipeline {
     * Each unordered triangle is counted exactly once: from its lowest-
     * order corner, closing wedge ordered by the same total order. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id")))
+    // explode, not union-of-projections: a union re-scans `pairs` per
+    // branch and (worse) re-evaluates any non-materialized subtree under
+    // it once per branch — Spark has no cross-branch common-subexpression
+    // elimination. One explode emits the identical endpoint multiset from
+    // a single pass. (Same rewrite on the x/y/z corner census below, where
+    // the duplicated subtree was the wedge self-join — the superlinear
+    // step — evaluated three times.)
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val e = pairs.select(col("doc_a"), col("doc_b"))
       .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
       .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
     val aKey = struct(col("da").as("d"), col("doc_a").as("n"))
     val bKey = struct(col("db").as("d"), col("doc_b").as("n"))
+    // O(m) rows, referenced three times below (both wedge sides + the
+    // closing join): materialize once instead of re-deriving the
+    // degree-join subtree per reference
     val oriented = e.select(
       when(aKey < bKey, col("doc_a")).otherwise(col("doc_b")).as("src"),
       when(aKey < bKey, col("doc_b")).otherwise(col("doc_a")).as("dst"),
       when(aKey < bKey, bKey).otherwise(aKey).as("dstKey"))
+      .localCheckpoint(true)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
         col("e1.dstKey") < col("e2.dstKey"))
@@ -559,9 +569,7 @@ object DocPipeline {
         col("e2.dst").as("z"))
       .join(oriented.select(col("src").as("y"), col("dst").as("z")),
         Seq("y", "z"))
-    tri.select(col("x").as("doc_id"))
-      .union(tri.select(col("y")))
-      .union(tri.select(col("z")))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
   }

@@ -81,6 +81,17 @@ object DocQueries {
     DocPipeline.nearDupComponents(dupPairs(s, dir))
   }
 
+  /** Exact n-gram-Jaccard pair list at (0.5, dfCap=100), memoized: the
+    * ground-truth table `dedup_ngram_jaccard` declares and
+    * `dedup_lsh_eval` audits the sketch against. The builder is EAGER
+    * (jaccardPairsFromShingles ends in localCheckpoint), so Memo.of —
+    * without it each consumer re-ran the inverted-index self-join per
+    * invocation. */
+  private def jaccardTruth(s: SparkSession, dir: String) =
+    Memo.of(s, s"$dir/jaccard_pairs_t05cap100") {
+      DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
+    }
+
   /** Materialize the shingle index + near-dup graph memos (shingles →
     * pairs → components) for steady-state benchmarking (see
     * [[TaxiQueries.warm]]). */
@@ -124,11 +135,12 @@ object DocQueries {
     // dfCap=100 binds at fixture scale (corpus 500 docs): boilerplate
     // shingles are dropped before the inverted-index self-join.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
-        .orderBy("doc_a", "doc_b")),
+      jaccardTruth(s, dir).orderBy("doc_a", "doc_b")),
 
-    "dedup_minhash_lsh" -> ((s, dir) => DocPipeline.minhashLshPairsFromSignatures(
-        DocPipeline.signaturesFromShingles(shingles(s, dir)), 0.5)
+    // the deployed detector IS the memoized dup-pair graph (the same
+    // materialization components/PageRank/triangles read) — the previous
+    // inline rebuild re-ran bands + verify joins every invocation
+    "dedup_minhash_lsh" -> ((s, dir) => dupPairs(s, dir)
       .orderBy("doc_a", "doc_b")),
 
     // LSH parameter-tuning report: precision/recall of the deployed
@@ -141,7 +153,7 @@ object DocQueries {
     // rescan; all counts are exact integers, the ratios fixed IEEE
     // divisions, and the error sum is DECIMAL (order-free).
     "dedup_lsh_eval" -> ((s, dir) => {
-      val truth = DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
+      val truth = jaccardTruth(s, dir)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val det = dupPairs(s, dir).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       val hit = det.join(truth, Seq("doc_a", "doc_b"))

@@ -31,6 +31,17 @@ object ScanQueries {
     * partition-pruned joins run against tables some earlier load built).
     * The setup write pays once per session like the Memo chains; sink_*
     * ops, whose measured side IS the write, do not use this. */
+  /** The memoized routed-events chain — SAME memo key as
+    * StreamQueries' private `routed`, so both files share one scratch
+    * materialization. The sink ops' measured side is their WRITE; before
+    * this they also re-ran the whole wire chain (envelope build →
+    * from_json parse → route) upstream of the write on every invocation,
+    * which is exactly the shared-intermediate rebuild the Memo layer
+    * exists to avoid (the reference writes curated once and every sink
+    * reads the table). */
+  private def routedMemo(s: SparkSession, d: String): DataFrame =
+    Memo(s"$d/ev_routed")(EventsModel.routed(s, d))
+
   private def setupOnce(d: String, name: String)(write: String => Unit): String =
     setupDone.computeIfAbsent(s"$d/$name", { _ =>
       val out = Paths.get(sys.props("java.io.tmpdir"), "graft_scan",
@@ -130,7 +141,7 @@ object ScanQueries {
     // partition — proves partition columns survive the round trip.
     "sink_partitioned_hourly" -> ((s, d) => {
       val out = scratch("hourly_sink")
-      EventsModel.routed(s, d)
+      routedMemo(s, d)
         .filter(to_date(col("arrival_ts")) < "2024-01-04") // 3-day fixture slice
         .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
         .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
@@ -153,7 +164,7 @@ object ScanQueries {
     "list_files" -> ((s, d) => {
       import s.implicits._
       val out = setupOnce(d, "hourly_sink_ls") { out =>
-        EventsModel.routed(s, d)
+        routedMemo(s, d)
           .filter(to_date(col("arrival_ts")) < "2024-01-04") // 3-day fixture slice
           .withColumn("p_date", date_format(col("arrival_ts"), "yyyy-MM-dd"))
           .withColumn("p_hour", date_format(col("arrival_ts"), "HH"))
@@ -548,7 +559,7 @@ object ScanQueries {
     // appended batches into one parquet table, per-batch counts on re-read.
     "sink_table_append" -> ((s, d) => {
       val out = scratch("append_table")
-      val routed = EventsModel.routed(s, d)
+      val routed = routedMemo(s, d)
         .withColumn("batch_id",
           when(dayofmonth(col("arrival_ts")) <= 15, "b1").otherwise("b2"))
       val narrow = routed.select("event_id", "batch_id")

@@ -29,8 +29,15 @@ object TaxiQueries {
     TaxiModel.deduped(cleanedDf(s, d))
   }
 
+  // Memo.of, NOT Memo.apply: the star build is EAGER (each dim census
+  // collect()s its domain to number SKs — 5 driver jobs). Memo.apply
+  // re-evaluates the builder on every call just to learn the session, so
+  // every fact-consuming query re-ran the 5 dim jobs per invocation even
+  // on a memo hit (~0.8-1.3 s/call at sf0.1 local[8], measured round 19).
+  // Memo.of skips the builder entirely on a hit — the dims build exactly
+  // once per session, like the reference's once-per-run mdl.dim_* tables.
   private[queries] def factDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Memo(s"$d/fact") { StarModel.factFromDeduped(dedupedDf(s, d)) }
+    Memo.of(s, s"$d/fact") { StarModel.factFromDeduped(dedupedDf(s, d)) }
 
   /** Materialize the shared memo chain (cleaned → deduped → fact) so
     * per-query bench timings are steady-state. The reference's analog:
@@ -257,8 +264,14 @@ object TaxiQueries {
     "join_star_view" -> ((s, d) => {
       val ded = dedupedDf(s, d)
       val f = factDf(s, d)
-      val dv = StarModel.dim(ded, "vendor_code", "vendor_nk", "vendor_sk")
-      val dp = StarModel.dim(ded, "payment_type", "payment_nk", "payment_sk")
+      // memoized: StarModel.dim is eager (driver SK numbering collect);
+      // without the memo every rep re-ran both dim census jobs
+      val dv = Memo.of(s, s"$d/dim_vendor") {
+        StarModel.dim(ded, "vendor_code", "vendor_nk", "vendor_sk")
+      }
+      val dp = Memo.of(s, s"$d/dim_payment") {
+        StarModel.dim(ded, "payment_type", "payment_nk", "payment_sk")
+      }
       f.join(broadcast(dv), Seq("vendor_sk"), "left")
         .join(broadcast(dp), Seq("payment_sk"), "left")
         .select(col("trip_id"), col("vendor_nk"), col("payment_nk"),
