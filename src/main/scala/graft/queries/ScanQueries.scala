@@ -323,12 +323,18 @@ object ScanQueries {
     // format conversion is value-preserving.
     "scan_orc" -> ((s, d) => {
       val out = scratch("orc_roundtrip")
+      // deterministic hash repartition AFTER the projection (shuffle the 5
+      // output columns, never the full 16-column row): the single-row-group
+      // fixture scan is one task, which made the whole ORC encode+write
+      // single-threaded (guide §2.5 input-skew fix; production inputs
+      // split at the source)
       graft.Tables(s, d, "lineitem")
         .select(col("l_orderkey"),
           col("l_linenumber").cast("int").as("line_no"),
           col("l_quantity").cast("double").as("qty"),
           col("l_shipdate").cast("date").cast("string").as("ship_date"),
           col("l_returnflag").as("flag"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
         .write.mode(SaveMode.Overwrite).orc(out)
       s.read.orc(out).orderBy("l_orderkey", "line_no", "qty", "ship_date", "flag")
     }),

@@ -23,10 +23,28 @@ object TaxiQueries {
 
   private def trips(s: SparkSession, d: String) = TaxiModel.trips(s, d)
   private def cleanedDf(s: SparkSession, d: String) = Memo(s"$d/cleaned") {
-    TaxiModel.cleaned(TaxiModel.tripsWithDups(s, d), TaxiModel.paymentTypeMap(s))
+    // One deterministic hash repartition before the clean projection —
+    // the same single-row-group-fixture fix as EventsModel.rawEvents: the
+    // fixture parquet is one row group, so without it the entire
+    // clean+write (and the dedupe's map-side partial agg reading the
+    // 1-file memo back) runs as ONE task regardless of core count. The
+    // production chain reads many landing files and parallelizes at the
+    // source; partition count follows spark.sql.shuffle.partitions.
+    val parts = s.sessionState.conf.numShufflePartitions
+    TaxiModel.cleaned(
+      TaxiModel.tripsWithDups(s, d).repartition(parts, col("trip_src_id")),
+      TaxiModel.paymentTypeMap(s))
   }
   private def dedupedDf(s: SparkSession, d: String) = Memo(s"$d/deduped") {
     TaxiModel.deduped(cleanedDf(s, d))
+  }
+
+  /** Calendar dim, memoized — three consumers (dim_date_attrs,
+    * join_calendar, agg_rollup_calendar) previously re-ran the min/max
+    * span aggregate over the deduped core per invocation; the dim is a
+    * once-per-run table in the reference (mdl.dim_date). */
+  private def dimDateDf(s: SparkSession, d: String) = Memo.of(s, s"$d/dim_date") {
+    StarModel.dimDate(dedupedDf(s, d))
   }
 
   // Memo.of, NOT Memo.apply: the star build is EAGER (each dim census
@@ -228,6 +246,14 @@ object TaxiQueries {
           core("source_file_name") === stg("s_source_file_name") &&
           core("pickup_ts_utc") === stg("s_pickup_ts") &&
           core("dropoff_ts_utc") === stg("s_dropoff_ts"), "left")
+      // Measured, kept AS the window shape (optimization round 19): the
+      // max(struct(...)) hash-agg rewrite (as in TaxiModel.deduped) was
+      // tried and REVERTED — a struct aggregation buffer is not
+      // mutable-buffer-typed, so both partial and final aggregates planned
+      // as SortAggregate (sort both sides, 2.4 s -> 4.1 s at sf0.1
+      // local[8]), strictly worse than this window path, which already
+      // prunes to rank 1 BEFORE the exchange via the partial
+      // WindowGroupLimit (rn=1 pushdown) on Spark 4.
       val w = Window.partitionBy(col("trip_src_id"))
         .orderBy(col("loaded_at").desc, col("s_source_file_name").desc,
           col("s_trip_src_id").desc, col("tolls_amount").desc,
@@ -284,7 +310,7 @@ object TaxiQueries {
     // Calendar dims (ref: mdl/dim_date.table.sql:5-15, dim_time.table
     // .sql:5-10): reference ships DDL only, semantics pinned in
     // StarModel.dimDate/dimTime scaladoc.
-    "dim_date_attrs" -> ((s, d) => StarModel.dimDate(dedupedDf(s, d))
+    "dim_date_attrs" -> ((s, d) => dimDateDf(s, d)
       .select(col("date_key"), col("date_value").cast("string").as("date_value"),
         col("year"), col("quarter"), col("month"), col("day"),
         col("week_of_year"), col("iso_year"), col("iso_week"),
@@ -299,7 +325,7 @@ object TaxiQueries {
     // (REPLICATE analog); the fact never shuffles pre-aggregation.
     "join_calendar" -> ((s, d) => {
       val f = factDf(s, d)
-      val dd = StarModel.dimDate(dedupedDf(s, d))
+      val dd = dimDateDf(s, d)
       val dt = StarModel.dimTime(s)
       f.join(broadcast(dd), f("pickup_date_key") === dd("date_key"))
         .join(broadcast(dt), f("pickup_time_key") === dt("time_key"), "left")
@@ -440,7 +466,7 @@ object TaxiQueries {
     // aggregation handles all grouping sets in a single shuffle).
     "agg_rollup_calendar" -> ((s, d) => {
       val f = factDf(s, d)
-      val dd = StarModel.dimDate(dedupedDf(s, d))
+      val dd = dimDateDf(s, d)
       f.join(broadcast(dd), f("pickup_date_key") === dd("date_key"))
         .rollup(col("year"), col("quarter"))
         .agg(count(lit(1)).as("trips"), dsum("fare_amount").as("total_fare"),
