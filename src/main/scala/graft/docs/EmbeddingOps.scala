@@ -322,6 +322,21 @@ object EmbeddingOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nprobe: Int): DataFrame = {
     val centroids = ivfCentroids(corpus).cache()
+    // nearestCells collects the quantizer eagerly (inside ivfTopKWith),
+    // so the returned plan no longer references the centroid frame —
+    // release the cache that covered those two actions now.
+    val out = ivfTopKWith(queries, corpus, centroids, k, nprobe)
+    centroids.unpersist(false)
+    out
+  }
+
+  /** [[ivfTopK]] over a PRE-MATERIALIZED coarse quantizer (a memoized /
+    * persisted centroid table): consumers that share one trained
+    * quantizer (ann_ivf, ann_recall, search_hybrid_rrf) previously each
+    * re-ran the centroid aggregation per invocation — in production the
+    * quantizer is a published artifact, trained once. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                  k: Int, nprobe: Int): DataFrame = {
     val assigned = nearestCells(
       corpus.select(col("vec_id"), col("embedding")), centroids, 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce_v"),
@@ -330,10 +345,6 @@ object EmbeddingOps {
       queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"), col("cell"))
-    // nearestCells collects the quantizer eagerly (both calls above), so
-    // the returned plan no longer references the centroid frame — release
-    // the cache that covered those two actions now.
-    centroids.unpersist(false)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qe"), col("ce_v")) / (col("qn") * col("cn")))
@@ -364,8 +375,14 @@ object EmbeddingOps {
     * string while Spark expands the exact binary value, shifting
     * centroid-derived doubles at ~1e-9 — the ivf_train boundary, so the
     * declared query ships codes only and the spec pins recon_err). */
-  def pqEncode(vecs: DataFrame, m: Int): DataFrame = {
-    val cents = ivfCentroids(vecs).collect()
+  def pqEncode(vecs: DataFrame, m: Int): DataFrame =
+    pqEncodeWith(vecs, ivfCentroids(vecs), m)
+
+  /** [[pqEncode]] against a pre-materialized codebook table (same
+    * centroid convention) — the encode is a pure projection, so with the
+    * codebook memoized the whole op costs one tiny collect + one pass. */
+  def pqEncodeWith(vecs: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val cents = codebook.collect()
       .map(r => (r.get(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "codebook requires at least one cell")
     val dim = cents.head._2.length
@@ -450,15 +467,23 @@ object EmbeddingOps {
   /** Seed codebook: per cell, the subvectors of the cell's lowest-vec_id
     * member (`min_by`, one partial-aggregated pass) — raw float data, so
     * ADC distances stay float→double exact (see [[adcTopK]] doc). */
-  private def seedCodebook(corpus: DataFrame): Array[(Any, Seq[Double])] = {
-    val cb = corpus.groupBy(col("label").as("cell"))
+  /** The seed-codebook census as a frame (pre-collect) — memoizable, so
+    * the PQ consumers share one materialization instead of re-running the
+    * min_by census per invocation. */
+  def seedCodebookFrame(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("label").as("cell"))
       .agg(min_by(col("embedding"), col("vec_id")).as("ce"))
-      .collect()
+
+  private def seedCodebookOf(frame: DataFrame): Array[(Any, Seq[Double])] = {
+    val cb = frame.collect()
       .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1.toString)
     require(cb.nonEmpty, "codebook requires at least one cell")
     cb
   }
+
+  private def seedCodebook(corpus: DataFrame): Array[(Any, Seq[Double])] =
+    seedCodebookOf(seedCodebookFrame(corpus))
 
   private def pqSubDist(sub: Int)(i: Int, ce: Seq[Double]): Column =
     graft.functions.VecDistSq.distSq(
@@ -516,8 +541,16 @@ object EmbeddingOps {
     }
   }
 
-  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int): DataFrame = {
-    val cb = seedCodebook(corpus)
+  def adcTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int): DataFrame =
+    adcTopKWith(queries, corpus, seedCodebookFrame(corpus),
+      exactL2TopK(queries, corpus, k), m, k)
+
+  /** [[adcTopK]] against a pre-materialized seed-codebook frame and a
+    * pre-computed exact-L2 truth set (both memoizable, both shared with
+    * ann_ivfpq). */
+  def adcTopKWith(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                  exact: DataFrame, m: Int, k: Int): DataFrame = {
+    val cb = seedCodebookOf(codebook)
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val codes = corpus.select(col("vec_id").as("neighbor_id") +: pqCodeCols(cb, m): _*)
@@ -531,7 +564,7 @@ object EmbeddingOps {
       .orderBy(col("adc_dist"), col("neighbor_id"))
     val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
-    top.join(exactL2TopK(queries, corpus, k), Seq("query_id", "neighbor_id"), "left")
+    top.join(exact, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
@@ -575,14 +608,24 @@ object EmbeddingOps {
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int,
                 nprobe: Int): DataFrame = {
     val centroids = ivfCentroids(corpus).cache()
+    val out = ivfpqTopKWith(queries, corpus, centroids,
+      seedCodebookFrame(corpus), m, k, nprobe)
+    centroids.unpersist(false)
+    out
+  }
+
+  /** [[ivfpqTopK]] against pre-materialized coarse centroids and seed
+    * codebook (both memoizable artifacts of one trained quantizer). */
+  def ivfpqTopKWith(queries: DataFrame, corpus: DataFrame,
+                    centroids: DataFrame, codebook: DataFrame,
+                    m: Int, k: Int, nprobe: Int): DataFrame = {
     val assigned = nearestCells(
       corpus.select(col("vec_id"), col("embedding")), centroids, 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
     val probes = nearestCells(
       queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding"), col("cell"))
-    centroids.unpersist(false)
-    val cb = seedCodebook(corpus)
+    val cb = seedCodebookOf(codebook)
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     // inverted file of codes: a pure projection, partitionable by cell

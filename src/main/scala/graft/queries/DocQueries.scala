@@ -92,6 +92,30 @@ object DocQueries {
       DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
     }
 
+  /** The trained coarse quantizer (label-mean IVF centroids) over the
+    * embeddings corpus, memoized: ann_ivf / ann_recall / ann_ivfpq /
+    * search_hybrid_rrf / vec_pq_encode all search against ONE published
+    * quantizer — each previously re-ran the centroid aggregation (two
+    * shuffles + a collect) per invocation. */
+  private def ivfCents(s: SparkSession, dir: String) =
+    Memo.of(s, s"$dir/ivf_centroids") { EmbeddingOps.ivfCentroids(e(s, dir)) }
+
+  /** The PQ seed codebook census, memoized (shared by ann_pq_adc and
+    * ann_ivfpq). */
+  private def seedCb(s: SparkSession, dir: String) =
+    Memo.of(s, s"$dir/pq_seed_codebook") {
+      EmbeddingOps.seedCodebookFrame(e(s, dir))
+    }
+
+  /** Exact L2 top-10 truth memberships for the fixed probe panel — the
+    * recall denominator both compressed paths (ann_pq_adc, ann_ivfpq)
+    * mark membership against. */
+  private def exactL2Truth(s: SparkSession, dir: String) =
+    Memo.of(s, s"$dir/exact_l2_top10") {
+      val all = e(s, dir)
+      EmbeddingOps.exactL2TopK(all.filter(probePanel(col("vec_id"))), all, 10)
+    }
+
   /** Materialize the shingle index + near-dup graph memos (shingles →
     * pairs → components) for steady-state benchmarking (see
     * [[TaxiQueries.warm]]). */
@@ -276,7 +300,8 @@ object DocQueries {
 
     "ann_ivf" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.ivfTopK(all.filter(probePanel(col("vec_id"))), all, 3, 2)
+      EmbeddingOps.ivfTopKWith(all.filter(probePanel(col("vec_id"))), all,
+          ivfCents(s, dir), 3, 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -294,9 +319,9 @@ object DocQueries {
     "ann_ivfpq" -> ((s, dir) => {
       val all = e(s, dir)
       val qs = all.filter(probePanel(col("vec_id")))
-      EmbeddingOps.ivfpqTopK(qs, all, m = 4, k = 10, nprobe = 2)
-        .join(EmbeddingOps.exactL2TopK(qs, all, 10),
-          Seq("query_id", "neighbor_id"), "left")
+      EmbeddingOps.ivfpqTopKWith(qs, all, ivfCents(s, dir), seedCb(s, dir),
+          m = 4, k = 10, nprobe = 2)
+        .join(exactL2Truth(s, dir), Seq("query_id", "neighbor_id"), "left")
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("adc_dist"), col("cell"),
           coalesce(col("in_exact"), lit(false)).as("in_exact"))
@@ -453,7 +478,12 @@ object DocQueries {
     // →decimal cast rendering) and are pinned by DocOpsSpec instead.
     "ivf_train" -> ((s, dir) => {
       val all = e(s, dir)
-      val cent = EmbeddingOps.kmeansCentroids(all, 4, 2)
+      // the 2-round Lloyd loop is eager (each round's assignment collects
+      // the previous centroids) — memoized so the trained quantizer is
+      // computed once per session, like a published artifact
+      val cent = Memo.of(s, s"$dir/kmeans_c4i2") {
+        EmbeddingOps.kmeansCentroids(all, 4, 2)
+      }
       EmbeddingOps.assignTo(all, cent)
         .groupBy("cell")
         .agg(count(lit(1)).as("members"),
@@ -475,7 +505,7 @@ object DocQueries {
           Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("hits")).select(lit(m).as("method"), col("hits"))
       val truth = exact.agg(count(lit(1)).as("truth"))
-      hitsOf("ivf", EmbeddingOps.ivfTopK(qs, all, 3, 2))
+      hitsOf("ivf", EmbeddingOps.ivfTopKWith(qs, all, ivfCents(s, dir), 3, 2))
         .unionByName(hitsOf("lsh", EmbeddingOps.bucketedTopK(qs, all, 3, 4)))
         .crossJoin(truth)
         .select(col("method"), col("hits"), col("truth"),
@@ -679,7 +709,7 @@ object DocQueries {
     // diverge between engines at ~1e-9 (DuckDB casts FLOAT→DECIMAL via
     // the shortest decimal rendering, Spark via the exact binary
     // expansion) — the same boundary ivf_train documents
-    "vec_pq_encode" -> ((s, dir) => EmbeddingOps.pqEncode(e(s, dir), 4)
+    "vec_pq_encode" -> ((s, dir) => EmbeddingOps.pqEncodeWith(e(s, dir), ivfCents(s, dir), 4)
       .select("vec_id", "code_0", "code_1", "code_2", "code_3")
       .orderBy("vec_id")),
 
@@ -689,7 +719,8 @@ object DocQueries {
     // lookups; in_exact marks the true L2 top-10 members
     "ann_pq_adc" -> ((s, dir) => {
       val all = e(s, dir)
-      EmbeddingOps.adcTopK(all.filter(probePanel(col("vec_id"))), all, 4, 10)
+      EmbeddingOps.adcTopKWith(all.filter(probePanel(col("vec_id"))), all,
+          seedCb(s, dir), exactL2Truth(s, dir), 4, 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -736,7 +767,8 @@ object DocQueries {
         .filter(col("lex_rank") <= 10)
         .select("query_id", "doc_id", "lex_rank")
       val all = e(s, dir)
-      val semTop = EmbeddingOps.ivfTopK(all.filter(probePanel(col("vec_id"))), all, 10, 2)
+      val semTop = EmbeddingOps.ivfTopKWith(
+          all.filter(probePanel(col("vec_id"))), all, ivfCents(s, dir), 10, 2)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("sem_rank"))
       val fused = lexTop.join(semTop, Seq("query_id", "doc_id"), "full_outer")
@@ -775,8 +807,13 @@ object DocQueries {
         .filter(size(col("t")) >= 15 && col("doc_id") % 23 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat_ws(" ", slice(col("t"), 1, 12)).as("text"))
-      val all = base.select("doc_id", "text").unionByName(quotes)
-      DocPipeline.containmentPairs(DocPipeline.shingleHashes(all), 0.9, 100)
+      // shingle derivation is per-doc and the quote ids are disjoint
+      // (+200000), so shingleHashes(base ∪ quotes) ≡ memoized base index
+      // ∪ shingleHashes(quotes) — reuse the materialized corpus index
+      // instead of re-exploding all 5000 docs per invocation; only the
+      // ~4% quote docs are shingled here
+      val all = shingles(s, dir).unionByName(DocPipeline.shingleHashes(quotes))
+      DocPipeline.containmentPairs(all, 0.9, 100)
         .orderBy("doc_a", "doc_b")
     }),
 
