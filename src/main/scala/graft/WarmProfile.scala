@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
 object WarmProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkEntry.configure(SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(name: String)(body: => Long): Unit = {

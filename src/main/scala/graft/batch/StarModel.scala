@@ -156,13 +156,27 @@ object StarModel {
   /** Star build over an (ideally cached/materialized) deduped core —
     * each dim derives from the same frame, so pass one that won't be
     * recomputed per dim. */
-  def factFromDeduped(deduped: DataFrame): DataFrame =
-    fact(deduped,
-      dim(deduped, "vendor_code", "vendor_nk", "vendor_sk"),
-      dim(deduped, "payment_type", "payment_nk", "payment_sk"),
-      dim(deduped, "rate_code", "rate_nk", "rate_sk"),
-      dim(deduped, "flag_raw", "flag_nk", "flag_sk"),
-      dimLocation(deduped))
+  def factFromDeduped(deduped: DataFrame): DataFrame = {
+    // The five dim censuses are independent bounded jobs over the same
+    // (materialized) deduped frame — submit them concurrently so the
+    // once-per-run star build's wall time is max(dim), not sum(dim).
+    // Each is deterministic (sorted distinct + driver numbering), so
+    // concurrency cannot change a single SK.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val dv = Future(dim(deduped, "vendor_code", "vendor_nk", "vendor_sk"))
+      val dp = Future(dim(deduped, "payment_type", "payment_nk", "payment_sk"))
+      val dr = Future(dim(deduped, "rate_code", "rate_nk", "rate_sk"))
+      val df = Future(dim(deduped, "flag_raw", "flag_nk", "flag_sk"))
+      val dl = Future(dimLocation(deduped))
+      fact(deduped, Await.result(dv, Duration.Inf), Await.result(dp, Duration.Inf),
+        Await.result(dr, Duration.Inf), Await.result(df, Duration.Inf),
+        Await.result(dl, Duration.Inf))
+    } finally pool.shutdown()
+  }
 
   /** Full chain from the fixtures: trips→cleaned→deduped→dims→fact. */
   def factFromFixtures(spark: SparkSession, sfDir: String): DataFrame = {

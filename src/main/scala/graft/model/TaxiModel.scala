@@ -138,19 +138,22 @@ object TaxiModel {
     * loaded_at/file), so the winner is engine-independent while the sort
     * state stays narrow. */
   def deduped(clean: DataFrame): DataFrame = {
-    // Hash-aggregate winner-pick instead of a window sort: max(struct(sort
-    // keys ++ payload)) groups with map-side partial aggregation and never
-    // materializes a per-partition sort — at 100 TB this is one shuffle of
-    // pre-combined groups vs. a full sort of every replica. Identical
-    // winner to ROW_NUMBER()=1 (struct comparison is lexicographic on the
-    // same keys; ties impossible — trip_src_id is unique per source row).
+    // Winner-pick via ROW_NUMBER()=1 (optimization round 19, measured):
+    // the former max(struct(sort keys ++ payload)) aggregate looked like a
+    // map-side-combining hash aggregate but a struct buffer is not
+    // mutable-buffer-typed, so it planned as SortAggregate on BOTH sides
+    // of the exchange — a full sort of every wide row twice. The window
+    // path sorts once per side too, but Spark 4's partial
+    // WindowGroupLimit prunes each map partition to rank-1 rows BEFORE
+    // the exchange, so the shuffle carries pre-reduced groups. Identical
+    // winner: (loaded_at, source_file_name, trip_src_id) DESC is a total
+    // order within groups (trip_src_id unique per source row) — exactly
+    // the ordering the struct comparison encoded.
     val cols = clean.columns
-    val orderCols = Seq("loaded_at", "source_file_name", "trip_src_id")
-    val payload = cols.filterNot(naturalKey.contains)
-    val winner = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
-    clean.groupBy(naturalKey.map(col): _*)
-      .agg(max(winner).as("_w"))
-      .select(naturalKey.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+    val w = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(col("loaded_at").desc, col("source_file_name").desc,
+        col("trip_src_id").desc)
+    clean.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(cols.map(col).toSeq: _*)
   }
 

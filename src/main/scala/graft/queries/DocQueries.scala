@@ -64,7 +64,12 @@ object DocQueries {
     * curation run maintains: Jaccard, MinHash, and both decontamination
     * paths read this instead of re-exploding the corpus text. */
   private def shingles(s: SparkSession, dir: String) = Memo.of(s, s"$dir/shingle_index") {
-    DocPipeline.shingleHashes(d(s, dir))
+    // deterministic hash repartition first: the documents fixture is one
+    // parquet row group (one task), so the tokenize+explode that builds
+    // the index ran single-threaded; production corpora split at the
+    // source (same fix as EventsModel.rawEvents)
+    DocPipeline.shingleHashes(d(s, dir).repartition(
+      s.sessionState.conf.numShufflePartitions, col("doc_id")))
   }
 
   /** The near-dup pair graph (MinHash-LSH at 0.5), memoized: components

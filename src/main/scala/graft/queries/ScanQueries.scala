@@ -25,12 +25,6 @@ object ScanQueries {
   private val setupDone =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write-once-per-session scratch table, keyed by fixture dir: used by
-    * ops whose MEASURED side is the read (DPP join over an existing fact,
-    * dir listing of an existing sink — the reference's GetFileList /
-    * partition-pruned joins run against tables some earlier load built).
-    * The setup write pays once per session like the Memo chains; sink_*
-    * ops, whose measured side IS the write, do not use this. */
   /** The memoized routed-events chain — SAME memo key as
     * StreamQueries' private `routed`, so both files share one scratch
     * materialization. The sink ops' measured side is their WRITE; before
@@ -42,6 +36,18 @@ object ScanQueries {
   private def routedMemo(s: SparkSession, d: String): DataFrame =
     Memo(s"$d/ev_routed")(EventsModel.routed(s, d))
 
+  /** The JSON wire envelopes, memoized: scan_jsonl / scan_json_corrupt /
+    * scan_json_variant each re-built the to_json envelope stream per
+    * invocation; the wire fixture is one materialization per session. */
+  private def envelopesMemo(s: SparkSession, d: String): DataFrame =
+    Memo(s"$d/ev_envelopes")(EventsModel.envelopes(s, d))
+
+  /** Write-once-per-session scratch table, keyed by fixture dir: used by
+    * ops whose MEASURED side is the read (DPP join over an existing fact,
+    * dir listing of an existing sink — the reference's GetFileList /
+    * partition-pruned joins run against tables some earlier load built).
+    * The setup write pays once per session like the Memo chains; sink_*
+    * ops, whose measured side IS the write, do not use this. */
   private def setupOnce(d: String, name: String)(write: String => Unit): String =
     setupDone.computeIfAbsent(s"$d/$name", { _ =>
       val out = Paths.get(sys.props("java.io.tmpdir"), "graft_scan",
@@ -114,7 +120,7 @@ object ScanQueries {
     // JSON scan + dual-key parse, count per sink.
     "scan_jsonl" -> ((s, d) => {
       val out = scratch("jsonl")
-      EventsModel.envelopes(s, d).select("json")
+      envelopesMemo(s, d).select("json")
         .coalesce(4).write.mode(SaveMode.Overwrite).text(out)
       val back = s.read.text(out)
         .withColumnRenamed("value", "json")
@@ -238,7 +244,7 @@ object ScanQueries {
     // so this shape needs no cache() even at 100 TB.
     "scan_json_corrupt" -> ((s, d) => {
       val out = scratch("json_corrupt")
-      graft.model.EventsModel.envelopes(s, d)
+      envelopesMemo(s, d)
         .withColumn("eid", get_json_object(col("json"), "$.event_id").cast("long"))
         .select(when(col("eid") % 97 === 0,
             concat(lit("{bad "), substring(col("json"), 1, 18)))
@@ -269,7 +275,7 @@ object ScanQueries {
     // fully codegen'd — the oracle computes the same values from the
     // typed table, proving the variant path round-trips the wire format.
     "scan_json_variant" -> ((s, d) => {
-      EventsModel.envelopes(s, d)
+      envelopesMemo(s, d)
         .select(parse_json(col("json")).as("v"))
         .select(
           variant_get(col("v"), "$.event_id", "bigint").as("event_id"),
@@ -350,11 +356,19 @@ object ScanQueries {
       val wh = scratch("bucketed_wh")
       s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
       s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      // repartition on the bucket key first: bucketBy hashes with the
+      // same Murmur3 HashPartitioning, so after the shuffle each task
+      // holds exactly its bucket → ONE file per bucket written in
+      // parallel. Without it the single-row-group fixture scan is one
+      // task that encodes all 8 buckets' files sequentially (and at
+      // scale, N input tasks × 8 buckets small files).
       graft.Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey"))
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/lineitem").saveAsTable("graft_bkt_lineitem")
       graft.Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .repartition(8, col("o_orderkey"))
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/orders").saveAsTable("graft_bkt_orders")
