@@ -285,8 +285,15 @@ object DocPipeline {
     * plus two joins). [[simhashCandidates]] keeps the candidates-only
     * shape for [[editDistPairs]], where carrying text through the bands
     * would be the mistake. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sim = simhashes(docs).cache() // both self-join sides, one sha256 pass
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFromHashes(simhashes(docs), maxHamming)
+
+  /** [[simhashPairs]] over a precomputed (materialized/memoized) simhash
+    * frame — the production entry point, mirroring
+    * [[jaccardPairsFromShingles]]: the signature table is maintained once
+    * and every banded consumer reads it. */
+  def simhashPairsFromHashes(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val sim = sims.cache() // both self-join sides, one pass
     val bands = sim.select(col("doc_id"), col("simhash"),
       explode(array(simhashBandKeys: _*)).as("bk"))
     val pairs = bands.as("a")
@@ -318,8 +325,14 @@ object DocPipeline {
     * join is the real cost at 100 TB — run it after cheaper dedup passes
     * have shrunk the candidate set, or over length-capped normalized
     * text. */
-  def editDistPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sim = simhashes(docs).cache()
+  def editDistPairs(docs: DataFrame, maxDist: Int): DataFrame =
+    editDistPairsFromHashes(simhashes(docs), docs, maxDist)
+
+  /** [[editDistPairs]] over a precomputed simhash frame (see
+    * [[simhashPairsFromHashes]]). */
+  def editDistPairsFromHashes(sims: DataFrame, docs: DataFrame,
+                              maxDist: Int): DataFrame = {
+    val sim = sims.cache()
     val txt = docs.select(col("doc_id"), col("text"))
     val pairs = simhashCandidates(sim)
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")

@@ -97,6 +97,13 @@ object DocQueries {
       DocPipeline.jaccardPairsFromShingles(shingles(s, dir), 0.5, 100)
     }
 
+  /** The per-doc simhash signature table, memoized — the maintained
+    * signature index both banded consumers (dedup_simhash,
+    * dedup_editdist) read instead of re-hashing the corpus per
+    * invocation. */
+  private def simhashesDf(s: SparkSession, dir: String) =
+    Memo.of(s, s"$dir/simhashes") { DocPipeline.simhashes(d(s, dir)) }
+
   /** The trained coarse quantizer (label-mean IVF centroids) over the
     * embeddings corpus, memoized: ann_ivf / ann_recall / ann_ivfpq /
     * search_hybrid_rrf / vec_pq_encode all search against ONE published
@@ -197,14 +204,16 @@ object DocQueries {
           (col("sum_err").cast("double") / col("n_hit")).as("mean_abs_err"))
     }),
 
-    "dedup_simhash" -> ((s, dir) => DocPipeline.simhashPairs(d(s, dir), 6)
-      .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      DocPipeline.simhashPairsFromHashes(simhashesDf(s, dir), 6)
+        .orderBy("doc_a", "doc_b")),
 
     // levenshtein confirm over the same banded candidates: 16 ≈ 5% of a
     // typical doc — the "small in-place edit" regime; the length
     // prefilter + banded DP keep the confirm linear in text length
-    "dedup_editdist" -> ((s, dir) => DocPipeline.editDistPairs(d(s, dir), 16)
-      .orderBy("doc_a", "doc_b")),
+    "dedup_editdist" -> ((s, dir) =>
+      DocPipeline.editDistPairsFromHashes(simhashesDf(s, dir), d(s, dir), 16)
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       EmbeddingOps.cosineDupPairs(EmbeddingOps.embeddingsWithDups(s, dir), 0.999, 16)
@@ -750,10 +759,15 @@ object DocQueries {
     // so the oracle lands on the identical doubles.
     "search_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = shingles(s, dir)
-      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DocPipeline.JaccardDfCap).select("h")
-      val cap = sh.join(rare, "h")
+      // the df-capped inverted index, memoized (the same cap census was
+      // re-joined per invocation; at scale this is a maintained index
+      // table, like the shingle index it derives from)
+      val cap = Memo.of(s, s"$dir/shingle_capped${DocPipeline.JaccardDfCap}") {
+        val sh = shingles(s, dir)
+        val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DocPipeline.JaccardDfCap).select("h")
+        sh.join(rare, "h")
+      }
       val sizes = cap.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val sharedCnt = cap.as("q")
         .join(cap.as("d"), col("q.h") === col("d.h") &&

@@ -303,13 +303,18 @@ object ScanQueries {
     // match proves the JSON round trip is value-preserving including the
     // double rendering.
     "scan_json_normalize" -> ((s, d) => {
-      val docs = graft.Tables(s, d, "lineitem")
-        .groupBy(col("l_orderkey").cast("long").as("order_id"))
-        .agg(sort_array(collect_list(struct(
-            col("l_linenumber").cast("int").as("line_no"),
-            col("l_partkey").cast("long").as("partkey"),
-            col("l_quantity").cast("double").as("qty")))).as("items"))
-        .select(to_json(struct(col("order_id"), col("items"))).as("doc"))
+      // the nested-docs frame is fixture SYNTHESIS (what an upstream
+      // system would deliver) — memoized like the wire envelopes; the
+      // measured side is the production parse+normalize below
+      val docs = Memo(s"$d/json_nested_docs") {
+        graft.Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey").cast("long").as("order_id"))
+          .agg(sort_array(collect_list(struct(
+              col("l_linenumber").cast("int").as("line_no"),
+              col("l_partkey").cast("long").as("partkey"),
+              col("l_quantity").cast("double").as("qty")))).as("items"))
+          .select(to_json(struct(col("order_id"), col("items"))).as("doc"))
+      }
       docs
         .select(from_json(col("doc"), StructType.fromDDL(
           "order_id BIGINT, items ARRAY<STRUCT<line_no: INT, partkey: BIGINT, qty: DOUBLE>>")).as("o"))

@@ -419,10 +419,12 @@ object StreamQueries {
       // Replays of hour-H events arriving at H+1 are absorbed by the
       // deterministic-id dedupe: slice cardinality is unchanged.
       val parsedBase = Memo(s"$d/ev_parsed")(EventsModel.parsed(s, d))
-      val base = StreamTransforms.route(StreamTransforms.enrich(parsedBase))
       val replayed = StreamTransforms.route(StreamTransforms.enrich(
         EventsModel.withReplays(parsedBase)))
-      val origCnt = StreamTransforms.buildSlice(base, lit("r")).drop("_runId")
+      // the base slice IS the memoized slice (same routed input, same
+      // runId-independent columns after the drop) — only the replayed
+      // variant needs a fresh build per invocation
+      val origCnt = slice(s, d)
         .agg(count(lit(1)).as("orig_rows"))
       val replayCnt = StreamTransforms.buildSlice(replayed, lit("r")).drop("_runId")
         .agg(count(lit(1)).as("after_replay_rows"))
