@@ -313,6 +313,13 @@ object OlapQueries {
     // a post-shuffle filter — never a fact×fact product; the distinct
     // (order, supplier) projections shrink both sides before any join.
     "olap_late_suppliers" -> ((s, d) => {
+      // NOTE (optimization round 20, measured): materializing `late` once
+      // via eager localCheckpoint was tried and REVERTED — 1.49 s -> 1.99 s
+      // at sf0.1 local[8]. Although `late` feeds both the EXISTS probe and
+      // the NOT-EXISTS build, physical-plan exchange reuse (ReuseExchange,
+      // visible in the executed plan) already shares the expensive
+      // lineitem⋈orders + distinct exchanges between the two branches, so
+      // the checkpoint only added a write+read round trip.
       val late = graft.Tables(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(graft.Tables(s, d, "orders")

@@ -254,6 +254,16 @@ object TaxiQueries {
       // local[8]), strictly worse than this window path, which already
       // prunes to rank 1 BEFORE the exchange via the partial
       // WindowGroupLimit (rn=1 pushdown) on Spark 4.
+      // NOTE (optimization round 20, measured and REVERTED): widening the
+      // window partition to (4 join keys, trip_src_id) — so the window
+      // could reuse the SortMergeJoin's HashPartitioning and skip the
+      // trip_src_id reshuffle (subset rule) — read 2.27 s -> 1.96 s but
+      // CHANGED THE RESULT (oracle rowcount 30895 -> 37891 at sf0.01):
+      // trip_src_id is NOT unique in the deduped core (the fixture's
+      // lineitem carries duplicate (l_orderkey, l_linenumber) pairs, so up
+      // to 5 core rows share an id across natural-key groups), and those
+      // rows differ in the join keys, splitting the winner groups. The
+      // trip_src_id-only window genuinely needs its own exchange.
       val w = Window.partitionBy(col("trip_src_id"))
         .orderBy(col("loaded_at").desc, col("s_source_file_name").desc,
           col("s_trip_src_id").desc, col("tolls_amount").desc,
@@ -824,7 +834,16 @@ object TaxiQueries {
     }),
 
     "win_join_pick" -> ((s, d) => {
+      // Project to the 3 window columns, then hash-repartition on the
+      // window key BEFORE the window: the fixture scan is one parquet row
+      // group (guide §2.5 input skew), so the window's partial sort +
+      // WindowGroupLimit otherwise ran on the union's 2 tasks; the
+      // explicit repartition (count = spark.sql.shuffle.partitions,
+      // scale-adaptive) satisfies the window's ClusteredDistribution, so
+      // no second exchange appears and the sort runs at full parallelism.
       val dup = TaxiModel.tripsWithDups(s, d)
+        .select("trip_src_id", "loaded_at", "source_file_name")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("trip_src_id"))
       val w = Window.partitionBy(col("trip_src_id"))
         .orderBy(col("loaded_at").desc, col("source_file_name").desc)
       dup.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
