@@ -428,19 +428,25 @@ object DocPipeline {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nbrcomp"))
+      // `prev` (this round's starting label) rides through to the
+      // checkpoint so the convergence check below is a scan of the
+      // checkpointed frame, not an extra join+count job per round
+      // (optimization round 20; labels/winners unchanged — prev is
+      // projected away before the next round).
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbrcomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbrcomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
       // pointer jumping: comp := comp's own label (halves chain depth)
       val next = stepped.as("l")
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")).as("r"),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+          col("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("id", "comp")
       converged = changed == 0
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
